@@ -1,0 +1,359 @@
+"""Paged-KV decode attention (MLA and GQA) as Pallas TPU kernels.
+
+Capability parity with reference
+``python/sgl_kernel_npu/sgl_kernel_npu/attention/decode_attention.py``:
+
+- ``decode_mla``  (reference :166) — DeepSeek MLA: q = [B, Hq, 512+64] (nope ‖ rope),
+  paged latent cache split into k_nope [pages, page, 1, 512] and k_rope
+  [pages, page, 1, 64]; V aliases K_nope (reference :123).  Output [B, Hq, 512].
+- ``decode_gqa``  (reference :373) — grouped-query attention over paged K/V caches,
+  with the DeepSeek split-K special case (Lk = 576 → 512 model + 64 pe) handled by
+  the same two-part dot product.
+
+TPU-first design (not a Triton translation):
+- the page walk is the Pallas grid; ``block_table`` and ``kv_seq_lens`` ride
+  ``PrefetchScalarGridSpec`` scalar prefetch so each page's HBM→VMEM DMA address is
+  computed before the step runs (the idiomatic TPU paged-attention pattern);
+- online softmax state (m, l, acc) lives in VMEM scratch and persists across the
+  sequential page grid — one flash-decoding pass, no mid-chunk HBM traffic;
+- pages past ``kv_seq_len`` clamp their DMA to page 0 and are masked out, keeping
+  shapes static for XLA;
+- the paged cache layout is ``[num_pages, kv_heads, page_size, head_dim]`` (kv-head
+  dim *before* the token dim) so per-head page blocks are (page_size, head_dim)
+  tiles — legal and MXU-friendly regardless of head_dim.  This intentionally differs
+  from the reference's ``[pages, page, heads, dim]``: on TPU the last two dims must
+  form aligned tiles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sgl_kernel_npu_tpu.utils.common import cdiv, interpret_default
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# golden references
+# ---------------------------------------------------------------------------
+
+def _gather_pages(buffer: jax.Array, block_table: jax.Array, max_len: int) -> jax.Array:
+    """[pages, H, page, D] + [B, max_pages] → [B, H, max_len, D] (linear KV view)."""
+    _, h, page_size, d = buffer.shape
+    n_pages = cdiv(max_len, page_size)
+    pages = buffer[block_table[:, :n_pages]]  # [B, n_pages, H, page, D]
+    b = pages.shape[0]
+    return pages.transpose(0, 2, 1, 3, 4).reshape(b, h, n_pages * page_size, d)[:, :, :max_len]
+
+
+def decode_mla_ref(q, k_nope_buffer, k_rope_buffer, kv_seq_lens, sm_scale, block_table):
+    """Pure-jnp paged MLA decode attention (golden)."""
+    b, hq, _ = q.shape
+    d_nope = k_nope_buffer.shape[-1]
+    max_len = int(block_table.shape[1] * k_nope_buffer.shape[2])
+    q_nope, q_pe = q[..., :d_nope], q[..., d_nope:]
+    k_nope = _gather_pages(k_nope_buffer, block_table, max_len)[:, 0]  # [B, L, 512]
+    k_rope = _gather_pages(k_rope_buffer, block_table, max_len)[:, 0]  # [B, L, 64]
+    qk = jnp.einsum("bhd,bld->bhl", q_nope.astype(jnp.float32), k_nope.astype(jnp.float32))
+    qk += jnp.einsum("bhd,bld->bhl", q_pe.astype(jnp.float32), k_rope.astype(jnp.float32))
+    qk *= sm_scale
+    mask = jnp.arange(max_len)[None, None, :] < kv_seq_lens[:, None, None]
+    qk = jnp.where(mask, qk, NEG_INF)
+    p = jax.nn.softmax(qk, axis=-1)
+    out = jnp.einsum("bhl,bld->bhd", p, k_nope.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def decode_gqa_ref(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table):
+    """Pure-jnp paged GQA decode attention (golden)."""
+    b, hq, dk = q.shape
+    hkv = k_buffer.shape[1]
+    group = hq // hkv
+    max_len = int(block_table.shape[1] * k_buffer.shape[2])
+    k = _gather_pages(k_buffer, block_table, max_len)  # [B, Hkv, L, Dk]
+    v = _gather_pages(v_buffer, block_table, max_len)  # [B, Hkv, L, Dv]
+    qg = q.reshape(b, hkv, group, dk).astype(jnp.float32)
+    qk = jnp.einsum("bkgd,bkld->bkgl", qg, k.astype(jnp.float32)) * sm_scale
+    mask = jnp.arange(max_len)[None, None, None, :] < kv_seq_lens[:, None, None, None]
+    qk = jnp.where(mask, qk, NEG_INF)
+    p = jax.nn.softmax(qk, axis=-1)
+    out = jnp.einsum("bkgl,bkld->bkgd", p, v.astype(jnp.float32))
+    return out.reshape(b, hq, v.shape[-1]).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas MLA decode
+# ---------------------------------------------------------------------------
+
+def _mla_kernel(
+    block_table_ref,  # scalar prefetch [B, max_pages]
+    seq_lens_ref,     # scalar prefetch [B]
+    q_nope_ref,       # [1, Hq, 512]
+    q_pe_ref,         # [1, Hq, 64]
+    k_nope_ref,       # [1, page, 512]
+    k_rope_ref,       # [1, page, 64]
+    o_ref,            # [1, Hq, 512]
+    acc_ref,          # scratch [Hq, 512] f32
+    m_ref,            # scratch [Hq, 128] f32
+    l_ref,            # scratch [Hq, 128] f32
+    *,
+    sm_scale,
+    page_size,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    n_pages = pl.num_programs(1)
+    seq_len = seq_lens_ref[b]
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    valid_in_page = seq_len - p * page_size
+
+    @pl.when(valid_in_page > 0)
+    def _step():
+        q_nope = q_nope_ref[0].astype(jnp.float32)
+        q_pe = q_pe_ref[0].astype(jnp.float32)
+        k_nope = k_nope_ref[0].astype(jnp.float32)
+        k_rope = k_rope_ref[0].astype(jnp.float32)
+        qk = jax.lax.dot_general(
+            q_nope, k_nope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        qk += jax.lax.dot_general(
+            q_pe, k_rope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        qk *= sm_scale
+        pos = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+        qk = jnp.where(pos < valid_in_page, qk, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        m_cur = jnp.max(qk, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        probs = jnp.exp(qk - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            probs, k_nope, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(p == n_pages - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def decode_mla(
+    q,
+    k_nope_buffer,
+    k_rope_buffer,
+    kv_seq_lens,
+    sm_scale,
+    block_table,
+    *,
+    interpret=None,
+):
+    """Paged MLA decode attention (reference decode_attention.py:166).
+
+    Args:
+        q: ``[B, Hq, Lkv + Lrope]`` queries (nope ‖ rope on the last dim).
+        k_nope_buffer: ``[num_pages, 1, page_size, Lkv]`` paged latent cache.
+        k_rope_buffer: ``[num_pages, 1, page_size, Lrope]`` paged rope cache.
+        kv_seq_lens: ``[B]`` int32 current lengths.
+        sm_scale: softmax scale.
+        block_table: ``[B, max_pages]`` logical→physical page map.
+
+    Returns:
+        ``[B, Hq, Lkv]`` attention output (V aliases K_nope, reference :123).
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    b, hq, _ = q.shape
+    n_pages_total, hkv, page_size, d_nope = k_nope_buffer.shape
+    d_rope = k_rope_buffer.shape[-1]
+    assert hkv == 1, "MLA latent cache has a single KV head"
+    max_pages = block_table.shape[1]
+    q_nope = q[..., :d_nope]
+    q_pe = q[..., d_nope:]
+    kn = k_nope_buffer.reshape(n_pages_total, page_size, d_nope)
+    kr = k_rope_buffer.reshape(n_pages_total, page_size, d_rope)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, hq, d_nope), lambda i, p, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hq, d_rope), lambda i, p, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, page_size, d_nope),
+                lambda i, p, bt, sl: (bt[i, p], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, page_size, d_rope),
+                lambda i, p, bt, sl: (bt[i, p], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hq, d_nope), lambda i, p, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hq, d_nope), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.VMEM((hq, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_mla_kernel, sm_scale=sm_scale, page_size=page_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hq, d_nope), q.dtype),
+        interpret=interpret,
+    )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), q_nope, q_pe, kn, kr)
+
+
+# ---------------------------------------------------------------------------
+# Pallas GQA decode
+# ---------------------------------------------------------------------------
+
+def _gqa_kernel(
+    block_table_ref,
+    seq_lens_ref,
+    q_ref,      # [1, group, Dk] (one kv head's query group)
+    k_ref,      # [1, page, Dk]
+    v_ref,      # [1, page, Dv]
+    o_ref,      # [1, group, Dv]
+    acc_ref,
+    m_ref,
+    l_ref,
+    *,
+    sm_scale,
+    page_size,
+    d_model,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+    seq_len = seq_lens_ref[b]
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    valid_in_page = seq_len - p * page_size
+
+    @pl.when(valid_in_page > 0)
+    def _step():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        # Split-K dot (DeepSeek 576 = 512 + 64) falls out of a single dot here since
+        # both parts share the contraction; no special case needed on TPU.
+        qk = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        qk *= sm_scale
+        pos = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+        qk = jnp.where(pos < valid_in_page, qk, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        probs = jnp.exp(qk - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_new
+        pv = jax.lax.dot_general(
+            probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(p == n_pages - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *, interpret=None):
+    """Paged GQA decode attention (reference decode_attention.py:373).
+
+    Args:
+        q: ``[B, Hq, Dk]``; k_buffer/v_buffer: ``[pages, Hkv, page_size, D{k,v}]``
+            (TPU-first layout — kv-head dim before token dim, see module docstring).
+
+    Returns ``[B, Hq, Dv]``.
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    b, hq, dk = q.shape
+    n_pages_total, hkv, page_size, _ = k_buffer.shape
+    dv = v_buffer.shape[-1]
+    assert hq % hkv == 0
+    group = hq // hkv
+    max_pages = block_table.shape[1]
+    # Lay q out as [B, Hkv, group, Dk] so one grid step owns one kv head's group.
+    qg = q.reshape(b, hkv, group, dk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv, max_pages),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, group, dk),
+                lambda i, h, p, bt, sl: (i, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, dk),
+                lambda i, h, p, bt, sl: (bt[i, p], h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, dv),
+                lambda i, h, p, bt, sl: (bt[i, p], h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group, dv), lambda i, h, p, bt, sl: (i, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((group, dv), jnp.float32),
+            pltpu.VMEM((group, 128), jnp.float32),
+            pltpu.VMEM((group, 128), jnp.float32),
+        ],
+    )
+
+    def kernel(bt, sl, q_r, k_r, v_r, o_r, acc, m, l):
+        _gqa_kernel(
+            bt,
+            sl,
+            q_r.at[:, 0],
+            k_r.at[:, 0],
+            v_r.at[:, 0],
+            o_r.at[:, 0],
+            acc,
+            m,
+            l,
+            sm_scale=sm_scale,
+            page_size=page_size,
+            d_model=dk,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group, dv), q.dtype),
+        interpret=interpret,
+    )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), qg, k_buffer, v_buffer)
+    return out.reshape(b, hq, dv)

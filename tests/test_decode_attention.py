@@ -1,0 +1,46 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
+
+
+def _mk_paged(rng, n_pages, page, hkv, d, dtype=jnp.bfloat16):
+    # TPU-first paged layout: [pages, kv_heads, page_size, head_dim]
+    return jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) * 0.5, dtype)
+
+
+@pytest.mark.parametrize("hq,d_nope,d_rope", [(16, 128, 64), (8, 512, 64)])
+def test_decode_mla(rng, hq, d_nope, d_rope):
+    b, page, max_pages = 3, 32, 4
+    n_pages = b * max_pages + 1
+    q = jnp.asarray(rng.standard_normal((b, hq, d_nope + d_rope)) * 0.5, jnp.bfloat16)
+    kn = _mk_paged(rng, n_pages, page, 1, d_nope)
+    kr = _mk_paged(rng, n_pages, page, 1, d_rope)
+    block_table = jnp.asarray(
+        rng.permutation(n_pages - 1)[: b * max_pages].reshape(b, max_pages) + 1, jnp.int32
+    )
+    seq_lens = jnp.asarray([1, 40, 128], jnp.int32)
+    sm_scale = 1.0 / np.sqrt(d_nope + d_rope)
+    got = da.decode_mla(q, kn, kr, seq_lens, sm_scale, block_table)
+    want = da.decode_mla_ref(q, kn, kr, seq_lens, sm_scale, block_table)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+
+@pytest.mark.parametrize("hq,hkv,dk,dv", [(8, 2, 128, 128), (16, 16, 64, 64), (4, 1, 576, 512)])
+def test_decode_gqa(rng, hq, hkv, dk, dv):
+    b, page, max_pages = 2, 16, 5
+    n_pages = b * max_pages
+    q = jnp.asarray(rng.standard_normal((b, hq, dk)) * 0.5, jnp.bfloat16)
+    k = _mk_paged(rng, n_pages, page, hkv, dk)
+    v = _mk_paged(rng, n_pages, page, hkv, dv)
+    block_table = jnp.asarray(rng.permutation(n_pages).reshape(b, max_pages), jnp.int32)
+    seq_lens = jnp.asarray([7, 77], jnp.int32)
+    sm_scale = 1.0 / np.sqrt(dk)
+    got = da.decode_gqa(q, k, v, seq_lens, sm_scale, block_table)
+    want = da.decode_gqa_ref(q, k, v, seq_lens, sm_scale, block_table)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
+    )
