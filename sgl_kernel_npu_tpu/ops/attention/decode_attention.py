@@ -183,8 +183,13 @@ def decode_mla(
     d_rope = k_rope_buffer.shape[-1]
     assert hkv == 1, "MLA latent cache has a single KV head"
     max_pages = block_table.shape[1]
+    hq_orig = hq
+    hq = max(8, -(-hq // 8) * 8)  # pad heads to a sublane tile
     q_nope = q[..., :d_nope]
     q_pe = q[..., d_nope:]
+    if hq != hq_orig:
+        pad = ((0, 0), (0, hq - hq_orig), (0, 0))
+        q_nope, q_pe = jnp.pad(q_nope, pad), jnp.pad(q_pe, pad)
     kn = k_nope_buffer.reshape(n_pages_total, page_size, d_nope)
     kr = k_rope_buffer.reshape(n_pages_total, page_size, d_rope)
 
@@ -214,12 +219,13 @@ def decode_mla(
             pltpu.VMEM((hq, 128), jnp.float32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_mla_kernel, sm_scale=sm_scale, page_size=page_size),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d_nope), q.dtype),
         interpret=interpret,
     )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), q_nope, q_pe, kn, kr)
+    return out[:, :hq_orig]
 
 
 # ---------------------------------------------------------------------------
@@ -302,7 +308,13 @@ def decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *, int
     group = hq // hkv
     max_pages = block_table.shape[1]
     # Lay q out as [B, Hkv, group, Dk] so one grid step owns one kv head's group.
+    # Pad the group dim to a full sublane tile (8); padded heads compute garbage
+    # that is sliced away (q=0 rows stay finite through the online softmax).
+    group_p = max(8, -(-group // 8) * 8)
     qg = q.reshape(b, hkv, group, dk)
+    if group_p != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+    group = group_p
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -356,4 +368,4 @@ def decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *, int
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, dv), q.dtype),
         interpret=interpret,
     )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), qg, k_buffer, v_buffer)
-    return out.reshape(b, hq, dv)
+    return out[:, :, : hq // hkv].reshape(b, hq, dv)

@@ -1,0 +1,279 @@
+"""DeepEP-compatible user API over a ``jax.sharding.Mesh``.
+
+Mirrors the surface of the reference ``deep_ep.Buffer`` (python/deep_ep/deep_ep/
+buffer.py:13): ``get_dispatch_layout`` / ``dispatch`` / ``combine`` (normal mode,
+prefill) and ``low_latency_dispatch`` / ``low_latency_combine`` (decode), plus
+``fused_deep_moe``.  Differences are deliberate TPU-first choices:
+
+- construction takes a ``jax.sharding.Mesh`` + axis name instead of a torch
+  ``ProcessGroup`` (the mesh *is* the communicator; XLA owns ICI/DCN transport);
+- all entry points are functional and jit-safe: inputs/outputs are globally-sharded
+  arrays, shapes are static worst-case (the reference's graph-capture mode,
+  buffer.py:279-280, is our only mode), so there is no CPU sync anywhere;
+- no ``EventOverlap`` machinery is needed — XLA async scheduling overlaps the
+  collectives with compute.  A no-op ``EventOverlap`` is kept for API familiarity
+  (reference utils.py:12-33 stubs it too).
+
+Every method also works under an outer ``jax.jit`` and inside training steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sgl_kernel_npu_tpu.config import EPConfig
+from sgl_kernel_npu_tpu.parallel import ep_core
+from sgl_kernel_npu_tpu.parallel.layout import get_dispatch_layout
+
+
+class EventOverlap:
+    """No-op event wrapper kept for reference-API familiarity (utils.py:12-33)."""
+
+    def current_stream_wait(self) -> None:  # pragma: no cover - trivially empty
+        pass
+
+
+@dataclass
+class Buffer:
+    """Expert-parallel communication buffer bound to a mesh axis.
+
+    Args:
+        mesh: device mesh containing the EP axis.
+        axis_name: mesh axis over which experts are sharded.
+        num_experts: total expert count (divisible by EP size).
+        config: static capacity configuration.
+    """
+
+    mesh: Mesh
+    axis_name: str = "ep"
+    num_experts: int = 8
+    config: EPConfig = EPConfig()
+
+    def __post_init__(self):
+        self.group_size = self.mesh.shape[self.axis_name]
+        assert self.num_experts % self.group_size == 0, (
+            f"num_experts={self.num_experts} not divisible by EP size {self.group_size}"
+        )
+        self.num_local_experts = self.num_experts // self.group_size
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _shard(self, *specs):
+        return tuple(NamedSharding(self.mesh, s) for s in specs)
+
+    def _smap(self, fn, in_specs, out_specs):
+        return jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs)
+
+    def _capacities(self, num_tokens_per_rank: int, topk: int):
+        seg = max(self.config.num_max_dispatch_tokens_per_rank, num_tokens_per_rank)
+        pair = self.config.pair_capacity(
+            num_tokens_per_rank, topk, self.group_size, self.num_local_experts
+        )
+        return pair, seg
+
+    # -- layout ------------------------------------------------------------------
+
+    def get_dispatch_layout(self, topk_idx: jax.Array):
+        """Per-rank routing statistics (reference buffer.py:152).
+
+        ``topk_idx`` is the *global* [B, K] array sharded on the batch dim over the
+        EP axis; outputs are per-rank stacked along a leading rank dim.
+        """
+        fn = functools.partial(
+            get_dispatch_layout, num_experts=self.num_experts, num_ranks=self.group_size
+        )
+
+        def body(idx):
+            a, b, c = fn(idx)
+            return a[None], b[None], c[None]
+
+        p = P(self.axis_name)
+        return self._smap(body, in_specs=(p,), out_specs=(p, p, p))(topk_idx)
+
+    # -- low latency (decode) ------------------------------------------------------
+
+    def low_latency_dispatch(
+        self,
+        x: jax.Array,
+        topk_idx: jax.Array,
+        num_max_dispatch_tokens_per_rank: int | None = None,
+        *,
+        use_int8: bool | None = None,
+    ):
+        """Decode-mode dispatch (reference buffer.py:676).
+
+        Args:
+            x: ``[R*T, H]`` tokens, sharded on dim 0 over the EP axis.
+            topk_idx: ``[R*T, K]`` global expert ids (-1 = inactive).
+
+        Returns:
+            ``(packed_recv_x, packed_recv_scales | None, packed_recv_count, handle,
+            stats)`` where ``packed_recv_x`` is ``[R*E_local, R*seg, H]`` sharded so
+            each rank holds its ``[E_local, R*seg, H]`` experts (the reference's
+            packed layout, deep_ep.cpp:941-967), ``packed_recv_count`` the per-expert
+            valid counts, and ``stats`` carries ``recv_count_matrix``/``num_dropped``
+            (EPLB signals, reference buffer.py:700-703).
+        """
+        use_int8 = self.config.use_int8_dispatch if use_int8 is None else use_int8
+        t = x.shape[0] // self.group_size
+        k = topk_idx.shape[1]
+        seg = num_max_dispatch_tokens_per_rank or max(
+            self.config.num_max_dispatch_tokens_per_rank, t
+        )
+        pair, _ = self._capacities(t, k)
+
+        def body(xs, idx):
+            res = ep_core.dispatch_core(
+                xs,
+                idx,
+                axis_name=self.axis_name,
+                num_experts=self.num_experts,
+                num_ranks=self.group_size,
+                pair_capacity=pair,
+                seg_capacity=seg,
+                use_int8=use_int8,
+            )
+            scales = res.get("recv_scales")
+            return (
+                res["recv_x"],
+                scales if scales is not None else jnp.zeros((1, 1), jnp.float32),
+                res["recv_count"],
+                res["handle"].gather_idx[None],
+                res["handle"].ok[None],
+                res["recv_count_matrix"][None],
+                res["num_dropped"][None],
+            )
+
+        p = P(self.axis_name)
+        outs = self._smap(
+            body, in_specs=(p, p), out_specs=(p, p, p, p, p, p, p)
+        )(x, topk_idx)
+        recv_x, recv_scales, recv_count, gidx, ok, cmat, dropped = outs
+        handle = ep_core.DispatchHandle(gidx, ok, None, None)
+        stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
+        return (
+            recv_x,
+            recv_scales if use_int8 else None,
+            recv_count,
+            handle,
+            stats,
+        )
+
+    def low_latency_combine(
+        self,
+        y: jax.Array,
+        topk_weights: jax.Array,
+        handle: ep_core.DispatchHandle,
+        *,
+        out_dtype=jnp.bfloat16,
+    ):
+        """Decode-mode combine (reference buffer.py:779): weighted sum of expert
+        outputs back at each token's source rank.  ``y`` is the packed layout
+        returned by :meth:`low_latency_dispatch` (after expert compute)."""
+        seg = y.shape[1] // self.group_size
+
+        def body(ys, w, gidx, ok):
+            h = ep_core.DispatchHandle(gidx[0], ok[0], None, None)
+            return ep_core.combine_core(
+                ys,
+                w,
+                h,
+                axis_name=self.axis_name,
+                num_ranks=self.group_size,
+                seg_capacity=seg,
+                out_dtype=out_dtype,
+            )
+
+        p = P(self.axis_name)
+        return self._smap(body, in_specs=(p, p, p, p), out_specs=p)(
+            y, topk_weights, handle.gather_idx, handle.ok
+        )
+
+    # -- normal mode (prefill) -----------------------------------------------------
+
+    def dispatch(
+        self,
+        x: jax.Array,
+        topk_idx: jax.Array,
+        *,
+        use_int8: bool | None = None,
+    ):
+        """Normal-mode dispatch (reference buffer.py:233 → intranode_dispatch):
+        returns expert-sorted ragged tokens ready for ``jax.lax.ragged_dot``.
+
+        Returns ``(recv_x_sorted [R, R*C, H], recv_scales | None, group_sizes
+        [R, E_local], handle, stats)`` with dim 0 = rank.
+        """
+        use_int8 = (
+            self.config.use_int8_dispatch if use_int8 is None else use_int8
+        )
+        t = x.shape[0] // self.group_size
+        k = topk_idx.shape[1]
+        pair, seg = self._capacities(t, k)
+
+        def body(xs, idx):
+            res = ep_core.dispatch_ragged_core(
+                xs,
+                idx,
+                axis_name=self.axis_name,
+                num_experts=self.num_experts,
+                num_ranks=self.group_size,
+                pair_capacity=pair,
+                seg_capacity=seg,
+                use_int8=use_int8,
+            )
+            h = res["handle"]
+            scales = res.get("recv_scales_sorted")
+            return (
+                res["recv_x_sorted"][None],
+                scales[None] if scales is not None else jnp.zeros((1, 1), jnp.float32),
+                res["group_sizes"][None],
+                h.gather_idx[None],
+                h.ok[None],
+                h.recv_sort_order[None],
+                res["recv_count_matrix"][None],
+                res["num_dropped"][None],
+            )
+
+        p = P(self.axis_name)
+        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * 8)(x, topk_idx)
+        xs, scales, gs, gidx, ok, order, cmat, dropped = outs
+        handle = ep_core.DispatchHandle(gidx, ok, order, None)
+        stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
+        return xs, (scales if use_int8 else None), gs, handle, stats
+
+    def combine(
+        self,
+        y_sorted: jax.Array,
+        topk_weights: jax.Array,
+        handle: ep_core.DispatchHandle,
+        *,
+        out_dtype=jnp.bfloat16,
+    ):
+        """Normal-mode combine (reference buffer.py:480)."""
+        t = topk_weights.shape[0] // self.group_size
+        k = topk_weights.shape[1]
+        pair, seg = self._capacities(t, k)
+
+        def body(ys, w, gidx, ok, order):
+            h = ep_core.DispatchHandle(gidx[0], ok[0], order[0], None)
+            return ep_core.combine_ragged_core(
+                ys[0],
+                w,
+                h,
+                axis_name=self.axis_name,
+                num_ranks=self.group_size,
+                num_local_experts=self.num_local_experts,
+                seg_capacity=seg,
+                out_dtype=out_dtype,
+            )
+
+        p = P(self.axis_name)
+        return self._smap(body, in_specs=(p,) * 5, out_specs=p)(
+            y_sorted, topk_weights, handle.gather_idx, handle.ok, handle.recv_sort_order
+        )

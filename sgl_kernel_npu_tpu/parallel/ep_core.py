@@ -1,0 +1,356 @@
+"""Expert-parallel dispatch/combine core (per-rank SPMD functions).
+
+DeepEP-equivalent token all-to-all, redesigned for TPU/XLA rather than translated from
+the reference's HCCL-window kernels (csrc/deepep/ops/op_kernel/
+moe_distribute_dispatch_v2.h, cam_moe_dispatch_normal.h):
+
+Reference mechanism                     → TPU-native design here
+--------------------------------------------------------------------------------------
+one-sided window writes + flag spin     → ``lax.all_to_all`` over the mesh axis (XLA
+                                           schedules ICI DMAs; no flags needed — the
+                                           collective IS the synchronization)
+receiver-sized outputs via CPU sync     → static worst-case capacities (the reference's
+  (total_recv_token.item())               own ``num_max_dispatch_tokens_per_rank``
+                                           graph-capture mode, buffer.py:279,699, made
+                                           the *only* mode — zero host syncs, always
+                                           jit/scan-safe)
+per-token INT8 quant in the send loop   → per-token INT8 quant fused into send-buffer
+  (QuantProcess, dispatch_v2.h:994)       packing; scales travel with payloads
+(rank,token,topk) triples in the window → a single int32 ``dest_slot`` per send row;
+                                           the receiver is a pure scatter
+combine re-walks routing metadata       → combine is a pure *gather*: the dispatch-time
+                                           sort already computed every (t,k) pair's
+                                           position in the returned expert layout, and
+                                           the handle carries those indices.  Nothing
+                                           on the decode-critical combine path sorts.
+
+All functions in this module take the *per-rank view* of arrays and must be called
+inside ``jax.shard_map`` over the EP mesh axis (see parallel/buffer.py for the user
+API).  Everything is shape-static: the same code path is prefill ("normal") and decode
+("low latency"); they differ only in capacities and output layout.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
+
+
+class RoutingPlan(NamedTuple):
+    """Source-side routing decisions for one batch (all shapes static).
+
+    Every field indexed by the flattened (token, k) pairs in *original* order.
+    """
+
+    dst_rank: jax.Array        # [T*K] destination rank (R = dropped sentinel)
+    send_slot: jax.Array       # [T*K] row in the per-dst send buffer
+    dest_slot: jax.Array       # [T*K] slot in receiver packed layout, -1 invalid
+    gather_idx: jax.Array      # [T*K] index into combine's y_back flat layout
+    ok: jax.Array              # [T*K] bool: survives routing + capacity
+    src_token: jax.Array       # [T*K] local token id
+    counts_per_expert: jax.Array  # [E] tokens this rank sends to each global expert
+    num_dropped: jax.Array     # [] capacity-overflow drops (EPLB/diagnostic signal)
+
+
+class DispatchHandle(NamedTuple):
+    """Opaque handle returned by dispatch, consumed by combine (reference: the
+    ``handle`` tuple of buffer.py:676/779)."""
+
+    gather_idx: jax.Array      # [T, K]
+    ok: jax.Array              # [T, K]
+    recv_sort_order: jax.Array | None  # [R*C] receiver expert-sort permutation (normal mode)
+    recv_valid_count: jax.Array | None  # [] valid recv rows (normal mode)
+
+
+def make_routing_plan(
+    topk_idx: jax.Array,
+    *,
+    num_experts: int,
+    num_ranks: int,
+    my_rank: jax.Array,
+    pair_capacity: int,
+    seg_capacity: int,
+) -> RoutingPlan:
+    """One stable sort → every routing decision for this batch.
+
+    ``pair_capacity`` bounds rows sent from this rank to one destination rank;
+    ``seg_capacity`` bounds rows landing in one (expert, src-rank) segment of the
+    receiver's packed layout (= max tokens per rank, since topk experts are distinct).
+    """
+    t, k = topk_idx.shape
+    n = t * k
+    e_local = num_experts // num_ranks
+    flat_e = topk_idx.reshape(n).astype(jnp.int32)
+    valid = flat_e >= 0
+    key = jnp.where(valid, flat_e, num_experts)
+
+    order = jnp.argsort(key, stable=True)
+    sorted_key = key[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # occurrence index within the expert bucket / within the dst-rank bucket
+    idx_in_expert = pos - jnp.searchsorted(sorted_key, sorted_key, side="left").astype(jnp.int32)
+    sorted_dst = jnp.where(sorted_key < num_experts, sorted_key // e_local, num_ranks)
+    idx_in_dst = pos - jnp.searchsorted(sorted_dst, sorted_dst, side="left").astype(jnp.int32)
+
+    sorted_valid = sorted_key < num_experts
+    ok_sorted = sorted_valid & (idx_in_dst < pair_capacity) & (idx_in_expert < seg_capacity)
+    num_dropped = jnp.sum(sorted_valid & ~ok_sorted)
+
+    e_local_id = jnp.where(sorted_valid, sorted_key % e_local, 0)
+    dest_slot_sorted = jnp.where(
+        ok_sorted,
+        e_local_id * (num_ranks * seg_capacity) + my_rank * seg_capacity + idx_in_expert,
+        -1,
+    )
+    # combine gathers from y_back [R, E_local, seg] (flattened)
+    gather_sorted = jnp.where(
+        ok_sorted,
+        sorted_dst * (e_local * seg_capacity) + e_local_id * seg_capacity + idx_in_expert,
+        0,
+    )
+
+    # un-sort back to original (t, k) order
+    def unsort(v, fill=0):
+        return jnp.zeros(n, v.dtype).at[order].set(v)
+
+    plan = RoutingPlan(
+        dst_rank=unsort(sorted_dst),
+        send_slot=unsort(idx_in_dst),
+        dest_slot=unsort(dest_slot_sorted),
+        gather_idx=unsort(gather_sorted),
+        ok=jnp.zeros(n, bool).at[order].set(ok_sorted),
+        src_token=pos // k,
+        counts_per_expert=jnp.zeros(num_experts, jnp.int32)
+        .at[sorted_key]
+        .add(ok_sorted.astype(jnp.int32), mode="drop"),
+        num_dropped=num_dropped,
+    )
+    return plan
+
+
+def _pack_send_buffers(plan: RoutingPlan, payload: jax.Array, num_ranks: int, pair_capacity: int):
+    """Scatter per-(t,k) payload rows into [R, C, ...] send buffers."""
+    rows = payload[plan.src_token]
+    buf = jnp.zeros((num_ranks, pair_capacity) + payload.shape[1:], payload.dtype)
+    # dst_rank == R (dropped) and send_slot >= C fall off the end → mode="drop".
+    dst = jnp.where(plan.ok, plan.dst_rank, num_ranks)
+    return buf.at[dst, plan.send_slot].set(rows, mode="drop")
+
+
+def dispatch_core(
+    x: jax.Array,
+    topk_idx: jax.Array,
+    *,
+    axis_name: str,
+    num_experts: int,
+    num_ranks: int,
+    pair_capacity: int,
+    seg_capacity: int,
+    use_int8: bool,
+):
+    """Per-rank dispatch body (run inside shard_map).
+
+    Returns a dict with the receiver-side packed tensors and the combine handle:
+      - ``recv_x``      [E_local, R*seg, H]  (int8 if use_int8 else x.dtype)
+      - ``recv_scales`` [E_local, R*seg]     (float32; only if use_int8)
+      - ``recv_count``  [E_local]            valid tokens per local expert
+      - ``recv_count_matrix`` [R, E_local]   per-source counts (diagnostics / EPLB)
+      - ``num_dropped`` []                   capacity-overflow drops at this source
+      - ``handle``      DispatchHandle
+    """
+    t, hidden = x.shape
+    e_local = num_experts // num_ranks
+    my_rank = jax.lax.axis_index(axis_name)
+    plan = make_routing_plan(
+        topk_idx,
+        num_experts=num_experts,
+        num_ranks=num_ranks,
+        my_rank=my_rank,
+        pair_capacity=pair_capacity,
+        seg_capacity=seg_capacity,
+    )
+
+    if use_int8:
+        xf = x.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / INT8_MAX, 1e-12)
+        payload = saturate_int8(xf / scale[:, None])
+    else:
+        payload = x
+        scale = None
+
+    send_x = _pack_send_buffers(plan, payload, num_ranks, pair_capacity)
+    send_meta = jnp.full((num_ranks, pair_capacity), -1, jnp.int32)
+    dst = jnp.where(plan.ok, plan.dst_rank, num_ranks)
+    send_meta = send_meta.at[dst, plan.send_slot].set(plan.dest_slot, mode="drop")
+
+    a2a = lambda v: jax.lax.all_to_all(v, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    recv_payload = a2a(send_x)          # [R, C, H]
+    recv_meta = a2a(send_meta)          # [R, C]
+    counts = a2a(plan.counts_per_expert.reshape(num_ranks, e_local))  # [R, E_local]
+
+    n_slots = e_local * num_ranks * seg_capacity
+    flat_meta = recv_meta.reshape(-1)
+    packed = (
+        jnp.zeros((n_slots, hidden), payload.dtype)
+        .at[flat_meta]
+        .set(recv_payload.reshape(-1, hidden), mode="drop")
+        .reshape(e_local, num_ranks * seg_capacity, hidden)
+    )
+    out = {
+        "recv_x": packed,
+        "recv_count": counts.sum(axis=0),
+        "recv_count_matrix": counts,
+        "num_dropped": plan.num_dropped,
+        "handle": DispatchHandle(
+            gather_idx=plan.gather_idx.reshape(t, -1),
+            ok=plan.ok.reshape(t, -1),
+            recv_sort_order=None,
+            recv_valid_count=None,
+        ),
+    }
+    if use_int8:
+        send_scale = _pack_send_buffers(plan, scale[:, None], num_ranks, pair_capacity)
+        recv_scale = a2a(send_scale)  # [R, C, 1]
+        out["recv_scales"] = (
+            jnp.zeros((n_slots,), jnp.float32)
+            .at[flat_meta]
+            .set(recv_scale.reshape(-1), mode="drop")
+            .reshape(e_local, num_ranks * seg_capacity)
+        )
+    return out
+
+
+def combine_core(
+    y: jax.Array,
+    topk_weights: jax.Array,
+    handle: DispatchHandle,
+    *,
+    axis_name: str,
+    num_ranks: int,
+    seg_capacity: int,
+    out_dtype=None,
+):
+    """Per-rank combine body (run inside shard_map).
+
+    ``y``: [E_local, R*seg, H] expert outputs in the dispatch packed layout.
+    Returns [T, H] = Σ_k topk_weights[t,k] · expert_out(t, k).
+    """
+    e_local, slots, hidden = y.shape
+    assert slots == num_ranks * seg_capacity
+    out_dtype = out_dtype or y.dtype
+    # regroup slots by destination (source) rank and route back
+    y_by_rank = y.reshape(e_local, num_ranks, seg_capacity, hidden).transpose(1, 0, 2, 3)
+    y_back = jax.lax.all_to_all(
+        y_by_rank, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )  # [R, E_local, seg, H] — [d, e, i] = expert output for our (t,k) sent to (d,e,i)
+    flat = y_back.reshape(-1, hidden)
+    picked = flat[handle.gather_idx.reshape(-1)].reshape(*handle.gather_idx.shape, hidden)
+    w = jnp.where(handle.ok, topk_weights, 0.0).astype(jnp.float32)
+    combined = jnp.sum(picked.astype(jnp.float32) * w[..., None], axis=1)
+    return combined.astype(out_dtype)
+
+
+def dispatch_ragged_core(
+    x: jax.Array,
+    topk_idx: jax.Array,
+    *,
+    axis_name: str,
+    num_experts: int,
+    num_ranks: int,
+    pair_capacity: int,
+    seg_capacity: int,
+    use_int8: bool,
+):
+    """Normal-mode (prefill) dispatch: output sorted-by-expert ragged layout.
+
+    Returns dict with
+      - ``recv_x_sorted`` [R*C, H] rows grouped by local expert (rows beyond
+        ``recv_valid_count`` are zero) — feeds ``jax.lax.ragged_dot`` directly;
+      - ``recv_scales_sorted`` [R*C] (if int8);
+      - ``group_sizes`` [E_local];
+      - ``handle`` (with receiver unsort info for combine).
+
+    Equivalent role: CamMoeDispatchNormal → expandx ordered for grouped GEMM
+    (cam_moe_dispatch_normal.h:54-65), without the device→host token-count sync.
+    """
+    t, hidden = x.shape
+    e_local = num_experts // num_ranks
+    res = dispatch_core(
+        x,
+        topk_idx,
+        axis_name=axis_name,
+        num_experts=num_experts,
+        num_ranks=num_ranks,
+        pair_capacity=pair_capacity,
+        seg_capacity=seg_capacity,
+        use_int8=use_int8,
+    )
+    # Compact the per-expert padded layout into a ragged, expert-sorted matrix.
+    # Valid slots per (e, r) segment: first counts[r, e] rows of each segment.
+    counts = res["recv_count_matrix"]  # [R, E_local]
+    seg_pos = jnp.arange(seg_capacity, dtype=jnp.int32)
+    # [E_local, R, seg] mask of occupied slots
+    occ = seg_pos[None, None, :] < counts.T[:, :, None]
+    occ_flat = occ.reshape(-1)
+    # target row in the compact layout = exclusive cumsum of occupancy
+    tgt = jnp.cumsum(occ_flat.astype(jnp.int32)) - 1
+    cap = num_ranks * pair_capacity
+    tgt = jnp.where(occ_flat, jnp.minimum(tgt, cap - 1), cap)  # park invalid at cap
+    flat_x = res["recv_x"].reshape(-1, hidden)
+    sorted_x = (
+        jnp.zeros((cap, hidden), flat_x.dtype).at[tgt].set(flat_x, mode="drop")
+    )
+    group_sizes = res["recv_count"]
+    out = {
+        "recv_x_sorted": sorted_x,
+        "group_sizes": group_sizes,
+        "recv_count_matrix": counts,
+        "num_dropped": res["num_dropped"],
+        "handle": DispatchHandle(
+            gather_idx=res["handle"].gather_idx,
+            ok=res["handle"].ok,
+            recv_sort_order=tgt,
+            recv_valid_count=jnp.sum(group_sizes),
+        ),
+    }
+    if use_int8:
+        out["recv_scales_sorted"] = (
+            jnp.zeros((cap,), jnp.float32)
+            .at[tgt]
+            .set(res["recv_scales"].reshape(-1), mode="drop")
+        )
+    return out
+
+
+def combine_ragged_core(
+    y_sorted: jax.Array,
+    topk_weights: jax.Array,
+    handle: DispatchHandle,
+    *,
+    axis_name: str,
+    num_ranks: int,
+    num_local_experts: int,
+    seg_capacity: int,
+    out_dtype=None,
+):
+    """Normal-mode combine: scatter expert-sorted rows back to packed slots, then
+    reuse the gather-combine path."""
+    cap, hidden = y_sorted.shape
+    tgt = handle.recv_sort_order  # [E_local*R*seg] → row in y_sorted (or cap)
+    padded = jnp.concatenate([y_sorted, jnp.zeros((1, hidden), y_sorted.dtype)], axis=0)
+    y_packed = padded[jnp.minimum(tgt, cap)].reshape(
+        num_local_experts, num_ranks * seg_capacity, hidden
+    )
+    return combine_core(
+        y_packed,
+        topk_weights,
+        handle,
+        axis_name=axis_name,
+        num_ranks=num_ranks,
+        seg_capacity=seg_capacity,
+        out_dtype=out_dtype,
+    )

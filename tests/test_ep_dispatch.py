@@ -1,0 +1,160 @@
+"""EP dispatch/combine tests on an 8-device virtual CPU mesh.
+
+Methodology mirrors the reference's distributed tests (tests/python/deepep/
+test_intranode.py / test_low_latency.py): constructed payloads whose rows encode the
+source rank, per-rank/per-expert count checks against torch-free golden math, -1 topk
+drops, and a full dispatch→expert-compute→combine roundtrip vs a dense golden MoE with
+``calc_diff``-style bounds (reference test_low_latency.py:177-179).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_npu_tpu.config import EPConfig
+from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+
+H = 64  # hidden
+T = 16  # tokens per rank
+K = 4   # topk
+E = 16  # experts
+
+
+def _make_inputs(rng, num_ranks, drop_prob=0.0):
+    n = num_ranks * T
+    x = rng.standard_normal((n, H)).astype(np.float32)
+    idx = np.stack([rng.choice(E, size=K, replace=False) for _ in range(n)]).astype(np.int32)
+    if drop_prob:
+        drop = rng.random((n, K)) < drop_prob
+        idx = np.where(drop, -1, idx)
+    w = rng.random((n, K)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(idx), jnp.asarray(w)
+
+
+def _golden_moe(x, idx, w, expert_fn):
+    """Dense golden: combined[t] = Σ_k w[t,k] · expert_fn(e)(x[t])."""
+    out = np.zeros_like(np.asarray(x, np.float32))
+    xn, idxn, wn = map(np.asarray, (x, idx, w))
+    for t in range(xn.shape[0]):
+        for k in range(idxn.shape[1]):
+            e = idxn[t, k]
+            if e >= 0:
+                out[t] += wn[t, k] * expert_fn(e, xn[t])
+    return out
+
+
+@pytest.fixture
+def buf(mesh8):
+    return Buffer(mesh8, "ep", num_experts=E, config=EPConfig(
+        num_max_dispatch_tokens_per_rank=T, use_int8_dispatch=False))
+
+
+def test_dispatch_layout(mesh8, rng, buf):
+    x, idx, w = _make_inputs(rng, 8)
+    per_rank, per_expert, in_rank = buf.get_dispatch_layout(idx)
+    idxn = np.asarray(idx).reshape(8, T, K)
+    for e in range(E):
+        assert per_expert[:, e].sum() == (idxn == e).sum()
+    # per-rank counts: tokens with ≥1 expert on that rank
+    el = E // 8
+    for r in range(8):
+        for d in range(8):
+            expected = sum(
+                1 for t in range(T) if ((idxn[r, t] // el) == d).any()
+            )
+            assert int(per_rank[r, d]) == expected
+
+
+@pytest.mark.parametrize("drop_prob", [0.0, 0.3])
+def test_low_latency_roundtrip(mesh8, rng, buf, drop_prob):
+    """dispatch → per-expert scale → combine equals dense golden."""
+    x, idx, w = _make_inputs(rng, 8, drop_prob)
+    recv_x, _, recv_count, handle, stats = buf.low_latency_dispatch(x, idx)
+    assert int(stats["num_dropped"].sum()) == 0
+
+    # counts match the layout op
+    _, per_expert, _ = buf.get_dispatch_layout(idx)
+    np.testing.assert_array_equal(
+        np.asarray(recv_count).reshape(-1), np.asarray(per_expert.sum(axis=0))
+    )
+
+    # expert compute: y = (global_expert_id + 1) * x, applied in packed layout
+    el = E // 8
+    gx = np.asarray(recv_x, np.float32).reshape(8, el, -1, H)
+    eid = (np.arange(8)[:, None] * el + np.arange(el)[None, :] + 1).astype(np.float32)
+    y = jnp.asarray((gx * eid[:, :, None, None]).reshape(8 * el, -1, H), jnp.float32)
+
+    combined = buf.low_latency_combine(y, w, handle, out_dtype=jnp.float32)
+    golden = _golden_moe(x, idx, w, lambda e, row: (e + 1.0) * row)
+    np.testing.assert_allclose(np.asarray(combined), golden, rtol=1e-4, atol=1e-4)
+
+
+def test_low_latency_packed_layout_rows_from_rank(mesh8, rng, buf):
+    """Rows landing in segment r of any expert must come from source rank r
+    (reference check_data pattern, test_intranode.py:240-247)."""
+    n = 8 * T
+    x = jnp.asarray(np.repeat(np.arange(8), T)[:, None] * np.ones((1, H)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([np.random.default_rng(i).choice(E, K, replace=False) for i in range(n)]),
+        jnp.int32,
+    )
+    recv_x, _, _, handle, _ = buf.low_latency_dispatch(x, idx)
+    gx = np.asarray(recv_x).reshape(8 * (E // 8), 8, T, H)  # [experts, src_rank, seg, H]
+    for r in range(8):
+        seg = gx[:, r]
+        nz = seg[np.abs(seg).sum(-1) > 0]
+        assert nz.size == 0 or (nz == r).all(), f"segment {r} contains foreign rows"
+
+
+def test_int8_dispatch_accuracy(mesh8, rng):
+    cfg = EPConfig(num_max_dispatch_tokens_per_rank=T, use_int8_dispatch=True)
+    buf = Buffer(mesh8, "ep", num_experts=E, config=cfg)
+    x, idx, w = _make_inputs(rng, 8)
+    recv_x, recv_scales, recv_count, handle, _ = buf.low_latency_dispatch(x, idx)
+    assert recv_x.dtype == jnp.int8
+    # dequantize and combine with identity experts
+    deq = recv_x.astype(jnp.float32) * recv_scales[..., None]
+    combined = buf.low_latency_combine(deq, w, handle, out_dtype=jnp.float32)
+    golden = _golden_moe(x, idx, w, lambda e, row: row)
+    # reference int8 bar: calc_diff < 1e-4 (test_low_latency.py:177) ≈ relative l2
+    num = np.linalg.norm(np.asarray(combined) - golden)
+    den = np.linalg.norm(golden)
+    assert num / den < 2e-2  # int8 payload error budget for random normal data
+
+
+def test_normal_dispatch_ragged_roundtrip(mesh8, rng, buf):
+    x, idx, w = _make_inputs(rng, 8, drop_prob=0.1)
+    xs, _, gs, handle, stats = buf.dispatch(x, idx)
+    assert int(stats["num_dropped"].sum()) == 0
+    # group sizes match layout
+    _, per_expert, _ = buf.get_dispatch_layout(idx)
+    np.testing.assert_array_equal(
+        np.asarray(gs).reshape(-1), np.asarray(per_expert.sum(axis=0))
+    )
+    # expert compute in ragged layout: scale rows by (global expert id + 1)
+    el = E // 8
+    xs_n = np.asarray(xs, np.float32)  # [8, cap, H]
+    gs_n = np.asarray(gs)  # [8, el]
+    ys = np.zeros_like(xs_n)
+    for r in range(8):
+        off = 0
+        for e in range(el):
+            g = int(gs_n[r, e])
+            ys[r, off : off + g] = xs_n[r, off : off + g] * (r * el + e + 1)
+            off += g
+    combined = buf.combine(jnp.asarray(ys), w, handle, out_dtype=jnp.float32)
+    golden = _golden_moe(x, idx, w, lambda e, row: (e + 1.0) * row)
+    np.testing.assert_allclose(np.asarray(combined), golden, rtol=1e-4, atol=1e-4)
+
+
+def test_capacity_drop_counted(mesh8, rng):
+    cfg = EPConfig(num_max_dispatch_tokens_per_rank=T, capacity_factor=0.1,
+                   use_int8_dispatch=False)
+    buf = Buffer(mesh8, "ep", num_experts=E, config=cfg)
+    # all tokens pick experts of rank 0 → massive overflow toward rank 0
+    n = 8 * T
+    x = jnp.ones((n, H), jnp.float32)
+    idx = jnp.asarray(np.tile(np.arange(K), (n, 1)), jnp.int32)  # experts 0..3 (rank 0/1)
+    _, _, _, _, stats = buf.low_latency_dispatch(x, idx)
+    assert int(np.asarray(stats["num_dropped"]).sum()) > 0
