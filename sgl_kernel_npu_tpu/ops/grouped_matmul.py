@@ -1,0 +1,294 @@
+"""Grouped (ragged) matrix multiply for MoE expert GEMMs — Pallas TPU kernel.
+
+Capability parity with the reference's embedded CATLASS grouped-GEMM library
+(csrc/deepep/ops/utils/op_kernel/operator/catlass/, ~14.5k LoC of AscendC tile
+templates: ``GroupedMatmulSliceMPerTokenDequant*`` with dequant / dequant+SwiGLU+quant
+epilogues, SURVEY.md §2.1) — rebuilt the TPU way:
+
+- groups are ragged on the M dim (``group_sizes`` is a *traced* array — no host
+  sync); a megablox-style tile schedule assigns grid steps to (group, m-tile)
+  pairs via scalar-prefetched metadata computed on device;
+- the MXU does the inner product at int8×int8→int32 (W8A8) or bf16×bf16→f32;
+- epilogues fuse per-token × per-channel dequantization and optionally SwiGLU
+  (gate ‖ up column blocks of the same tile), so GEMM1 of a MoE layer writes
+  activations straight in their final form;
+- an XLA ``jax.lax.ragged_dot`` wrapper (:func:`grouped_matmul_ref`) is both the
+  golden reference and the fallback path.
+
+Weight layout for the SwiGLU epilogue: pack gate/up columns block-interleaved with
+:func:`pack_gmm1_weights` so each N tile holds ``[gate_cols | up_cols]`` of the same
+intermediate slice (a TPU-friendly answer to the reference's per-row SwiGLU epilogue).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sgl_kernel_npu_tpu.utils.common import cdiv, interpret_default
+
+Epilogue = Literal["none", "dequant", "dequant_swiglu"]
+
+
+# ---------------------------------------------------------------------------
+# XLA reference / fallback
+# ---------------------------------------------------------------------------
+
+def grouped_matmul_ref(x: jax.Array, w: jax.Array, group_sizes: jax.Array) -> jax.Array:
+    """``out[i] = x[i] @ w[g(i)]`` with rows grouped contiguously (golden)."""
+    return jax.lax.ragged_dot(
+        x, w, group_sizes.astype(jnp.int32), preferred_element_type=jnp.float32
+    )
+
+
+def gmm_dequant_ref(x_q, w_q, group_sizes, scale_x, scale_w):
+    """Golden W8A8 grouped matmul with per-token × per-channel dequant."""
+    acc = jax.lax.ragged_dot(
+        x_q.astype(jnp.int8),
+        w_q.astype(jnp.int8),
+        group_sizes.astype(jnp.int32),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    g_of_row = _row_groups(group_sizes, x_q.shape[0])
+    return acc * scale_x[:, None] * scale_w[g_of_row]
+
+
+def _row_groups(group_sizes: jax.Array, num_rows: int) -> jax.Array:
+    """Group id per row (rows past the total get the last group)."""
+    ends = jnp.cumsum(group_sizes)
+    return jnp.searchsorted(ends, jnp.arange(num_rows), side="right").clip(
+        0, group_sizes.shape[0] - 1
+    )
+
+
+def swiglu_block(acc: jax.Array) -> jax.Array:
+    """SwiGLU over a [rows, gate‖up] tile: silu(gate) * up."""
+    half = acc.shape[-1] // 2
+    gate, up = acc[:, :half], acc[:, half:]
+    return gate * jax.nn.sigmoid(gate) * up
+
+
+def pack_gmm1_weights(w_gate: jax.Array, w_up: jax.Array, tn: int) -> jax.Array:
+    """Interleave gate/up column *blocks*: each tn-wide slab = [gate tn/2 | up tn/2].
+
+    ``w_gate``/``w_up``: [G, K, I] → packed [G, K, 2I]; with this layout a
+    ``dequant_swiglu`` N tile computes a contiguous intermediate slice.
+    """
+    g, k, i = w_gate.shape
+    half = tn // 2
+    assert i % half == 0, (i, tn)
+    blocks = i // half
+    wg = w_gate.reshape(g, k, blocks, half)
+    wu = w_up.reshape(g, k, blocks, half)
+    return jnp.stack([wg, wu], axis=3).reshape(g, k, 2 * i)
+
+
+def pack_gmm1_scales(s_gate: jax.Array, s_up: jax.Array, tn: int) -> jax.Array:
+    """Per-channel weight scales packed to match :func:`pack_gmm1_weights`."""
+    g, i = s_gate.shape
+    half = tn // 2
+    blocks = i // half
+    return jnp.stack(
+        [s_gate.reshape(g, blocks, half), s_up.reshape(g, blocks, half)], axis=2
+    ).reshape(g, 2 * i)
+
+
+# ---------------------------------------------------------------------------
+# tile schedule metadata (device-computed, scalar-prefetched)
+# ---------------------------------------------------------------------------
+
+def make_gmm_metadata(group_sizes: jax.Array, m: int, tm: int):
+    """Map grid steps to (group, m-tile) pairs; ragged-safe and host-sync-free.
+
+    Returns ``(group_ids, m_tile_ids, group_offsets, num_tiles)`` where the first
+    three are device arrays (``num_tiles`` static).  Padding steps re-visit tail
+    tiles so every output tile is written at least once (zero-fill guarantee).
+    """
+    g = group_sizes.shape[0]
+    m_tiles = cdiv(m, tm)
+    num_tiles = m_tiles + g  # worst case: every group adds one boundary tile
+
+    sizes = group_sizes.astype(jnp.int32)
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(sizes)])
+    t_first = offsets[:-1] // tm
+    t_last = jnp.maximum((offsets[1:] + tm - 1) // tm - 1, t_first)
+    tiles_per_group = jnp.where(sizes > 0, t_last - t_first + 1, 0)
+
+    group_ids = jnp.repeat(
+        jnp.arange(g, dtype=jnp.int32), tiles_per_group, total_repeat_length=num_tiles
+    )
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(tiles_per_group)])
+    pos = jnp.arange(num_tiles, dtype=jnp.int32)
+    occ = pos - starts[group_ids]
+    m_tile = t_first[group_ids] + occ
+
+    # padding steps (pos >= total actual tiles) sweep the untouched tail tiles
+    actual = starts[-1]
+    last_tile = jnp.max(jnp.where(sizes > 0, t_last, -1))
+    pad_tile = last_tile + 1 + (pos - actual)
+    is_pad = pos >= actual
+    m_tile = jnp.where(is_pad, pad_tile, m_tile).clip(0, m_tiles - 1)
+    group_ids = jnp.where(is_pad, g - 1, group_ids)
+    return group_ids, m_tile, offsets, num_tiles
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _gmm_kernel(
+    group_ids_ref,
+    m_tiles_ref,
+    offsets_ref,
+    x_ref,
+    w_ref,
+    sx_ref,
+    sw_ref,
+    o_ref,
+    acc_ref,
+    *,
+    tm: int,
+    epilogue: Epilogue,
+):
+    i = pl.program_id(0)
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if x_ref.dtype == jnp.int8:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...],
+            w_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...],
+            w_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k == nk - 1)
+    def _epilogue():
+        g = group_ids_ref[i]
+        m_tile = m_tiles_ref[i]
+        start, end = offsets_ref[g], offsets_ref[g + 1]
+        rows = m_tile * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+        in_group = (rows >= start) & (rows < end)
+
+        result = acc_ref[...]
+        if epilogue in ("dequant", "dequant_swiglu"):
+            result = result * sx_ref[...] * sw_ref[...]
+        if epilogue == "dequant_swiglu":
+            result = swiglu_block(result)
+
+        first_visit = jnp.logical_or(i == 0, m_tiles_ref[jnp.maximum(i - 1, 0)] != m_tile)
+        prev = jnp.where(first_visit, jnp.zeros_like(o_ref[...]), o_ref[...])
+        o_ref[...] = jnp.where(in_group, result.astype(o_ref.dtype), prev)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("epilogue", "tm", "tk", "tn", "out_dtype", "interpret"),
+)
+def grouped_matmul(
+    x: jax.Array,
+    w: jax.Array,
+    group_sizes: jax.Array,
+    scale_x: jax.Array | None = None,
+    scale_w: jax.Array | None = None,
+    *,
+    epilogue: Epilogue = "none",
+    tm: int = 128,
+    tk: int = 256,
+    tn: int = 256,
+    out_dtype=None,
+    interpret=None,
+) -> jax.Array:
+    """Megablox-style grouped matmul with fused epilogues.
+
+    Args:
+        x: ``[S, K]`` rows grouped contiguously by expert (int8 or bf16/f32).
+        w: ``[G, K, N]`` expert weights (int8 for dequant epilogues).
+        group_sizes: ``[G]`` rows per group (traced; rows beyond the total are
+            zero-filled in the output).
+        scale_x: ``[S]`` per-token scales (dequant epilogues).
+        scale_w: ``[G, N]`` per-channel weight scales.
+        epilogue: ``none`` | ``dequant`` | ``dequant_swiglu`` (the latter expects
+            gate/up packed by :func:`pack_gmm1_weights` and halves the output width).
+
+    Returns:
+        ``[S, N]`` (or ``[S, N/2]`` for the SwiGLU epilogue).
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    s, kdim = x.shape
+    g, _, n = w.shape
+    tm = min(tm, s)
+    tk = min(tk, kdim)
+    tn = min(tn, n)
+    assert kdim % tk == 0 and n % tn == 0, (kdim, tk, n, tn)
+    if epilogue == "dequant_swiglu":
+        assert tn % 2 == 0
+        n_out = n // 2
+        tn_out = tn // 2
+    else:
+        n_out = n
+        tn_out = tn
+    out_dtype = out_dtype or (jnp.bfloat16 if epilogue != "none" else jnp.float32)
+
+    group_ids, m_tiles, offsets, num_tiles = make_gmm_metadata(group_sizes, s, tm)
+
+    if scale_x is None:
+        scale_x = jnp.ones((s,), jnp.float32)
+    if scale_w is None:
+        scale_w = jnp.ones((g, n), jnp.float32)
+
+    grid = (num_tiles, n // tn, kdim // tk)
+
+    kernel = functools.partial(_gmm_kernel, tm=tm, epilogue=epilogue)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tm, tk), lambda i, nn, kk, gi, mt, off: (mt[i], kk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tk, tn),
+                lambda i, nn, kk, gi, mt, off: (gi[i], kk, nn),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tm, 1), lambda i, nn, kk, gi, mt, off: (mt[i], 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tn), lambda i, nn, kk, gi, mt, off: (gi[i], nn), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn_out), lambda i, nn, kk, gi, mt, off: (mt[i], nn), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, n_out), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * kdim * n,
+            bytes_accessed=s * kdim + g * kdim * n + s * n_out,
+            transcendentals=s * n_out if epilogue == "dequant_swiglu" else 0,
+        ),
+    )(group_ids, m_tiles, offsets, x, w, scale_x.reshape(s, 1), scale_w)

@@ -67,7 +67,11 @@ class Buffer:
         return tuple(NamedSharding(self.mesh, s) for s in specs)
 
     def _smap(self, fn, in_specs, out_specs):
-        return jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs)
+        # check_vma=False: Pallas calls inside the body can't declare varying-mesh
+        # annotations on their out_shapes yet.
+        return jax.shard_map(
+            fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
 
     def _capacities(self, num_tokens_per_rank: int, topk: int):
         seg = max(self.config.num_max_dispatch_tokens_per_rank, num_tokens_per_rank)
@@ -276,4 +280,54 @@ class Buffer:
         p = P(self.axis_name)
         return self._smap(body, in_specs=(p,) * 5, out_specs=p)(
             y_sorted, topk_weights, handle.gather_idx, handle.ok, handle.recv_sort_order
+        )
+
+    # -- fused MoE -------------------------------------------------------------------
+
+    def fused_deep_moe(
+        self,
+        x: jax.Array,
+        topk_idx: jax.Array,
+        topk_weights: jax.Array,
+        w1: jax.Array,
+        w1_scale: jax.Array,
+        w2: jax.Array,
+        w2_scale: jax.Array,
+        *,
+        gmm_tiles: tuple[int, int, int] = (128, 256, 256),
+    ):
+        """Fused dispatch→GMM1→SwiGLU→requant→GMM2→combine (reference buffer.py:852).
+
+        Weights are global arrays sharded on the expert dim: ``w1 [E, H, 2I]`` int8
+        packed (see parallel/fused_moe.py), ``w2 [E, I, H]`` int8, scales float32.
+
+        Returns ``(combined [R*T, H] bf16, recv_count [R, E_local], num_dropped [R])``.
+        """
+        from sgl_kernel_npu_tpu.parallel import fused_moe
+
+        t = x.shape[0] // self.group_size
+        k = topk_idx.shape[1]
+        pair, seg = self._capacities(t, k)
+
+        def body(xs, idx, w, w1_, s1_, w2_, s2_):
+            combined, gs, dropped = fused_moe.fused_deep_moe_rank(
+                xs,
+                idx,
+                w,
+                w1_,
+                s1_,
+                w2_,
+                s2_,
+                axis_name=self.axis_name,
+                num_experts=self.num_experts,
+                num_ranks=self.group_size,
+                pair_capacity=pair,
+                seg_capacity=seg,
+                gmm_tiles=gmm_tiles,
+            )
+            return combined, gs[None], dropped[None]
+
+        p = P(self.axis_name)
+        return self._smap(body, in_specs=(p,) * 7, out_specs=(p, p, p))(
+            x, topk_idx, topk_weights, w1, w1_scale, w2, w2_scale
         )

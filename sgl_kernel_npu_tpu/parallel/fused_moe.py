@@ -1,0 +1,118 @@
+"""Fused expert-parallel MoE: dispatch → GMM1 → SwiGLU → requant → GMM2 → combine.
+
+Equivalent of the reference ``FusedDeepMoe`` single kernel (csrc/deepep/ops/op_kernel/
+fused_deep_moe.h:60-120; Python entry buffer.py:852): INT8 dispatch, W8A8 grouped
+GEMM1 with per-token dequant + SwiGLU + requant epilogue, W8A8 grouped GEMM2, BF16
+combine.
+
+The reference fuses everything into one device kernel with callback-driven
+comm/compute overlap (CATLASS ``MmadAtlasA2PreloadAsyncWithCallback``).  On TPU the
+equivalent overlap comes from XLA's async collective scheduling: the ``all_to_all``
+launches are asynchronous and the Pallas GEMMs are independent per chunk, so the
+compiler pipelines them.  The hot math (both GEMMs + SwiGLU + both quantizations)
+runs inside two Pallas kernels at int8 MXU throughput.
+
+Weight convention (per rank, inside shard_map):
+    w1: [E_local, H, 2I] int8, gate/up column-block-packed (pack_gmm1_weights)
+    w1_scale: [E_local, 2I] float32 per-channel (pack_gmm1_scales)
+    w2: [E_local, I, H] int8
+    w2_scale: [E_local, H] float32
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sgl_kernel_npu_tpu.ops.grouped_matmul import grouped_matmul
+from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
+from sgl_kernel_npu_tpu.parallel import ep_core
+
+
+def fused_deep_moe_rank(
+    x: jax.Array,
+    topk_idx: jax.Array,
+    topk_weights: jax.Array,
+    w1: jax.Array,
+    w1_scale: jax.Array,
+    w2: jax.Array,
+    w2_scale: jax.Array,
+    *,
+    axis_name: str,
+    num_experts: int,
+    num_ranks: int,
+    pair_capacity: int,
+    seg_capacity: int,
+    gmm_tiles: tuple[int, int, int] = (128, 256, 256),
+):
+    """Per-rank fused MoE body (run inside shard_map).
+
+    Returns ``(combined [T, H] bf16, recv_count [E_local], num_dropped [])``.
+    """
+    t, hidden = x.shape
+    e_local = num_experts // num_ranks
+    tm, tk, tn = gmm_tiles
+
+    d = ep_core.dispatch_ragged_core(
+        x,
+        topk_idx,
+        axis_name=axis_name,
+        num_experts=num_experts,
+        num_ranks=num_ranks,
+        pair_capacity=pair_capacity,
+        seg_capacity=seg_capacity,
+        use_int8=True,
+    )
+    xs = d["recv_x_sorted"]            # [cap, H] int8
+    sx = d["recv_scales_sorted"]       # [cap]
+    gs = d["group_sizes"]              # [E_local]
+
+    h1 = grouped_matmul(
+        xs, w1, gs, sx, w1_scale,
+        epilogue="dequant_swiglu", tm=tm, tk=tk, tn=tn, out_dtype=jnp.float32,
+    )  # [cap, I]
+
+    # per-token dynamic requant (reference: SwiGLU+re-quant epilogue, fused_deep_moe.h)
+    s2 = jnp.maximum(jnp.max(jnp.abs(h1), axis=-1) / INT8_MAX, 1e-12)
+    q2 = saturate_int8(h1 / s2[:, None])
+
+    y = grouped_matmul(
+        q2, w2, gs, s2, w2_scale,
+        epilogue="dequant", tm=tm, tk=tk, tn=tn, out_dtype=jnp.bfloat16,
+    )  # [cap, H]
+
+    combined = ep_core.combine_ragged_core(
+        y,
+        topk_weights,
+        d["handle"],
+        axis_name=axis_name,
+        num_ranks=num_ranks,
+        num_local_experts=e_local,
+        seg_capacity=seg_capacity,
+        out_dtype=jnp.bfloat16,
+    )
+    return combined, gs, d["num_dropped"]
+
+
+def quantize_expert_weights(w_gate, w_up, w_down, tn: int = 256):
+    """Quantize fp expert weights to the fused-MoE W8A8 layout.
+
+    Args: ``w_gate``/``w_up``: [E, H, I]; ``w_down``: [E, I, H] (float).
+    Returns ``(w1 int8 [E, H, 2I], w1_scale [E, 2I], w2 int8 [E, I, H],
+    w2_scale [E, H])``.
+    """
+    from sgl_kernel_npu_tpu.ops.grouped_matmul import pack_gmm1_scales, pack_gmm1_weights
+
+    def chan_quant(w):  # per-output-channel symmetric
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / INT8_MAX, 1e-12)  # [E, N]
+        q = saturate_int8(w / s[:, None, :])
+        return q, s
+
+    qg, sg = chan_quant(w_gate.astype(jnp.float32))
+    qu, su = chan_quant(w_up.astype(jnp.float32))
+    qd, sd = chan_quant(w_down.astype(jnp.float32))
+    w1 = pack_gmm1_weights(qg, qu, tn)
+    s1 = pack_gmm1_scales(sg, su, tn)
+    return w1, s1, qd, sd

@@ -1,0 +1,60 @@
+"""Fused MoE vs unfused baseline (reference test_fused_deep_moe.py:155-216 pattern)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgl_kernel_npu_tpu.config import EPConfig
+from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+from sgl_kernel_npu_tpu.parallel.fused_moe import quantize_expert_weights
+
+E, H, I, K, T = 16, 256, 256, 4, 16
+TN = 128
+
+
+def _dense_moe_fp32(x, idx, w, wg, wu, wd):
+    """Golden dense fp32 MoE."""
+    out = np.zeros_like(x)
+    for t in range(x.shape[0]):
+        for k in range(idx.shape[1]):
+            e = int(idx[t, k])
+            if e < 0:
+                continue
+            h = x[t] @ wg[e], x[t] @ wu[e]
+            act = h[0] * (1 / (1 + np.exp(-h[0]))) * h[1]
+            out[t] += w[t, k] * (act @ wd[e])
+    return out
+
+
+def test_fused_deep_moe_vs_golden(mesh8, rng):
+    n = 8 * T
+    x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(E, K, replace=False) for _ in range(n)]), jnp.int32
+    )
+    w = jnp.asarray(rng.random((n, K)), jnp.float32)
+    wg = (rng.standard_normal((E, H, I)) * 0.05).astype(np.float32)
+    wu = (rng.standard_normal((E, H, I)) * 0.05).astype(np.float32)
+    wd = (rng.standard_normal((E, I, H)) * 0.05).astype(np.float32)
+
+    w1, s1, w2, s2 = quantize_expert_weights(
+        jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd), tn=TN
+    )
+    buf = Buffer(mesh8, "ep", num_experts=E, config=EPConfig(
+        num_max_dispatch_tokens_per_rank=T))
+
+    combined, recv_count, dropped = buf.fused_deep_moe(
+        x, idx, w, w1, s1, w2, s2, gmm_tiles=(64, 128, TN)
+    )
+    assert int(np.asarray(dropped).sum()) == 0
+    golden = _dense_moe_fp32(np.asarray(x), np.asarray(idx), np.asarray(w), wg, wu, wd)
+
+    got = np.asarray(combined, np.float32)
+    # avg relative diff bound in the spirit of the reference's 4e-4 (which compares
+    # int8-vs-int8); ours compares against fp32 so the budget is the int8 error.
+    denom = np.abs(golden).mean() + 1e-6
+    avg_diff = np.abs(got - golden).mean() / denom
+    assert avg_diff < 0.1, avg_diff
+    # correlation must be essentially 1
+    c = np.corrcoef(got.ravel(), golden.ravel())[0, 1]
+    assert c > 0.999, c

@@ -1,0 +1,97 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_npu_tpu.ops import grouped_matmul as gm
+from sgl_kernel_npu_tpu.ops.quant import quant_per_token_ref
+
+
+def _groups(rng, g, total):
+    """Random group sizes summing to ≤ total (leaves a zero tail)."""
+    sizes = rng.multinomial(total - 32, np.ones(g) / g)
+    return sizes.astype(np.int32)
+
+
+@pytest.mark.parametrize("g,s,k,n", [(4, 256, 128, 128), (8, 512, 256, 256)])
+def test_gmm_bf16_matches_ragged_dot(rng, g, s, k, n):
+    sizes = _groups(rng, g, s)
+    x = jnp.asarray(rng.standard_normal((s, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((g, k, n)) * 0.1, jnp.float32)
+    gs = jnp.asarray(sizes)
+    got = gm.grouped_matmul(x, w, gs, tm=64, tk=128, tn=128)
+    want = gm.grouped_matmul_ref(x, w, gs)
+    total = int(sizes.sum())
+    np.testing.assert_allclose(
+        np.asarray(got[:total]), np.asarray(want[:total]), rtol=2e-2, atol=2e-2
+    )
+    # rows past the ragged total are zero-filled
+    assert np.all(np.asarray(got[total:]) == 0)
+
+
+def test_gmm_handles_empty_groups(rng):
+    g, s, k, n = 6, 192, 128, 128
+    sizes = np.array([64, 0, 50, 0, 0, 14], np.int32)
+    x = jnp.asarray(rng.standard_normal((s, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((g, k, n)) * 0.1, jnp.float32)
+    gs = jnp.asarray(sizes)
+    got = gm.grouped_matmul(x, w, gs, tm=64, tk=128, tn=128)
+    want = gm.grouped_matmul_ref(x, w, gs)
+    total = int(sizes.sum())
+    np.testing.assert_allclose(
+        np.asarray(got[:total]), np.asarray(want[:total]), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_gmm_int8_dequant(rng):
+    g, s, k, n = 4, 256, 128, 128
+    sizes = _groups(rng, g, s)
+    xf = rng.standard_normal((s, k)).astype(np.float32)
+    wf = (rng.standard_normal((g, k, n)) * 0.05).astype(np.float32)
+    x_q, sx = quant_per_token_ref(jnp.asarray(xf))
+    # per-channel symmetric weight quant
+    sw = np.abs(wf).max(axis=1) / 127.0  # [g, n]
+    w_q = np.clip(np.round(wf / sw[:, None, :]), -128, 127).astype(np.int8)
+    gs = jnp.asarray(sizes)
+    got = gm.grouped_matmul(
+        x_q, jnp.asarray(w_q), gs, sx, jnp.asarray(sw), epilogue="dequant",
+        tm=64, tk=128, tn=128, out_dtype=jnp.float32,
+    )
+    want = gm.gmm_dequant_ref(x_q, jnp.asarray(w_q), gs, sx, jnp.asarray(sw))
+    total = int(sizes.sum())
+    np.testing.assert_allclose(
+        np.asarray(got[:total]), np.asarray(want[:total]), rtol=1e-3, atol=1e-3
+    )
+    # and dequantized result ≈ the fp32 matmul
+    dense = gm.grouped_matmul_ref(jnp.asarray(xf), jnp.asarray(wf), gs)
+    err = np.abs(np.asarray(got[:total]) - np.asarray(dense[:total]))
+    assert err.mean() < 0.05 * np.abs(np.asarray(dense[:total])).mean() + 1e-3
+
+
+def test_gmm_dequant_swiglu(rng):
+    g, s, k, i = 4, 128, 128, 256
+    tn = 128
+    sizes = _groups(rng, g, s)
+    xf = rng.standard_normal((s, k)).astype(np.float32)
+    wg = (rng.standard_normal((g, k, i)) * 0.05).astype(np.float32)
+    wu = (rng.standard_normal((g, k, i)) * 0.05).astype(np.float32)
+    x_q, sx = quant_per_token_ref(jnp.asarray(xf))
+
+    sg = np.abs(wg).max(axis=1) / 127.0
+    su = np.abs(wu).max(axis=1) / 127.0
+    wg_q = np.clip(np.round(wg / sg[:, None, :]), -128, 127).astype(np.int8)
+    wu_q = np.clip(np.round(wu / su[:, None, :]), -128, 127).astype(np.int8)
+
+    w_packed = gm.pack_gmm1_weights(jnp.asarray(wg_q), jnp.asarray(wu_q), tn)
+    s_packed = gm.pack_gmm1_scales(jnp.asarray(sg), jnp.asarray(su), tn)
+    gs = jnp.asarray(sizes)
+    got = gm.grouped_matmul(
+        x_q, w_packed, gs, sx, s_packed, epilogue="dequant_swiglu",
+        tm=64, tk=128, tn=tn, out_dtype=jnp.float32,
+    )
+    assert got.shape == (s, i)
+    # golden: dequant gmm for gate and up separately, then swiglu
+    gate = gm.gmm_dequant_ref(x_q, jnp.asarray(wg_q), gs, sx, jnp.asarray(sg))
+    up = gm.gmm_dequant_ref(x_q, jnp.asarray(wu_q), gs, sx, jnp.asarray(su))
+    want = np.asarray(gate) * (1 / (1 + np.exp(-np.asarray(gate)))) * np.asarray(up)
+    total = int(sizes.sum())
+    np.testing.assert_allclose(np.asarray(got[:total]), want[:total], rtol=5e-3, atol=5e-3)
