@@ -1,0 +1,100 @@
+"""Benchmark driver: paged MLA decode attention at DeepSeek-V3 scale on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference's headline numbers are EP dispatch/combine bandwidths measured on a
+384-chip pod (BASELINE.md) — not measurable on one chip.  The single-chip headline
+here is the decode-attention KV-read bandwidth (the decode hot loop,
+reference decode_attention.py:110-152), reported with ``vs_baseline`` = speedup of
+the Pallas kernel over the XLA-naive gather+softmax implementation of the same op on
+the same chip (>1.0 = our kernel beats compiler-generated code).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bench_scanned(per_iter_fn, qs, iters: int, repeats: int = 5):
+    """Time `iters` kernel executions inside ONE jitted scan (the axon tunnel adds
+    large per-dispatch RPC latency, so host-side loops mis-measure device time).
+    Each scan step consumes a different q slice → no CSE/caching."""
+
+    @jax.jit
+    def run(qs):
+        def step(carry, q):
+            out = per_iter_fn(q)
+            return carry + out[0, 0, 0].astype(jnp.float32), None
+
+        total, _ = jax.lax.scan(step, jnp.float32(0), qs)
+        return total
+
+    jax.block_until_ready(run(qs))  # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(qs))
+        times.append(time.perf_counter() - t0)
+    return min(times) / iters
+
+
+def main():
+    from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
+
+    on_tpu = jax.default_backend() != "cpu"
+    # DeepSeek-V3 decode shapes (scaled to fit a single v5e): 128-token batch,
+    # 16 q heads (TP-sharded at full scale), latent 512 + rope 64, seq 1024.
+    b, hq, d_nope, d_rope = (128, 16, 512, 64) if on_tpu else (8, 8, 128, 64)
+    page, seq = (128, 1024) if on_tpu else (16, 64)
+    max_pages = seq // page
+    n_pages = b * max_pages + 1
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, hq, d_nope + d_rope)), jnp.bfloat16)
+    kn = jnp.asarray(rng.standard_normal((n_pages, 1, page, d_nope)), jnp.bfloat16)
+    kr = jnp.asarray(rng.standard_normal((n_pages, 1, page, d_rope)), jnp.bfloat16)
+    block_table = jnp.asarray(
+        rng.permutation(n_pages - 1)[: b * max_pages].reshape(b, max_pages) + 1, jnp.int32
+    )
+    seq_lens = jnp.full((b,), seq, jnp.int32)
+    sm_scale = float(1.0 / np.sqrt(d_nope + d_rope))
+
+    iters = 16 if on_tpu else 2
+    qs = jnp.asarray(
+        rng.standard_normal((iters, b, hq, d_nope + d_rope)), jnp.bfloat16
+    )
+    t_kernel = _bench_scanned(
+        lambda qq: da.decode_mla(qq, kn, kr, seq_lens, sm_scale, block_table,
+                                 interpret=not on_tpu),
+        qs, iters,
+    )
+    t_golden = _bench_scanned(
+        lambda qq: da.decode_mla_ref(qq, kn, kr, seq_lens, sm_scale, block_table),
+        qs, iters,
+    )
+
+    kv_bytes = b * seq * (d_nope + d_rope) * 2  # bf16 KV read per call
+    gbps = kv_bytes / t_kernel / 1e9
+    result = {
+        "metric": "mla_decode_attention_kv_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(t_golden / t_kernel, 3),
+        "detail": {
+            "batch": b, "heads": hq, "seq": seq, "page": page,
+            "kernel_us": round(t_kernel * 1e6, 1),
+            "xla_naive_us": round(t_golden * 1e6, 1),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

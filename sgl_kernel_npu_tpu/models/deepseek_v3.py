@@ -1,0 +1,327 @@
+"""DeepSeek-V3-style MLA + MoE model (flagship).
+
+The reference ships no model code — its kernels are specialized for DeepSeek-V3
+shapes (hidden 7168 / latent 512+64 / q-lora 1536, SURVEY.md L49).  This module is
+the consumer that proves the kernel set composes: an MLA (latent/absorbed) attention
+block with paged KV decode, and an expert-parallel MoE block with shared experts.
+
+Two execution paths share one weight pytree:
+- ``decode_step``  — inference: Pallas paged MLA decode attention
+  (ops/attention/decode_attention.py), INT8 fused MoE (parallel/fused_moe.py);
+- ``train_forward`` / ``train_step`` — differentiable: dense causal MLA attention,
+  BF16 EP dispatch → ``ragged_dot`` expert GEMM → combine (the *same* routing/
+  collective path as inference — all_to_all, sorts and scatters all carry
+  gradients), sharded dp×ep via shard_map + GSPMD.
+
+Weights use plain dicts (pytrees) — no framework dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sgl_kernel_npu_tpu.config import EPConfig
+from sgl_kernel_npu_tpu.ops.attention.decode_attention import decode_mla
+from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
+from sgl_kernel_npu_tpu.ops.norm import rms_norm_ref
+from sgl_kernel_npu_tpu.ops.rope import apply_rope, rope_cos_sin
+from sgl_kernel_npu_tpu.parallel import ep_core
+from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+from sgl_kernel_npu_tpu.parallel.fused_moe import quantize_expert_weights
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepSeekV3Config:
+    vocab_size: int = 512
+    hidden: int = 256
+    num_layers: int = 2
+    num_heads: int = 8
+    kv_lora_rank: int = 128      # latent dim (512 at full scale)
+    qk_rope_dim: int = 64
+    qk_nope_dim: int = 64        # 128 at full scale
+    q_lora_rank: int = 192       # 1536 at full scale
+    v_head_dim: int = 64         # 128 at full scale
+    num_experts: int = 16
+    num_shared_experts: int = 1
+    topk: int = 4
+    moe_intermediate: int = 128  # per expert (2048 at full scale)
+    rope_base: float = 10000.0
+    page_size: int = 16
+
+    @property
+    def qk_dim(self):
+        return self.qk_nope_dim + self.qk_rope_dim
+
+    @property
+    def sm_scale(self):
+        return 1.0 / (self.qk_dim ** 0.5)
+
+
+def init_weights(key: jax.Array, cfg: DeepSeekV3Config, dtype=jnp.float32) -> dict:
+    """Random-initialized weight pytree."""
+    h, lat, rope = cfg.hidden, cfg.kv_lora_rank, cfg.qk_rope_dim
+    keys = iter(jax.random.split(key, 64 * cfg.num_layers + 8))
+
+    def rnd(*shape, scale=None):
+        s = scale if scale is not None else 1.0 / (shape[0] ** 0.5)
+        return (jax.random.normal(next(keys), shape) * s).astype(dtype)
+
+    def layer():
+        return {
+            "ln1": jnp.ones((h,), dtype),
+            "wdqkv": rnd(h, lat + rope + cfg.q_lora_rank),
+            "q_ln": jnp.ones((cfg.q_lora_rank,), dtype),
+            "wuq": rnd(cfg.q_lora_rank, cfg.num_heads * cfg.qk_dim),
+            "wuk": rnd(cfg.num_heads, cfg.qk_nope_dim, lat, scale=cfg.qk_nope_dim**-0.5),
+            "kv_ln": jnp.ones((lat,), dtype),
+            "wvu": rnd(cfg.num_heads, lat, cfg.v_head_dim, scale=lat**-0.5),
+            "wo": rnd(cfg.num_heads * cfg.v_head_dim, h),
+            "ln2": jnp.ones((h,), dtype),
+            "router": rnd(h, cfg.num_experts),
+            "w_gate": rnd(cfg.num_experts, h, cfg.moe_intermediate, scale=h**-0.5),
+            "w_up": rnd(cfg.num_experts, h, cfg.moe_intermediate, scale=h**-0.5),
+            "w_down": rnd(cfg.num_experts, cfg.moe_intermediate, h, scale=cfg.moe_intermediate**-0.5),
+            "ws_gate": rnd(h, cfg.num_shared_experts * cfg.moe_intermediate),
+            "ws_up": rnd(h, cfg.num_shared_experts * cfg.moe_intermediate),
+            "ws_down": rnd(cfg.num_shared_experts * cfg.moe_intermediate, h),
+        }
+
+    return {
+        "embed": rnd(cfg.vocab_size, h, scale=0.02),
+        "layers": [layer() for _ in range(cfg.num_layers)],
+        "final_ln": jnp.ones((h,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# shared blocks
+# ---------------------------------------------------------------------------
+
+def _mla_qkv(cfg: DeepSeekV3Config, lw: dict, x: jax.Array, cos, sin):
+    """Shared MLA projections: hidden → (q_latent+rope queries, latent kv, rope k)."""
+    n = x.shape[0]
+    lat, rope = cfg.kv_lora_rank, cfg.qk_rope_dim
+    h1 = rms_norm_ref(x, lw["ln1"])
+    f = h1 @ lw["wdqkv"]                                   # [N, lat+rope+q_lora]
+    ckv, kpe, cq = f[:, :lat], f[:, lat : lat + rope], f[:, lat + rope :]
+    q = rms_norm_ref(cq, lw["q_ln"]) @ lw["wuq"]
+    q = q.reshape(n, cfg.num_heads, cfg.qk_dim)
+    qn, qpe = q[..., : cfg.qk_nope_dim], q[..., cfg.qk_nope_dim :]
+    # absorbed query: project q_nope into latent space
+    q_lat = jnp.einsum("nhk,hkl->nhl", qn, lw["wuk"])       # [N, H, lat]
+    qpe = apply_rope(qpe, cos, sin)
+    kpe = apply_rope(kpe[:, None, :], cos, sin)[:, 0]       # [N, rope]
+    k_lat = rms_norm_ref(ckv, lw["kv_ln"])                  # [N, lat]
+    return q_lat, qpe, k_lat, kpe
+
+
+def _mla_output(cfg: DeepSeekV3Config, lw: dict, attn_lat: jax.Array):
+    """Latent attention output → hidden (absorbed V up-proj + output proj)."""
+    o = jnp.einsum("nhl,hlv->nhv", attn_lat, lw["wvu"])
+    return o.reshape(o.shape[0], -1) @ lw["wo"]
+
+
+def _router(cfg: DeepSeekV3Config, lw: dict, x: jax.Array):
+    """Top-k softmax routing (normalized over the selected experts)."""
+    logits = (x @ lw["router"]).astype(jnp.float32)
+    topw, topi = jax.lax.top_k(logits, cfg.topk)
+    topw = jax.nn.softmax(topw, axis=-1)
+    return topi.astype(jnp.int32), topw
+
+
+def _shared_expert(lw: dict, x: jax.Array):
+    g = x @ lw["ws_gate"]
+    u = x @ lw["ws_up"]
+    return (g * jax.nn.sigmoid(g) * u) @ lw["ws_down"]
+
+
+# ---------------------------------------------------------------------------
+# inference: paged decode step
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(cfg: DeepSeekV3Config, num_pages: int, dtype=jnp.bfloat16):
+    return [
+        {
+            "nope": jnp.zeros((num_pages, 1, cfg.page_size, cfg.kv_lora_rank), dtype),
+            "rope": jnp.zeros((num_pages, 1, cfg.page_size, cfg.qk_rope_dim), dtype),
+        }
+        for _ in range(cfg.num_layers)
+    ]
+
+
+def decode_step(
+    cfg: DeepSeekV3Config,
+    params: dict,
+    hidden: jax.Array,          # [N, H] current-token activations
+    positions: jax.Array,       # [N]
+    kv_caches: list[dict],
+    block_table: jax.Array,     # [N, max_pages]
+    seq_lens: jax.Array,        # [N] lengths incl. current token
+    slot_mapping: jax.Array,    # [N]
+    moe_weights_q: list[tuple] | None = None,   # per-layer quantized expert weights
+    ep_buffer: Buffer | None = None,
+):
+    """One decode step over all layers (single chip unless ep_buffer is given)."""
+    cos, sin = rope_cos_sin(positions, cfg.qk_rope_dim)
+    x = hidden
+    new_caches = []
+    for li, lw in enumerate(params["layers"]):
+        q_lat, qpe, k_lat, kpe = _mla_qkv(cfg, lw, x, cos, sin)
+        cache = kv_caches[li]
+        cache_n = reshape_and_cache(k_lat[:, None, :].astype(cache["nope"].dtype), cache["nope"], slot_mapping)
+        cache_r = reshape_and_cache(kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping)
+        new_caches.append({"nope": cache_n, "rope": cache_r})
+        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_n.dtype)
+        attn = decode_mla(q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table)
+        x = x + _mla_output(cfg, lw, attn.astype(jnp.float32))
+
+        h2 = rms_norm_ref(x, lw["ln2"])
+        topk_idx, topk_w = _router(cfg, lw, h2)
+        if ep_buffer is not None and moe_weights_q is not None:
+            w1, s1, w2, s2 = moe_weights_q[li]
+            moe_out, _, _ = ep_buffer.fused_deep_moe(
+                h2.astype(jnp.bfloat16), topk_idx, topk_w, w1, s1, w2, s2
+            )
+            moe_out = moe_out.astype(x.dtype)
+        else:
+            moe_out = _dense_moe(cfg, lw, h2, topk_idx, topk_w)
+        x = x + moe_out + _shared_expert(lw, h2)
+    return x, new_caches
+
+
+def _dense_moe(cfg, lw, x, topk_idx, topk_w):
+    """Single-chip MoE via one-hot combine (small shapes / EP=1 fallback)."""
+    gate = jnp.einsum("nh,ehi->nei", x, lw["w_gate"])
+    up = jnp.einsum("nh,ehi->nei", x, lw["w_up"])
+    act = gate * jax.nn.sigmoid(gate) * up
+    y = jnp.einsum("nei,eih->neh", act, lw["w_down"])     # [N, E, H]
+    onehot = jax.nn.one_hot(topk_idx, cfg.num_experts, dtype=x.dtype)  # [N, K, E]
+    w = (topk_w[..., None] * onehot).sum(axis=1)          # [N, E]
+    return jnp.einsum("ne,neh->nh", w, y)
+
+
+def quantize_moe_weights(cfg: DeepSeekV3Config, params: dict, tn: int = 256):
+    """Per-layer W8A8 expert weights for the fused MoE path."""
+    return [
+        quantize_expert_weights(lw["w_gate"], lw["w_up"], lw["w_down"], tn=tn)
+        for lw in params["layers"]
+    ]
+
+
+# ---------------------------------------------------------------------------
+# training: differentiable forward with dp × ep sharding
+# ---------------------------------------------------------------------------
+
+def _train_attention(cfg, lw, x, cos, sin):
+    """Dense causal MLA attention over the whole (short) sequence, [B,S,H]."""
+    b, s, h = x.shape
+    flat = x.reshape(b * s, h)
+    q_lat, qpe, k_lat, kpe = _mla_qkv(cfg, lw, flat, cos, sin)
+    q_lat = q_lat.reshape(b, s, cfg.num_heads, -1)
+    qpe = qpe.reshape(b, s, cfg.num_heads, -1)
+    k_lat = k_lat.reshape(b, s, -1)
+    kpe = kpe.reshape(b, s, -1)
+    scores = jnp.einsum("bqhl,bkl->bhqk", q_lat, k_lat)
+    scores += jnp.einsum("bqhr,bkr->bhqk", qpe, kpe)
+    scores *= cfg.sm_scale
+    causal = jnp.tril(jnp.ones((s, s), bool))
+    scores = jnp.where(causal[None, None], scores, -1e30)
+    p = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.einsum("bhqk,bkl->bqhl", p, k_lat)
+    return _mla_output(cfg, lw, attn.reshape(b * s, cfg.num_heads, -1)).reshape(b, s, h)
+
+
+def _ep_moe_train(cfg, lw, x_flat, topk_idx, topk_w, *, mesh, ep_axis="ep", dp_axis="dp"):
+    """Differentiable EP MoE: the real dispatch/combine path in BF16 + ragged_dot."""
+    num_ranks = mesh.shape[ep_axis]
+    t = x_flat.shape[0] // (num_ranks * mesh.shape[dp_axis])
+    pair = t * min(cfg.topk, cfg.num_experts // num_ranks)
+
+    def body(xs, idx, w, wg, wu, wd):
+        d = ep_core.dispatch_ragged_core(
+            xs, idx,
+            axis_name=ep_axis,
+            num_experts=cfg.num_experts,
+            num_ranks=num_ranks,
+            pair_capacity=pair,
+            seg_capacity=t,
+            use_int8=False,
+        )
+        gs = d["group_sizes"]
+        xin = d["recv_x_sorted"]
+        gate = jax.lax.ragged_dot(xin, wg, gs, preferred_element_type=jnp.float32)
+        up = jax.lax.ragged_dot(xin, wu, gs, preferred_element_type=jnp.float32)
+        act = (gate * jax.nn.sigmoid(gate) * up).astype(xin.dtype)
+        y = jax.lax.ragged_dot(act, wd, gs, preferred_element_type=jnp.float32)
+        return ep_core.combine_ragged_core(
+            y.astype(xin.dtype), w, d["handle"],
+            axis_name=ep_axis,
+            num_ranks=num_ranks,
+            num_local_experts=cfg.num_experts // num_ranks,
+            seg_capacity=t,
+            out_dtype=xin.dtype,
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P((dp_axis, ep_axis)), P((dp_axis, ep_axis)), P((dp_axis, ep_axis)),
+                  P(ep_axis), P(ep_axis), P(ep_axis)),
+        out_specs=P((dp_axis, ep_axis)),
+        check_vma=False,
+    )(x_flat, topk_idx, topk_w, lw["w_gate"], lw["w_up"], lw["w_down"])
+
+
+def train_forward(cfg: DeepSeekV3Config, params: dict, tokens: jax.Array, *, mesh: Mesh | None):
+    """Causal LM loss; tokens [B, S].  mesh=None → single device (no EP)."""
+    b, s = tokens.shape
+    x = params["embed"][tokens]
+    cos, sin = rope_cos_sin(jnp.arange(s), cfg.qk_rope_dim)
+    cos = jnp.tile(cos, (b, 1))
+    sin = jnp.tile(sin, (b, 1))
+    for lw in params["layers"]:
+        x = x + _train_attention(cfg, lw, x, cos, sin)
+        h2 = rms_norm_ref(x.reshape(b * s, -1), lw["ln2"])
+        topk_idx, topk_w = _router(cfg, lw, h2)
+        if mesh is not None:
+            moe = _ep_moe_train(cfg, lw, h2, topk_idx, topk_w, mesh=mesh)
+        else:
+            moe = _dense_moe(cfg, lw, h2, topk_idx, topk_w)
+        x = x + (moe + _shared_expert(lw, h2)).reshape(b, s, -1)
+    x = rms_norm_ref(x.reshape(b * s, -1), params["final_ln"])
+    logits = x @ params["embed"].T
+    labels = jnp.roll(tokens, -1, axis=1).reshape(-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    mask = jnp.tile(jnp.arange(s) < s - 1, (b,))
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    return jnp.sum(nll * mask) / jnp.sum(mask)
+
+
+def make_train_step(cfg: DeepSeekV3Config, mesh: Mesh | None, lr: float = 1e-3):
+    """SGD training step; shardings: batch dp×ep, experts ep, dense replicated."""
+
+    def step(params, tokens):
+        loss, grads = jax.value_and_grad(functools.partial(train_forward, cfg, mesh=mesh))(
+            params, tokens
+        )
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    if mesh is None:
+        return jax.jit(step)
+
+    def pspec(params):
+        def leaf_spec(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name in ("w_gate", "w_up", "w_down"):
+                return NamedSharding(mesh, P("ep"))
+            return NamedSharding(mesh, P())
+        return jax.tree_util.tree_map_with_path(leaf_spec, params)
+
+    return jax.jit(step), pspec

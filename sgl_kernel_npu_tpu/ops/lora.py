@@ -1,0 +1,122 @@
+"""LoRA batched/segmented matvec ops: BGMV / SGMV / SGEMMV.
+
+Capability parity with reference ``csrc/lora`` (bgmv_shrink/expand, sgmv_shrink/
+expand, sgemmv_shrink/expand; goldens tests/python/sgl_kernel_npu/utils.py:12-146):
+
+- shrink: hidden → (num_slices × rank), scaled;
+- expand: rank → hidden slices, accumulated into a base output at slice offsets;
+- bgmv_*: per-token adapter index; sgmv_*: per-sequence index + lengths;
+  sgemmv_*: heterogeneous per-adapter ranks/scalings (the general case — the other
+  four are specializations, which is how we implement them).
+
+TPU design note: these ops are tiny, memory-bound gathers + skinny matmuls; XLA
+fuses the adapter gather into the batched dot, so jnp is already roofline here.
+The AscendC kernels existed to avoid eager-mode dispatch on NPU — a constraint JAX
+doesn't have.  (If profiling ever shows the gather materializing, the Pallas
+fallback is a scalar-prefetch loop like ops/grouped_matmul.py.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def token_lora_indices(weight_indices: jax.Array, seq_lengths: jax.Array, total_tokens: int):
+    """Per-token adapter index from per-sequence indices + lengths."""
+    ends = jnp.cumsum(seq_lengths.astype(jnp.int32))
+    seq_of_token = jnp.searchsorted(ends, jnp.arange(total_tokens), side="right")
+    seq_of_token = jnp.clip(seq_of_token, 0, seq_lengths.shape[0] - 1)
+    valid = jnp.arange(total_tokens) < ends[-1]
+    return weight_indices.astype(jnp.int32)[seq_of_token], valid
+
+
+def _shrink(x, weights, tok_idx, valid, ranks, scalings, num_slices: int):
+    """Core shrink: out[t, :S·r] = scaling[a] · (x[t] @ weights[a, :S·r].T).
+
+    Slices are packed compactly by the adapter's *actual* rank (reference layout,
+    utils.py:57-63): weight row / output column c corresponds to slice c // r,
+    component c % r, so the whole padded product is valid up to column S·r.
+    """
+    out_dim = weights.shape[1]
+    w = weights[tok_idx]                                  # [T, S*maxR, H]
+    out = jnp.einsum("th,trh->tr", x.astype(jnp.float32), w.astype(jnp.float32))
+    rank_t = ranks.astype(jnp.int32)[tok_idx]             # [T]
+    col = jnp.arange(out_dim)
+    mask = (col[None, :] < num_slices * rank_t[:, None]) & valid[:, None]
+    out = jnp.where(mask, out * scalings.astype(jnp.float32)[tok_idx][:, None], 0.0)
+    return out.astype(x.dtype)
+
+
+def _expand(x, weights, tok_idx, valid, ranks, slice_offsets, base_output):
+    """Core expand: per slice s, out[:, off_s:off_{s+1}] += x[:, s·r:(s+1)·r] @ B_s.T
+    (compact-by-rank input layout, dynamic per-token rank)."""
+    t = x.shape[0]
+    num_slices = len(slice_offsets) - 1
+    total_out = int(slice_offsets[-1])
+    max_rank = x.shape[1] // num_slices
+    out = base_output if base_output is not None else jnp.zeros((t, total_out), x.dtype)
+    out_dtype = out.dtype
+    out = out.astype(jnp.float32)
+    w = weights[tok_idx]                                  # [T, out_dim, maxR]
+    rank_t = ranks.astype(jnp.int32)[tok_idx]
+    j = jnp.arange(max_rank)[None, :]                     # rank component
+    for s in range(num_slices):
+        o0, o1 = int(slice_offsets[s]), int(slice_offsets[s + 1])
+        # slice s occupies input columns [s·r_t, s·r_t + r_t)
+        cols = jnp.clip(s * rank_t[:, None] + j, 0, x.shape[1] - 1)
+        xs = jnp.take_along_axis(x, cols, axis=1).astype(jnp.float32)
+        rmask = (j < rank_t[:, None]) & valid[:, None]
+        xs = jnp.where(rmask, xs, 0.0)
+        ws = w[:, o0:o1, :].astype(jnp.float32)           # [T, slice, maxR]
+        out = out.at[:, o0:o1].add(jnp.einsum("tr,tdr->td", xs, ws))
+    return out.astype(out_dtype)
+
+
+# -- BGMV: per-token adapter ---------------------------------------------------------
+
+def bgmv_shrink(x, weights, weight_indices, scaling: float = 1.0):
+    """x [T, H] × A [L, R, H] per-token → [T, R], × scaling (csrc/lora/bgmv_shrink)."""
+    t = x.shape[0]
+    ranks = jnp.full((weights.shape[0],), weights.shape[1], jnp.int32)
+    scalings = jnp.full((weights.shape[0],), scaling, jnp.float32)
+    return _shrink(x, weights, weight_indices.astype(jnp.int32), jnp.ones(t, bool),
+                   ranks, scalings, num_slices=1)
+
+
+def bgmv_expand(x, weights, weight_indices, base_output=None, slice_offset: int = 0,
+                slice_size: int | None = None, output_dim: int | None = None):
+    """x [T, R] × B [L, D, R] per-token → accumulate into output[:, off:off+size]."""
+    t, r = x.shape
+    d = weights.shape[1]
+    slice_size = slice_size if slice_size is not None else d
+    output_dim = output_dim if output_dim is not None else slice_offset + slice_size
+    if base_output is None:
+        base_output = jnp.zeros((t, output_dim), x.dtype)
+    w = weights[weight_indices.astype(jnp.int32)]
+    delta = jnp.einsum("tr,tdr->td", x.astype(jnp.float32), w[:, :slice_size, :].astype(jnp.float32))
+    return base_output.at[:, slice_offset : slice_offset + slice_size].add(
+        delta.astype(base_output.dtype)
+    )
+
+
+# -- SGMV / SGEMMV: per-sequence adapter ---------------------------------------------
+
+def sgmv_shrink(x, weights, weight_indices, seq_lengths, lora_ranks, lora_scalings,
+                num_slices: int = 1):
+    """Sequence-grouped shrink (golden: utils.py:12-72)."""
+    tok_idx, valid = token_lora_indices(weight_indices, seq_lengths, x.shape[0])
+    return _shrink(x, weights, tok_idx, valid, lora_ranks, lora_scalings, num_slices)
+
+
+def sgmv_expand(x, weights, weight_indices, seq_lengths, lora_ranks, slice_offsets,
+                base_output=None):
+    """Sequence-grouped expand (golden: utils.py:79-146)."""
+    tok_idx, valid = token_lora_indices(weight_indices, seq_lengths, x.shape[0])
+    return _expand(x, weights, tok_idx, valid, lora_ranks, tuple(slice_offsets), base_output)
+
+
+# SGEMMV = SGMV with heterogeneous per-adapter ranks/scalings; the general core
+# already supports that, so these are exact aliases (reference keeps 6 kernels).
+sgemmv_shrink = sgmv_shrink
+sgemmv_expand = sgmv_expand
