@@ -94,37 +94,61 @@ def decode_gqa_ref(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table):
 def _mla_kernel(
     block_table_ref,  # scalar prefetch [B, max_pages]
     seq_lens_ref,     # scalar prefetch [B]
-    q_nope_ref,       # [1, Hq, 512]
-    q_pe_ref,         # [1, Hq, 64]
-    k_nope_ref,       # [1, page, 512]
-    k_rope_ref,       # [1, page, 64]
+    q_nope_ref,       # [1, Hq, 512] VMEM
+    q_pe_ref,         # [1, Hq, 64]  VMEM
+    kn_hbm,           # [pages, page, 512] HBM (manually DMA'd)
+    kr_hbm,           # [pages, page, 64]  HBM
     o_ref,            # [1, Hq, 512]
+    kn_buf,           # scratch [2, page, 512] VMEM (double buffer)
+    kr_buf,           # scratch [2, page, 64]
     acc_ref,          # scratch [Hq, 512] f32
     m_ref,            # scratch [Hq, 128] f32
     l_ref,            # scratch [Hq, 128] f32
+    sems,             # DMA semaphores [2, 2]
     *,
     sm_scale,
     page_size,
 ):
-    b = pl.program_id(0)
-    p = pl.program_id(1)
-    n_pages = pl.num_programs(1)
-    seq_len = seq_lens_ref[b]
+    """One grid step per sequence; the page walk is a manually double-buffered DMA
+    loop, so per-page cost is one in-flight copy instead of a full grid step (the
+    grid-step variant measured ~2 µs/page of fixed overhead — latency-bound)."""
+    i = pl.program_id(0)
+    seq_len = seq_lens_ref[i]
+    n_pages = (seq_len + page_size - 1) // page_size
 
-    @pl.when(p == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
+    def page_dma(slot, p):
+        return (
+            pltpu.make_async_copy(kn_hbm.at[block_table_ref[i, p]], kn_buf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(kr_hbm.at[block_table_ref[i, p]], kr_buf.at[slot], sems.at[slot, 1]),
+        )
 
-    valid_in_page = seq_len - p * page_size
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[...] = jnp.zeros_like(l_ref)
 
-    @pl.when(valid_in_page > 0)
-    def _step():
-        q_nope = q_nope_ref[0].astype(jnp.float32)
-        q_pe = q_pe_ref[0].astype(jnp.float32)
-        k_nope = k_nope_ref[0].astype(jnp.float32)
-        k_rope = k_rope_ref[0].astype(jnp.float32)
+    a0, b0 = page_dma(0, 0)
+    a0.start()
+    b0.start()
+
+    q_nope = q_nope_ref[0].astype(jnp.float32)
+    q_pe = q_pe_ref[0].astype(jnp.float32)
+
+    def body(p, _):
+        slot = jax.lax.rem(p, 2)
+        nxt = jax.lax.rem(p + 1, 2)
+
+        @pl.when(p + 1 < n_pages)
+        def _prefetch():
+            an, bn = page_dma(nxt, p + 1)
+            an.start()
+            bn.start()
+
+        aw, bw = page_dma(slot, p)
+        aw.wait()
+        bw.wait()
+
+        k_nope = kn_buf[slot].astype(jnp.float32)
+        k_rope = kr_buf[slot].astype(jnp.float32)
         qk = jax.lax.dot_general(
             q_nope, k_nope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -133,11 +157,10 @@ def _mla_kernel(
         )
         qk *= sm_scale
         pos = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-        qk = jnp.where(pos < valid_in_page, qk, NEG_INF)
+        qk = jnp.where(pos < seq_len - p * page_size, qk, NEG_INF)
 
         m_prev = m_ref[:, :1]
-        m_cur = jnp.max(qk, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
+        m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         probs = jnp.exp(qk - m_new)
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
@@ -146,10 +169,10 @@ def _mla_kernel(
             probs, k_nope, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         acc_ref[...] = acc_ref[...] * alpha + pv
+        return 0
 
-    @pl.when(p == n_pages - 1)
-    def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, n_pages, body, 0)
+    o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
@@ -195,28 +218,23 @@ def decode_mla(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, max_pages),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hq, d_nope), lambda i, p, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hq, d_rope), lambda i, p, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, page_size, d_nope),
-                lambda i, p, bt, sl: (bt[i, p], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, page_size, d_rope),
-                lambda i, p, bt, sl: (bt[i, p], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, hq, d_nope), lambda i, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hq, d_rope), lambda i, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # paged caches stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, hq, d_nope), lambda i, p, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, hq, d_nope), lambda i, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
+            pltpu.VMEM((2, page_size, d_nope), kn.dtype),
+            pltpu.VMEM((2, page_size, d_rope), kr.dtype),
             pltpu.VMEM((hq, d_nope), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -224,6 +242,7 @@ def decode_mla(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d_nope), q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), q_nope, q_pe, kn, kr)
     return out[:, :hq_orig]
 
