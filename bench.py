@@ -21,25 +21,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench_scanned(per_iter_fn, qs, iters: int, repeats: int = 5):
+def _bench_scanned(per_iter_fn, qs, operands, iters: int, repeats: int = 5):
     """Time `iters` kernel executions inside ONE jitted scan (the axon tunnel adds
     large per-dispatch RPC latency, so host-side loops mis-measure device time).
-    Each scan step consumes a different q slice → no CSE/caching."""
+    Each scan step consumes a different q slice → no CSE/caching.  All large
+    buffers must be passed via `operands` — closure captures would be embedded
+    into the program as constants (hundreds of MB of MLIR)."""
 
     @jax.jit
-    def run(qs):
+    def run(qs, operands):
         def step(carry, q):
-            out = per_iter_fn(q)
+            out = per_iter_fn(q, *operands)
             return carry + out[0, 0, 0].astype(jnp.float32), None
 
         total, _ = jax.lax.scan(step, jnp.float32(0), qs)
         return total
 
-    jax.block_until_ready(run(qs))  # compile + warm
+    jax.block_until_ready(run(qs, operands))  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(qs))
+        jax.block_until_ready(run(qs, operands))
         times.append(time.perf_counter() - t0)
     return min(times) / iters
 
@@ -58,7 +60,7 @@ def main():
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, hq, d_nope + d_rope)), jnp.bfloat16)
     kn = jnp.asarray(rng.standard_normal((n_pages, 1, page, d_nope)), jnp.bfloat16)
-    kr = jnp.asarray(rng.standard_normal((n_pages, 1, page, d_rope)), jnp.bfloat16)
+    kr = jnp.asarray(rng.standard_normal((n_pages, 1, d_rope, page)), jnp.bfloat16)
     block_table = jnp.asarray(
         rng.permutation(n_pages - 1)[: b * max_pages].reshape(b, max_pages) + 1, jnp.int32
     )
@@ -69,14 +71,15 @@ def main():
     qs = jnp.asarray(
         rng.standard_normal((iters, b, hq, d_nope + d_rope)), jnp.bfloat16
     )
+    operands = (kn, kr, seq_lens, block_table)
     t_kernel = _bench_scanned(
-        lambda qq: da.decode_mla(qq, kn, kr, seq_lens, sm_scale, block_table,
-                                 interpret=not on_tpu),
-        qs, iters,
+        lambda qq, kn_, kr_, sl_, bt_: da.decode_mla(
+            qq, kn_, kr_, sl_, sm_scale, bt_, interpret=not on_tpu),
+        qs, operands, iters,
     )
     t_golden = _bench_scanned(
-        lambda qq: da.decode_mla_ref(qq, kn, kr, seq_lens, sm_scale, block_table),
-        qs, iters,
+        lambda qq, kn_, kr_, sl_, bt_: da.decode_mla_ref(qq, kn_, kr_, sl_, sm_scale, bt_),
+        qs, operands, iters,
     )
 
     kv_bytes = b * seq * (d_nope + d_rope) * 2  # bf16 KV read per call

@@ -28,7 +28,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sgl_kernel_npu_tpu.config import EPConfig
 from sgl_kernel_npu_tpu.ops.attention.decode_attention import decode_mla
-from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
+from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import (
+    reshape_and_cache,
+    reshape_and_cache_transposed,
+)
 from sgl_kernel_npu_tpu.ops.norm import rms_norm_ref
 from sgl_kernel_npu_tpu.ops.rope import apply_rope, rope_cos_sin
 from sgl_kernel_npu_tpu.parallel import ep_core
@@ -149,7 +152,7 @@ def init_kv_cache(cfg: DeepSeekV3Config, num_pages: int, dtype=jnp.bfloat16):
     return [
         {
             "nope": jnp.zeros((num_pages, 1, cfg.page_size, cfg.kv_lora_rank), dtype),
-            "rope": jnp.zeros((num_pages, 1, cfg.page_size, cfg.qk_rope_dim), dtype),
+            "rope": jnp.zeros((num_pages, 1, cfg.qk_rope_dim, cfg.page_size), dtype),
         }
         for _ in range(cfg.num_layers)
     ]
@@ -175,7 +178,9 @@ def decode_step(
         q_lat, qpe, k_lat, kpe = _mla_qkv(cfg, lw, x, cos, sin)
         cache = kv_caches[li]
         cache_n = reshape_and_cache(k_lat[:, None, :].astype(cache["nope"].dtype), cache["nope"], slot_mapping)
-        cache_r = reshape_and_cache(kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping)
+        cache_r = reshape_and_cache_transposed(
+            kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping
+        )
         new_caches.append({"nope": cache_n, "rope": cache_r})
         q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_n.dtype)
         attn = decode_mla(q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table)

@@ -4,8 +4,11 @@ Capability parity with reference
 ``python/sgl_kernel_npu/sgl_kernel_npu/attention/decode_attention.py``:
 
 - ``decode_mla``  (reference :166) — DeepSeek MLA: q = [B, Hq, 512+64] (nope ‖ rope),
-  paged latent cache split into k_nope [pages, page, 1, 512] and k_rope
-  [pages, page, 1, 64]; V aliases K_nope (reference :123).  Output [B, Hq, 512].
+  paged latent cache split into k_nope [pages, 1, page, 512] and a *transposed*
+  rope cache k_rope [pages, 1, rope, page] (rope=64 < 128 lanes, so the transposed
+  layout is the only HBM shape whose page slices are DMA-aligned — and it feeds the
+  q_pe·k_pe product in native MXU orientation); V aliases K_nope (reference :123).
+  Output [B, Hq, 512].
 - ``decode_gqa``  (reference :373) — grouped-query attention over paged K/V caches,
   with the DeepSeek split-K special case (Lk = 576 → 512 model + 64 pe) handled by
   the same two-part dot product.
@@ -53,13 +56,17 @@ def _gather_pages(buffer: jax.Array, block_table: jax.Array, max_len: int) -> ja
 
 
 def decode_mla_ref(q, k_nope_buffer, k_rope_buffer, kv_seq_lens, sm_scale, block_table):
-    """Pure-jnp paged MLA decode attention (golden)."""
+    """Pure-jnp paged MLA decode attention (golden).
+
+    ``k_rope_buffer`` uses the transposed layout [pages, 1, rope, page]."""
     b, hq, _ = q.shape
     d_nope = k_nope_buffer.shape[-1]
     max_len = int(block_table.shape[1] * k_nope_buffer.shape[2])
     q_nope, q_pe = q[..., :d_nope], q[..., d_nope:]
     k_nope = _gather_pages(k_nope_buffer, block_table, max_len)[:, 0]  # [B, L, 512]
-    k_rope = _gather_pages(k_rope_buffer, block_table, max_len)[:, 0]  # [B, L, 64]
+    k_rope = _gather_pages(
+        k_rope_buffer.swapaxes(-1, -2), block_table, max_len
+    )[:, 0]                                                            # [B, L, 64]
     qk = jnp.einsum("bhd,bld->bhl", q_nope.astype(jnp.float32), k_nope.astype(jnp.float32))
     qk += jnp.einsum("bhd,bld->bhl", q_pe.astype(jnp.float32), k_rope.astype(jnp.float32))
     qk *= sm_scale
@@ -97,7 +104,7 @@ def _mla_kernel(
     q_nope_ref,       # [1, Hq, 512] VMEM
     q_pe_ref,         # [1, Hq, 64]  VMEM
     kn_hbm,           # [pages, page, 512] HBM (manually DMA'd)
-    kr_hbm,           # [pages, page, 64]  HBM
+    kr_hbm,           # [pages, rope, page] HBM (transposed rope cache)
     o_ref,            # [1, Hq, 512]
     kn_buf,           # scratch [2, page, 512] VMEM (double buffer)
     kr_buf,           # scratch [2, page, 64]
@@ -148,12 +155,12 @@ def _mla_kernel(
         bw.wait()
 
         k_nope = kn_buf[slot].astype(jnp.float32)
-        k_rope = kr_buf[slot].astype(jnp.float32)
+        k_rope_t = kr_buf[slot].astype(jnp.float32)          # [rope, page]
         qk = jax.lax.dot_general(
             q_nope, k_nope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         qk += jax.lax.dot_general(
-            q_pe, k_rope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q_pe, k_rope_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         qk *= sm_scale
         pos = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
@@ -191,7 +198,8 @@ def decode_mla(
     Args:
         q: ``[B, Hq, Lkv + Lrope]`` queries (nope ‖ rope on the last dim).
         k_nope_buffer: ``[num_pages, 1, page_size, Lkv]`` paged latent cache.
-        k_rope_buffer: ``[num_pages, 1, page_size, Lrope]`` paged rope cache.
+        k_rope_buffer: ``[num_pages, 1, Lrope, page_size]`` paged rope cache
+            (*transposed* layout — see module docstring).
         kv_seq_lens: ``[B]`` int32 current lengths.
         sm_scale: softmax scale.
         block_table: ``[B, max_pages]`` logical→physical page map.
@@ -203,8 +211,9 @@ def decode_mla(
         interpret = interpret_default()
     b, hq, _ = q.shape
     n_pages_total, hkv, page_size, d_nope = k_nope_buffer.shape
-    d_rope = k_rope_buffer.shape[-1]
+    d_rope = k_rope_buffer.shape[-2]
     assert hkv == 1, "MLA latent cache has a single KV head"
+    assert k_rope_buffer.shape[-1] == page_size, "rope cache must be transposed [*, rope, page]"
     max_pages = block_table.shape[1]
     hq_orig = hq
     hq = max(8, -(-hq // 8) * 8)  # pad heads to a sublane tile
@@ -214,7 +223,7 @@ def decode_mla(
         pad = ((0, 0), (0, hq - hq_orig), (0, 0))
         q_nope, q_pe = jnp.pad(q_nope, pad), jnp.pad(q_pe, pad)
     kn = k_nope_buffer.reshape(n_pages_total, page_size, d_nope)
-    kr = k_rope_buffer.reshape(n_pages_total, page_size, d_rope)
+    kr = k_rope_buffer.reshape(n_pages_total, d_rope, page_size)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -230,7 +239,7 @@ def decode_mla(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, page_size, d_nope), kn.dtype),
-            pltpu.VMEM((2, page_size, d_rope), kr.dtype),
+            pltpu.VMEM((2, d_rope, page_size), kr.dtype),
             pltpu.VMEM((hq, d_nope), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),

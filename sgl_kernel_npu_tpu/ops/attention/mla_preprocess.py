@@ -34,7 +34,10 @@ import jax
 import jax.numpy as jnp
 
 from sgl_kernel_npu_tpu.ops.matmul import quant_matmul, quant_matmul_ref, quant_per_tensor
-from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
+from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import (
+    reshape_and_cache,
+    reshape_and_cache_transposed,
+)
 from sgl_kernel_npu_tpu.ops.norm import rms_norm_ref
 from sgl_kernel_npu_tpu.ops.rope import apply_rope
 
@@ -91,7 +94,7 @@ def mla_preprocess(
         hidden: ``[N, hidden]`` bf16 activations.
         cos_sin: rope tables ``([N, 64], [N, 64])`` for the current positions.
         kv_cache_nope: ``[pages, 1, page, 512]`` latent cache (int8 in int8 mode).
-        kv_cache_rope: ``[pages, 1, page, 64]``.
+        kv_cache_rope: ``[pages, 1, 64, page]`` (transposed rope layout).
         slot_mapping: ``[N]`` cache slots.
 
     Returns:
@@ -151,5 +154,7 @@ def mla_preprocess(
         k_nope = k_nope.astype(dtype)
 
     kv_cache_nope = reshape_and_cache(k_nope, kv_cache_nope, slot_mapping)
-    kv_cache_rope = reshape_and_cache(k_pe.astype(kv_cache_rope.dtype), kv_cache_rope, slot_mapping)
+    kv_cache_rope = reshape_and_cache_transposed(
+        k_pe.astype(kv_cache_rope.dtype), kv_cache_rope, slot_mapping
+    )
     return q_nope_out, q_pe, kv_cache_nope, kv_cache_rope

@@ -1,0 +1,199 @@
+"""Attention with sink logits (GPT-OSS style) over paged KV — decode + prefill.
+
+Capability parity with reference ``attention/sinks_attention.py``
+(``attention_sinks_triton:90`` decode, ``attention_sinks_prefill_triton:241``):
+per-head learned sink logits join the softmax denominator (equivalent to one extra
+always-attended token with value 0), plus sliding-window masking.
+
+Decode runs as a Pallas flash-decoding kernel over the page grid (same structure as
+ops/attention/decode_attention.decode_gqa); prefill is a fused jnp path (XLA handles
+the irregular q-length batching well at prefill sizes; a Pallas prefill kernel is a
+later optimization).
+
+Cache layout: ``[pages, kv_heads, page_size, head_dim]`` (TPU-first, see
+decode_attention module docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sgl_kernel_npu_tpu.ops.attention.decode_attention import NEG_INF, _gather_pages
+from sgl_kernel_npu_tpu.utils.common import interpret_default
+
+
+def attention_sinks_ref(
+    query, k_cache, v_cache, sinks, block_tables, context_lens, scale,
+    sliding_window_size: int, q_head_num: int, k_head_num: int,
+):
+    """Golden decode path.  query [S, Hq*D] → [S, Hq*Dv]."""
+    s = query.shape[0]
+    d = query.shape[-1] // q_head_num
+    dv = v_cache.shape[-1]
+    max_len = int(block_tables.shape[1] * k_cache.shape[2])
+    q = query.reshape(s, q_head_num, d).astype(jnp.float32)
+    k = _gather_pages(k_cache, block_tables, max_len).astype(jnp.float32)  # [S,Hkv,L,D]
+    v = _gather_pages(v_cache, block_tables, max_len).astype(jnp.float32)
+    group = q_head_num // k_head_num
+    qg = q.reshape(s, k_head_num, group, d)
+    logits = jnp.einsum("skgd,skld->skgl", qg, k) * scale
+    pos = jnp.arange(max_len)[None, None, None, :]
+    ctx = context_lens[:, None, None, None]
+    mask = pos < ctx
+    if sliding_window_size > 0:
+        mask &= pos >= ctx - sliding_window_size
+    logits = jnp.where(mask, logits, NEG_INF)
+    sink = sinks.astype(jnp.float32).reshape(k_head_num, group)[None, :, :, None]
+    all_logits = jnp.concatenate([logits, jnp.broadcast_to(sink, (s, k_head_num, group, 1))], -1)
+    p = jax.nn.softmax(all_logits, axis=-1)[..., :-1]   # sink contributes denom only
+    out = jnp.einsum("skgl,skld->skgd", p, v)
+    return out.reshape(s, q_head_num * dv).astype(query.dtype)
+
+
+def _sinks_kernel(
+    bt_ref, ctx_ref, q_ref, sink_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, scale, page_size, window,
+):
+    i = pl.program_id(0)
+    p = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+    ctx = ctx_ref[i]
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    lo = ctx - window if window > 0 else 0
+    page_start = p * page_size
+    has_work = (page_start < ctx) & (page_start + page_size > lo)
+
+    @pl.when(has_work)
+    def _step():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        qk = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        pos = page_start + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+        mask = pos < ctx
+        if window > 0:
+            mask &= pos >= lo
+        qk = jnp.where(mask, qk, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        probs = jnp.exp(qk - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_new
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(p == n_pages - 1)
+    def _finish():
+        # the sink joins the denominator as one extra logit per head
+        sink = sink_ref[0, 0].astype(jnp.float32)[:, None]
+        m_fin = jnp.maximum(m_ref[:, :1], sink)
+        l_fin = l_ref[:, :1] * jnp.exp(m_ref[:, :1] - m_fin) + jnp.exp(sink - m_fin)
+        o_ref[0, 0] = (acc_ref[...] * jnp.exp(m_ref[:, :1] - m_fin) / l_fin).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window_size", "q_head_num", "k_head_num", "interpret"),
+)
+def attention_sinks(
+    query, k_cache, v_cache, sinks, block_tables, context_lens, scale,
+    sliding_window_size: int, q_head_num: int, k_head_num: int, *, interpret=None,
+):
+    """Paged decode attention with sinks + sliding window (reference :90)."""
+    if interpret is None:
+        interpret = interpret_default()
+    s = query.shape[0]
+    d = query.shape[-1] // q_head_num
+    n_pages, hkv, page_size, _ = k_cache.shape
+    dv = v_cache.shape[-1]
+    assert hkv == k_head_num
+    group = q_head_num // k_head_num
+    group_p = max(8, -(-group // 8) * 8)
+    qg = query.reshape(s, k_head_num, group, d)
+    sk = sinks.reshape(k_head_num, group)
+    if group_p != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+        sk = jnp.pad(sk, ((0, 0), (0, group_p - group)))
+    max_pages = block_tables.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, k_head_num, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, group_p, d), lambda i, h, p, bt, cl: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, group_p), lambda i, h, p, bt, cl: (0, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page_size, d), lambda i, h, p, bt, cl: (bt[i, p], h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page_size, dv), lambda i, h, p, bt, cl: (bt[i, p], h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, group_p, dv), lambda i, h, p, bt, cl: (i, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((group_p, dv), jnp.float32),
+            pltpu.VMEM((group_p, 128), jnp.float32),
+            pltpu.VMEM((group_p, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_sinks_kernel, scale=scale, page_size=page_size,
+                          window=sliding_window_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, k_head_num, group_p, dv), query.dtype),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
+      qg, sk[None], k_cache, v_cache)
+    return out[:, :, :group].reshape(s, q_head_num * dv)
+
+
+def attention_sinks_prefill(
+    query, k_cache, v_cache, sinks, seq_lens, block_tables, context_lens, scale,
+    sliding_window_size: int, q_head_num: int, k_head_num: int,
+):
+    """Varlen prefill with sinks (reference :241): query rows are the concatenation
+    of each request's last ``seq_lens[b]`` positions; token j of request b attends
+    causally to cache positions ≤ context_len − seq_len + j (window applies)."""
+    s = query.shape[0]
+    d = query.shape[-1] // q_head_num
+    dv = v_cache.shape[-1]
+    bsz = seq_lens.shape[0]
+    max_len = int(block_tables.shape[1] * k_cache.shape[2])
+    ends = jnp.cumsum(seq_lens.astype(jnp.int32))
+    req = jnp.clip(jnp.searchsorted(ends, jnp.arange(s), side="right"), 0, bsz - 1)
+    j = jnp.arange(s) - (ends[req] - seq_lens[req])            # position within request
+    qpos = context_lens[req] - seq_lens[req] + j               # absolute causal position
+
+    q = query.reshape(s, k_head_num, q_head_num // k_head_num, d).astype(jnp.float32)
+    k = _gather_pages(k_cache, block_tables, max_len).astype(jnp.float32)[req]
+    v = _gather_pages(v_cache, block_tables, max_len).astype(jnp.float32)[req]
+    logits = jnp.einsum("skgd,skld->skgl", q, k) * scale
+    pos = jnp.arange(max_len)[None, None, None, :]
+    hi = (qpos + 1)[:, None, None, None]
+    mask = pos < hi
+    if sliding_window_size > 0:
+        mask &= pos >= hi - sliding_window_size
+    logits = jnp.where(mask, logits, NEG_INF)
+    group = q_head_num // k_head_num
+    sink = sinks.astype(jnp.float32).reshape(k_head_num, group)[None, :, :, None]
+    all_logits = jnp.concatenate(
+        [logits, jnp.broadcast_to(sink, (s, k_head_num, group, 1))], -1
+    )
+    p = jax.nn.softmax(all_logits, axis=-1)[..., :-1]
+    out = jnp.einsum("skgl,skld->skgd", p, v)
+    return out.reshape(s, q_head_num * dv).astype(query.dtype)

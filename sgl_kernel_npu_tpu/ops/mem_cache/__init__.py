@@ -6,7 +6,10 @@ from sgl_kernel_npu_tpu.ops.mem_cache.cache_ops import (
     cache_loc_assign,
     cache_loc_update,
 )
-from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
+from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import (
+    reshape_and_cache,
+    reshape_and_cache_transposed,
+)
 
 __all__ = [
     "alloc_extend",
@@ -15,4 +18,5 @@ __all__ = [
     "cache_loc_assign",
     "cache_loc_update",
     "reshape_and_cache",
+    "reshape_and_cache_transposed",
 ]

@@ -36,3 +36,23 @@ def reshape_and_cache(
     off = slots % page_size
     # scatter [N, hkv, d] into [pages, hkv, page, d]
     return cache.at[page, :, off, :].set(value.astype(cache.dtype), mode="drop")
+
+
+def reshape_and_cache_transposed(
+    value: jax.Array,
+    cache: jax.Array,
+    slot_mapping: jax.Array,
+) -> jax.Array:
+    """Write per-token values into a *transposed* paged cache.
+
+    Layout ``[num_pages, kv_heads, head_dim, page_size]`` — used for the MLA rope
+    cache whose head_dim (64) is below the 128-lane tile, making the transposed
+    layout the only DMA-sliceable HBM shape (see ops/attention/decode_attention.py).
+
+    Args: value ``[N, kv_heads, head_dim]``; slot_mapping ``[N]``.
+    """
+    n_pages, hkv, d, page_size = cache.shape
+    slots = slot_mapping.astype(jnp.int32)
+    page = jnp.where(slots >= 0, slots // page_size, n_pages)
+    off = slots % page_size
+    return cache.at[page, :, :, off].set(value.astype(cache.dtype), mode="drop")

@@ -16,7 +16,8 @@ def test_decode_mla(rng, hq, d_nope, d_rope):
     n_pages = b * max_pages + 1
     q = jnp.asarray(rng.standard_normal((b, hq, d_nope + d_rope)) * 0.5, jnp.bfloat16)
     kn = _mk_paged(rng, n_pages, page, 1, d_nope)
-    kr = _mk_paged(rng, n_pages, page, 1, d_rope)
+    # transposed rope cache layout [pages, 1, rope, page]
+    kr = jnp.asarray(rng.standard_normal((n_pages, 1, d_rope, page)) * 0.5, jnp.bfloat16)
     block_table = jnp.asarray(
         rng.permutation(n_pages - 1)[: b * max_pages].reshape(b, max_pages) + 1, jnp.int32
     )

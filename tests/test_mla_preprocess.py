@@ -68,7 +68,7 @@ def test_mla_preprocess_golden(rng, cache_mode):
     pages, page = 8, 16
     nope_dtype = jnp.int8 if cache_mode == "int8_nzcache" else jnp.float32
     cache_n = jnp.zeros((pages, 1, page, 512), nope_dtype)
-    cache_r = jnp.zeros((pages, 1, page, 64), jnp.float32)
+    cache_r = jnp.zeros((pages, 1, 64, page), jnp.float32)
     slots = jnp.asarray(rng.choice(pages * page, N, replace=False), jnp.int32)
     cos, sin = rope_cos_sin(jnp.arange(N), 64)
 
@@ -101,6 +101,6 @@ def test_mla_preprocess_golden(rng, cache_mode):
     on, orr = np.asarray(out_n, np.float32), np.asarray(out_r)
     sl = np.asarray(slots)
     got_n = np.stack([on[s // page, 0, s % page] for s in sl])
-    got_r = np.stack([orr[s // page, 0, s % page] for s in sl])
+    got_r = np.stack([orr[s // page, 0, :, s % page] for s in sl])
     _close(got_n, kn[:, 0], 1e-2 if cache_mode == "int8_nzcache" else 1e-3)
     _close(got_r, kp[:, 0], 1e-3)

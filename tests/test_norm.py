@@ -38,7 +38,7 @@ def test_add_rms_norm_bias(rng, quantize):
         assert np.mean(np.abs(np.asarray(out, np.int32) - np.asarray(out_ref, np.int32))) < 0.02
     else:
         np.testing.assert_allclose(
-            np.asarray(out, np.float32), np.asarray(out_ref, np.float32), atol=2e-2
+            np.asarray(out, np.float32), np.asarray(out_ref, np.float32), atol=4e-2
         )
 
 
@@ -51,7 +51,7 @@ def test_add_gemma_rms_norm(rng):
     got_n, got_a = norm.add_gemma_rms_norm(x, w, res, 1e-6)
     want_n, want_a = norm.add_gemma_rms_norm_ref(x, w, res, 1e-6)
     np.testing.assert_allclose(np.asarray(got_a, np.float32), np.asarray(want_a, np.float32), atol=1e-2)
-    np.testing.assert_allclose(np.asarray(got_n, np.float32), np.asarray(want_n, np.float32), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(got_n, np.float32), np.asarray(want_n, np.float32), atol=4e-2)
 
 
 def test_l1_norm(rng):

@@ -1,0 +1,58 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_npu_tpu.ops.attention import sinks_attention as sa
+
+
+def _setup(rng, s, hq, hkv, d, dv, page, max_pages):
+    n_pages = s * max_pages
+    q = jnp.asarray(rng.standard_normal((s, hq * d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n_pages, hkv, page, dv)) * 0.5, jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(hq), jnp.float32)
+    bt = jnp.asarray(rng.permutation(n_pages).reshape(s, max_pages), jnp.int32)
+    return q, k, v, sinks, bt
+
+
+@pytest.mark.parametrize("window", [0, 24])
+def test_attention_sinks_decode(rng, window):
+    s, hq, hkv, d, dv, page, max_pages = 3, 8, 2, 64, 64, 16, 4
+    q, k, v, sinks, bt = _setup(rng, s, hq, hkv, d, dv, page, max_pages)
+    ctx = jnp.asarray([5, 33, 64], jnp.int32)
+    scale = 1 / np.sqrt(d)
+    got = sa.attention_sinks(q, k, v, sinks, bt, ctx, scale, window, hq, hkv)
+    want = sa.attention_sinks_ref(q, k, v, sinks, bt, ctx, scale, window, hq, hkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_sink_matters(rng):
+    """Large sink logit must shrink outputs (it eats softmax mass)."""
+    s, hq, hkv, d, dv, page, max_pages = 2, 4, 1, 32, 32, 16, 2
+    q, k, v, _, bt = _setup(rng, s, hq, hkv, d, dv, page, max_pages)
+    ctx = jnp.asarray([20, 30], jnp.int32)
+    small = sa.attention_sinks(q, k, v, jnp.full((hq,), -30.0), bt, ctx, 0.125, 0, hq, hkv)
+    big = sa.attention_sinks(q, k, v, jnp.full((hq,), 30.0), bt, ctx, 0.125, 0, hq, hkv)
+    assert np.abs(np.asarray(big)).max() < 1e-3
+    assert np.abs(np.asarray(small)).max() > 1e-2
+
+
+def test_attention_sinks_prefill_matches_decode_lastrow(rng):
+    """The last query token of each prefill request must equal the decode result."""
+    hq, hkv, d, dv, page, max_pages = 4, 2, 32, 32, 16, 4
+    bsz = 2
+    n_pages = bsz * max_pages
+    k = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n_pages, hkv, page, dv)) * 0.5, jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(hq), jnp.float32)
+    bt = jnp.asarray(rng.permutation(n_pages).reshape(bsz, max_pages), jnp.int32)
+    ctx = jnp.asarray([40, 25], jnp.int32)
+    seq_lens = jnp.asarray([3, 5], jnp.int32)
+    s = int(seq_lens.sum())
+    q = jnp.asarray(rng.standard_normal((s, hq * d)) * 0.5, jnp.float32)
+    scale = 1 / np.sqrt(d)
+    out = sa.attention_sinks_prefill(q, k, v, sinks, seq_lens, bt, ctx, scale, 0, hq, hkv)
+    # last row of each request == decode with same context
+    last_rows = np.asarray(out)[[2, 7]]
+    dec = sa.attention_sinks_ref(q[jnp.asarray([2, 7])], k, v, sinks, bt, ctx, scale, 0, hq, hkv)
+    np.testing.assert_allclose(last_rows, np.asarray(dec), rtol=1e-4, atol=1e-4)
