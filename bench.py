@@ -21,29 +21,40 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench_scanned(per_iter_fn, qs, operands, iters: int, repeats: int = 5):
-    """Time `iters` kernel executions inside ONE jitted scan (the axon tunnel adds
-    large per-dispatch RPC latency, so host-side loops mis-measure device time).
-    Each scan step consumes a different q slice → no CSE/caching.  All large
-    buffers must be passed via `operands` — closure captures would be embedded
-    into the program as constants (hundreds of MB of MLIR)."""
+def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 4):
+    """Per-iteration device time via the marginal cost between two scan lengths.
 
-    @jax.jit
-    def run(qs, operands):
-        def step(carry, q):
-            out = per_iter_fn(q, *operands)
-            return carry + out[0, 0, 0].astype(jnp.float32), None
+    Iterations run inside ONE jitted scan (each step consumes a different q slice
+    → no CSE), the scalar result is fetched to the host (forces completion through
+    the remote-execution tunnel), and the fixed per-dispatch cost — which the axon
+    tunnel makes tens of ms — cancels in the difference.  Large buffers must be
+    passed via `operands`: closure captures are embedded as constants (hundreds of
+    MB of MLIR) and break the remote compiler."""
 
-        total, _ = jax.lax.scan(step, jnp.float32(0), qs)
-        return total
+    def make(niter):
+        @jax.jit
+        def run(qs, operands):
+            def step(carry, q):
+                out = per_iter_fn(q, *operands)
+                return carry + jnp.sum(out.astype(jnp.float32)), None
 
-    jax.block_until_ready(run(qs, operands))  # compile + warm
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(qs, operands))
-        times.append(time.perf_counter() - t0)
-    return min(times) / iters
+            total, _ = jax.lax.scan(step, jnp.float32(0), qs)
+            return total
+        return run
+
+    def timed(run, qs):
+        float(run(qs, operands))  # compile + warm
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(run(qs, operands))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    n1, n2 = qs_small.shape[0], qs_big.shape[0]
+    t1 = timed(make(n1), qs_small)
+    t2 = timed(make(n2), qs_big)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def main():
@@ -67,19 +78,18 @@ def main():
     seq_lens = jnp.full((b,), seq, jnp.int32)
     sm_scale = float(1.0 / np.sqrt(d_nope + d_rope))
 
-    iters = 16 if on_tpu else 2
-    qs = jnp.asarray(
-        rng.standard_normal((iters, b, hq, d_nope + d_rope)), jnp.bfloat16
-    )
+    n1, n2 = (8, 40) if on_tpu else (1, 3)
+    qs_small = jnp.asarray(rng.standard_normal((n1, b, hq, d_nope + d_rope)), jnp.bfloat16)
+    qs_big = jnp.asarray(rng.standard_normal((n2, b, hq, d_nope + d_rope)), jnp.bfloat16)
     operands = (kn, kr, seq_lens, block_table)
     t_kernel = _bench_scanned(
         lambda qq, kn_, kr_, sl_, bt_: da.decode_mla(
             qq, kn_, kr_, sl_, sm_scale, bt_, interpret=not on_tpu),
-        qs, operands, iters,
+        qs_small, qs_big, operands,
     )
     t_golden = _bench_scanned(
         lambda qq, kn_, kr_, sl_, bt_: da.decode_mla_ref(qq, kn_, kr_, sl_, sm_scale, bt_),
-        qs, operands, iters,
+        qs_small, qs_big, operands,
     )
 
     kv_bytes = b * seq * (d_nope + d_rope) * 2  # bf16 KV read per call

@@ -122,6 +122,7 @@ def _mla_kernel(
     i = pl.program_id(0)
     seq_len = seq_lens_ref[i]
     n_pages = (seq_len + page_size - 1) // page_size
+    n_buf = kn_buf.shape[0]
 
     def page_dma(slot, p):
         return (
@@ -133,20 +134,24 @@ def _mla_kernel(
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
     l_ref[...] = jnp.zeros_like(l_ref)
 
-    a0, b0 = page_dma(0, 0)
-    a0.start()
-    b0.start()
+    # fill the pipeline: up to n_buf-1 pages in flight
+    for w in range(n_buf - 1):
+        @pl.when(w < n_pages)
+        def _warm(w=w):
+            aw, bw = page_dma(w, w)
+            aw.start()
+            bw.start()
 
     q_nope = q_nope_ref[0].astype(jnp.float32)
     q_pe = q_pe_ref[0].astype(jnp.float32)
 
     def body(p, _):
-        slot = jax.lax.rem(p, 2)
-        nxt = jax.lax.rem(p + 1, 2)
+        slot = jax.lax.rem(p, n_buf)
+        nxt = jax.lax.rem(p + n_buf - 1, n_buf)
 
-        @pl.when(p + 1 < n_pages)
+        @pl.when(p + n_buf - 1 < n_pages)
         def _prefetch():
-            an, bn = page_dma(nxt, p + 1)
+            an, bn = page_dma(nxt, p + n_buf - 1)
             an.start()
             bn.start()
 
@@ -238,12 +243,12 @@ def decode_mla(
             (1, hq, d_nope), lambda i, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, page_size, d_nope), kn.dtype),
-            pltpu.VMEM((2, d_rope, page_size), kr.dtype),
+            pltpu.VMEM((4, page_size, d_nope), kn.dtype),   # 4-deep page pipeline
+            pltpu.VMEM((4, d_rope, page_size), kr.dtype),
             pltpu.VMEM((hq, d_nope), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((4, 2)),
         ],
     )
     out = pl.pallas_call(

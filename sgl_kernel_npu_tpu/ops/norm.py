@@ -204,6 +204,52 @@ def add_gemma_rms_norm(
     return norm_out, add_out
 
 
+def split_qkv_rmsnorm_rope(
+    x: jax.Array,
+    sin: jax.Array,
+    cos: jax.Array,
+    q_hidden_size: int,
+    kv_hidden_size: int,
+    head_dim: int,
+    eps: float | None = None,
+    q_weight: jax.Array | None = None,
+    k_weight: jax.Array | None = None,
+    q_bias: jax.Array | None = None,
+    k_bias: jax.Array | None = None,
+):
+    """Fused QKV split + per-head RMSNorm + rotate-half RoPE on q/k.
+
+    Parity: norm/split_qkv_rmsnorm_rope.py:202 — input ``[B, q_hidden + 2·kv_hidden]``
+    is split into q/k/v; q and k get per-head RMSNorm (``q_weight``/``k_weight``
+    over ``head_dim``, optional bias) then RoPE (``sin``/``cos`` are ``[B, head_dim]``);
+    v passes through.  Returns ``(q, k, v)``.
+
+    Pure per-head VPU math — under jit XLA emits one fused pass, so no Pallas
+    kernel is warranted (house rule: docs/adding_a_kernel.md §6).
+    """
+    b = x.shape[0]
+    q, k, v = jnp.split(x, [q_hidden_size, q_hidden_size + kv_hidden_size], axis=-1)
+
+    def headwise(t, w, bias):
+        th = t.reshape(b, -1, head_dim).astype(jnp.float32)
+        if eps is not None:
+            var = jnp.mean(th * th, axis=-1, keepdims=True)
+            th = th * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)
+            if bias is not None:
+                th = th + bias.astype(jnp.float32)
+        return th
+
+    def rope(th):
+        half = head_dim // 2
+        rot = jnp.concatenate([-th[..., half:], th[..., :half]], axis=-1)
+        out = th * cos.astype(jnp.float32)[:, None, :] + rot * sin.astype(jnp.float32)[:, None, :]
+        return out.astype(x.dtype).reshape(b, -1)
+
+    q_out = rope(headwise(q, q_weight, q_bias))
+    k_out = rope(headwise(k, k_weight, k_bias))
+    return q_out, k_out, v
+
+
 def _l1_norm_kernel(x_ref, o_ref):
     xf = x_ref[...].astype(jnp.float32)
     o_ref[...] = xf / jnp.sum(xf, axis=-1, keepdims=True)

@@ -326,6 +326,124 @@ def dispatch_ragged_core(
     return out
 
 
+def dispatch_ragged_multi_round(
+    x: jax.Array,
+    topk_idx: jax.Array,
+    *,
+    rounds: int,
+    axis_name: str,
+    num_experts: int,
+    num_ranks: int,
+    pair_capacity: int,
+    seg_capacity: int,
+    use_int8: bool,
+):
+    """Long-sequence normal dispatch in ``rounds`` chunks (bounded comm buffers).
+
+    Equivalent of the reference's multi-round window streaming
+    (DEEPEP_NORMAL_LONG_SEQ_ROUND / _PER_ROUND_TOKENS, deep_ep.cpp:49-73;
+    ShareToOutputLongSeq, cam_moe_dispatch_normal.h:59): each round moves
+    ``T/rounds`` tokens through ``pair_capacity``-sized buffers, and the received
+    rows are merged into ONE globally expert-sorted matrix so a single grouped
+    GEMM still covers the whole batch.
+
+    Returns the same dict as :func:`dispatch_ragged_core` plus per-round handles.
+    """
+    t, hidden = x.shape
+    assert t % rounds == 0, (t, rounds)
+    tr = t // rounds
+    e_local = num_experts // num_ranks
+    per = [
+        dispatch_ragged_core(
+            x[r * tr : (r + 1) * tr],
+            topk_idx[r * tr : (r + 1) * tr],
+            axis_name=axis_name,
+            num_experts=num_experts,
+            num_ranks=num_ranks,
+            pair_capacity=pair_capacity,
+            seg_capacity=seg_capacity,
+            use_int8=use_int8,
+        )
+        for r in range(rounds)
+    ]
+    cap_r = num_ranks * pair_capacity
+    total_cap = rounds * cap_r
+    gs = jnp.stack([p["group_sizes"] for p in per])              # [rounds, E_local]
+    group_sizes = gs.sum(axis=0)
+    # global offset of (round r, expert e) segment: experts major, rounds minor
+    expert_base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(group_sizes.astype(jnp.int32))[:-1]]
+    )                                                             # [E_local]
+    round_off = jnp.cumsum(gs.astype(jnp.int32), axis=0) - gs.astype(jnp.int32)  # [rounds, E_local]
+    seg_off_global = expert_base[None, :] + round_off             # [rounds, E_local]
+
+    merged = jnp.zeros((total_cap, hidden), per[0]["recv_x_sorted"].dtype)
+    merged_scale = jnp.zeros((total_cap,), jnp.float32) if use_int8 else None
+    round_pos = []
+    for r, p in enumerate(per):
+        local_ends = jnp.cumsum(gs[r].astype(jnp.int32))
+        local_start = local_ends - gs[r].astype(jnp.int32)
+        j = jnp.arange(cap_r, dtype=jnp.int32)
+        e_of_row = jnp.clip(
+            jnp.searchsorted(local_ends, j, side="right"), 0, e_local - 1
+        ).astype(jnp.int32)
+        valid = j < local_ends[-1]
+        pos = seg_off_global[r, e_of_row] + (j - local_start[e_of_row])
+        pos = jnp.where(valid, pos, total_cap)                   # OOB → dropped
+        merged = merged.at[pos].set(p["recv_x_sorted"], mode="drop")
+        if use_int8:
+            merged_scale = merged_scale.at[pos].set(p["recv_scales_sorted"], mode="drop")
+        round_pos.append(pos)
+
+    out = {
+        "recv_x_sorted": merged,
+        "group_sizes": group_sizes,
+        "recv_count_matrix": sum(p["recv_count_matrix"] for p in per),
+        "num_dropped": sum(p["num_dropped"] for p in per),
+        "round_handles": [p["handle"] for p in per],
+        "round_positions": round_pos,
+    }
+    if use_int8:
+        out["recv_scales_sorted"] = merged_scale
+    return out
+
+
+def combine_ragged_multi_round(
+    y_sorted: jax.Array,
+    topk_weights: jax.Array,
+    round_handles,
+    round_positions,
+    *,
+    axis_name: str,
+    num_ranks: int,
+    num_local_experts: int,
+    seg_capacity: int,
+    out_dtype=None,
+):
+    """Reverse of :func:`dispatch_ragged_multi_round`: slice each round's rows out
+    of the merged expert-sorted matrix and run the per-round combine."""
+    rounds = len(round_handles)
+    t_r = topk_weights.shape[0] // rounds
+    outs = []
+    total_cap, hidden = y_sorted.shape
+    padded = jnp.concatenate([y_sorted, jnp.zeros((1, hidden), y_sorted.dtype)])
+    for r, (h, pos) in enumerate(zip(round_handles, round_positions)):
+        y_r = padded[jnp.minimum(pos, total_cap)]
+        outs.append(
+            combine_ragged_core(
+                y_r,
+                topk_weights[r * t_r : (r + 1) * t_r],
+                h,
+                axis_name=axis_name,
+                num_ranks=num_ranks,
+                num_local_experts=num_local_experts,
+                seg_capacity=seg_capacity,
+                out_dtype=out_dtype,
+            )
+        )
+    return jnp.concatenate(outs, axis=0)
+
+
 def combine_ragged_core(
     y_sorted: jax.Array,
     topk_weights: jax.Array,

@@ -59,3 +59,24 @@ def test_l1_norm(rng):
     got = norm.l1_norm(x)
     want = norm.l1_norm_ref(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_split_qkv_rmsnorm_rope(rng):
+    from sgl_kernel_npu_tpu.ops.rope import rope_cos_sin
+
+    b, hd, qh, kvh = 5, 64, 256, 128  # 4 q heads, 2 kv heads
+    x = jnp.asarray(rng.standard_normal((b, qh + 2 * kvh)), jnp.float32)
+    qw = jnp.asarray(rng.uniform(0.5, 1.5, hd), jnp.float32)
+    kw = jnp.asarray(rng.uniform(0.5, 1.5, hd), jnp.float32)
+    cos, sin = rope_cos_sin(jnp.arange(b), hd)
+    q, k, v = norm.split_qkv_rmsnorm_rope(x, sin, cos, qh, kvh, hd, 1e-6, qw, kw)
+    # v is a pure passthrough
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(x[:, qh + kvh :]))
+    # manual golden for q head 1
+    from sgl_kernel_npu_tpu.ops.rope import apply_rope
+
+    xh = np.asarray(x[:, hd : 2 * hd], np.float32)
+    var = (xh ** 2).mean(-1, keepdims=True)
+    normed = xh / np.sqrt(var + 1e-6) * np.asarray(qw)
+    want = np.asarray(apply_rope(jnp.asarray(normed)[:, None, :], cos, sin))[:, 0]
+    np.testing.assert_allclose(np.asarray(q[:, hd : 2 * hd]), want, rtol=1e-4, atol=1e-4)
