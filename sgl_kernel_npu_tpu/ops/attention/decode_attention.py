@@ -116,75 +116,116 @@ def _mla_kernel(
     sm_scale,
     page_size,
 ):
-    """One grid step per sequence; the page walk is a manually double-buffered DMA
-    loop, so per-page cost is one in-flight copy instead of a full grid step (the
-    grid-step variant measured ~2 µs/page of fixed overhead — latency-bound)."""
-    i = pl.program_id(0)
-    seq_len = seq_lens_ref[i]
-    n_pages = (seq_len + page_size - 1) // page_size
-    n_buf = kn_buf.shape[0]
+    """Whole batch in ONE grid step: a single flat DMA pipeline walks every
+    (sequence, super-page) pair with no drain at sequence boundaries.
 
-    def page_dma(slot, p):
-        return (
-            pltpu.make_async_copy(kn_hbm.at[block_table_ref[i, p]], kn_buf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(kr_hbm.at[block_table_ref[i, p]], kr_buf.at[slot], sems.at[slot, 1]),
-        )
+    Each super-step launches ``group`` page DMAs into one contiguous buffer and
+    computes one flash update over ``group·page_size`` keys (4×-wider matmuls and
+    4× fewer semaphore waits than page-at-a-time, which measured ~550 ns/page of
+    loop overhead vs the 180 ns DMA; the per-sequence grid variant additionally
+    lost a pipeline fill per sequence)."""
+    bsz = q_nope_ref.shape[0]
+    n_buf, sp_keys, d_nope = kn_buf.shape
+    group = sp_keys // page_size
+    max_pages = block_table_ref.shape[1]
+    n_super = (max_pages + group - 1) // group
+    total = bsz * n_super
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-    l_ref[...] = jnp.zeros_like(l_ref)
+    def super_dma(slot, t):
+        """DMA the `group` pages of flat step t = i·n_super + s (clamped)."""
+        i = t // n_super
+        s = t - i * n_super
+        seq_len = seq_lens_ref[i]
+        last = jnp.maximum((seq_len + page_size - 1) // page_size - 1, 0)
+        for g in range(group):
+            p = jnp.minimum(s * group + g, last)
+            pg = block_table_ref[i, p]
+            pltpu.make_async_copy(
+                kn_hbm.at[pg], kn_buf.at[slot, pl.ds(g * page_size, page_size), :],
+                sems.at[slot, 0, g],
+            ).start()
+            pltpu.make_async_copy(
+                kr_hbm.at[pg], kr_buf.at[slot, :, pl.ds(g * page_size, page_size)],
+                sems.at[slot, 1, g],
+            ).start()
 
-    # fill the pipeline: up to n_buf-1 pages in flight
+    def super_wait(slot, t):
+        i = t // n_super
+        s = t - i * n_super
+        seq_len = seq_lens_ref[i]
+        last = jnp.maximum((seq_len + page_size - 1) // page_size - 1, 0)
+        for g in range(group):
+            p = jnp.minimum(s * group + g, last)
+            pg = block_table_ref[i, p]
+            pltpu.make_async_copy(
+                kn_hbm.at[pg], kn_buf.at[slot, pl.ds(g * page_size, page_size), :],
+                sems.at[slot, 0, g],
+            ).wait()
+            pltpu.make_async_copy(
+                kr_hbm.at[pg], kr_buf.at[slot, :, pl.ds(g * page_size, page_size)],
+                sems.at[slot, 1, g],
+            ).wait()
+
     for w in range(n_buf - 1):
-        @pl.when(w < n_pages)
+        @pl.when(w < total)
         def _warm(w=w):
-            aw, bw = page_dma(w, w)
-            aw.start()
-            bw.start()
+            super_dma(w, w)
 
-    q_nope = q_nope_ref[0].astype(jnp.float32)
-    q_pe = q_pe_ref[0].astype(jnp.float32)
+    def body(t, _):
+        i = t // n_super
+        s = t - i * n_super
+        seq_len = seq_lens_ref[i]
+        slot = jax.lax.rem(t, n_buf)
+        nxt = jax.lax.rem(t + n_buf - 1, n_buf)
 
-    def body(p, _):
-        slot = jax.lax.rem(p, n_buf)
-        nxt = jax.lax.rem(p + n_buf - 1, n_buf)
-
-        @pl.when(p + n_buf - 1 < n_pages)
+        @pl.when(t + n_buf - 1 < total)
         def _prefetch():
-            an, bn = page_dma(nxt, p + n_buf - 1)
-            an.start()
-            bn.start()
+            super_dma(nxt, t + n_buf - 1)
 
-        aw, bw = page_dma(slot, p)
-        aw.wait()
-        bw.wait()
+        super_wait(slot, t)
 
-        k_nope = kn_buf[slot].astype(jnp.float32)
-        k_rope_t = kr_buf[slot].astype(jnp.float32)          # [rope, page]
-        qk = jax.lax.dot_general(
-            q_nope, k_nope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        qk += jax.lax.dot_general(
-            q_pe, k_rope_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        qk *= sm_scale
-        pos = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-        qk = jnp.where(pos < seq_len - p * page_size, qk, NEG_INF)
+        @pl.when(s == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
 
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        probs = jnp.exp(qk - m_new)
-        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
-        m_ref[:, :1] = m_new
-        pv = jax.lax.dot_general(
-            probs, k_nope, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        acc_ref[...] = acc_ref[...] * alpha + pv
+        valid = seq_len - s * sp_keys
+
+        @pl.when(valid > 0)
+        def _compute():
+            q_nope = q_nope_ref[i].astype(jnp.float32)
+            q_pe = q_pe_ref[i].astype(jnp.float32)
+            k_nope = kn_buf[slot].astype(jnp.float32)            # [G·page, 512]
+            k_rope_t = kr_buf[slot].astype(jnp.float32)          # [rope, G·page]
+            qk = jax.lax.dot_general(
+                q_nope, k_nope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            qk += jax.lax.dot_general(
+                q_pe, k_rope_t, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            qk *= sm_scale
+            pos = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+            qk = jnp.where(pos < valid, qk, NEG_INF)
+
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            probs = jnp.exp(qk - m_new)
+            l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
+            m_ref[:, :1] = m_new
+            pv = jax.lax.dot_general(
+                probs, k_nope, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            acc_ref[...] = acc_ref[...] * alpha + pv
+
+        @pl.when(s == n_super - 1)
+        def _finish():
+            o_ref[i] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
         return 0
 
-    jax.lax.fori_loop(0, n_pages, body, 0)
-    o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+    jax.lax.fori_loop(0, total, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
@@ -219,6 +260,9 @@ def decode_mla(
     d_rope = k_rope_buffer.shape[-2]
     assert hkv == 1, "MLA latent cache has a single KV head"
     assert k_rope_buffer.shape[-1] == page_size, "rope cache must be transposed [*, rope, page]"
+    if not interpret and (page_size % 128 != 0 or d_nope % 128 != 0):
+        # compiled path DMA-slices HBM pages: both dims must be lane/tile aligned.
+        return decode_mla_ref(q, k_nope_buffer, k_rope_buffer, kv_seq_lens, sm_scale, block_table)
     max_pages = block_table.shape[1]
     hq_orig = hq
     hq = max(8, -(-hq // 8) * 8)  # pad heads to a sublane tile
@@ -229,26 +273,25 @@ def decode_mla(
         q_nope, q_pe = jnp.pad(q_nope, pad), jnp.pad(q_pe, pad)
     kn = k_nope_buffer.reshape(n_pages_total, page_size, d_nope)
     kr = k_rope_buffer.reshape(n_pages_total, d_rope, page_size)
+    group = min(4, max_pages)  # pages per super-step (one wait per `group` pages)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, hq, d_nope), lambda i, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hq, d_rope), lambda i, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # paged caches stay in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q_nope, whole batch resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # q_pe
+            pl.BlockSpec(memory_space=pltpu.ANY),    # paged caches stay in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, hq, d_nope), lambda i, bt, sl: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((4, page_size, d_nope), kn.dtype),   # 4-deep page pipeline
-            pltpu.VMEM((4, d_rope, page_size), kr.dtype),
+            pltpu.VMEM((2, group * page_size, d_nope), kn.dtype),  # double-buffered super-pages
+            pltpu.VMEM((2, d_rope, group * page_size), kr.dtype),
             pltpu.VMEM((hq, d_nope), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((2, 2, group)),
         ],
     )
     out = pl.pallas_call(

@@ -131,6 +131,36 @@ def chunk_gated_delta_rule(
     return o.astype(v.dtype), final
 
 
+def chunk_gated_delta_rule_varlen(
+    q, k, v, g, beta, cu_seqlens, *,
+    scale=None, chunk_size=64, use_qk_l2norm_in_kernel=False,
+):
+    """Varlen (packed) chunked GDN: sequences concatenated on the token dim with
+    boundaries at ``cu_seqlens`` (reference chunk.py:250 cu_seqlens path).
+
+    One fused batch-of-1 pass instead of the reference's per-sequence Python loop
+    (chunk.py:161-183): adding a large negative constant to ``g`` at each sequence
+    start makes every cross-boundary decay factor exp(Δg) underflow to exactly 0,
+    so the state resets at boundaries *inside* the chunked math — boundaries need
+    not be chunk-aligned.  Initial states are zero (use the recurrent path to
+    resume from per-request state pools).
+
+    Args: tensors shaped ``[T_total, H(V), D]`` / ``[T_total, HV]``;
+    ``cu_seqlens [N+1]``.  Returns ``(o [T_total, HV, V], None)``.
+    """
+    t = q.shape[0]
+    big = jnp.float32(1e4)
+    starts = cu_seqlens[:-1]
+    is_start = jnp.zeros((t,), jnp.float32).at[starts].set(1.0, mode="drop")
+    g_reset = g.astype(jnp.float32) - big * is_start[:, None]
+    o, _ = chunk_gated_delta_rule(
+        q[None], k[None], v[None], g_reset[None], beta[None],
+        scale=scale, chunk_size=chunk_size, output_final_state=False,
+        use_qk_l2norm_in_kernel=use_qk_l2norm_in_kernel,
+    )
+    return o[0], None
+
+
 def chunk_gated_delta_rule_ref(q, k, v, g, beta, *, scale=None, chunk_size=64,
                                initial_state=None, use_qk_l2norm_in_kernel=False):
     """Straight-line per-chunk loop port of the native math (chunk.py:47) — golden."""

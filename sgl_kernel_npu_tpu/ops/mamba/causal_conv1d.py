@@ -64,12 +64,21 @@ def causal_conv1d_update(
     bias: jax.Array | None = None,
     activation: str | bool | None = None,
     conv_state_indices: jax.Array | None = None,   # [B] (PAD_SLOT_ID = skip)
+    num_accepted_tokens: jax.Array | None = None,  # [B] MTP: accepted drafts last step
+    intermediate_conv_window: jax.Array | None = None,  # [pool, S_prev, D, state_len]
     pad_slot_id: int = PAD_SLOT_ID,
 ):
     """Decode conv update over a state pool.
 
-    Returns ``(out, new_conv_state)``; rows with ``conv_state_indices ==
+    Returns ``(out, new_conv_state)`` — or ``(out, new_conv_state, new_window)``
+    when ``intermediate_conv_window`` is given.  Rows with ``conv_state_indices ==
     pad_slot_id`` neither read nor write the pool.
+
+    MTP / speculative decoding (reference causal_conv1d.py:384,554): the previous
+    step saved the conv window *after each draft token* into
+    ``intermediate_conv_window``; this step resumes from the window of the last
+    accepted token (``num_accepted_tokens − 1``) and records fresh per-token
+    windows for the next verification round.
     """
     squeeze = x.ndim == 2
     if squeeze:
@@ -83,7 +92,13 @@ def causal_conv1d_update(
     valid = idx != pad_slot_id
     safe = jnp.where(valid, idx, 0).clip(0, pool - 1)
 
-    state = jnp.where(valid[:, None, None], conv_state[safe], 0.0).astype(jnp.float32)
+    if num_accepted_tokens is not None and intermediate_conv_window is not None:
+        off = jnp.clip(num_accepted_tokens.astype(jnp.int32) - 1, 0,
+                       intermediate_conv_window.shape[1] - 1)
+        state = intermediate_conv_window[safe, off]          # [B, D, state_len]
+    else:
+        state = conv_state[safe]
+    state = jnp.where(valid[:, None, None], state, 0.0).astype(jnp.float32)
     xf = x.astype(jnp.float32)
     window = jnp.concatenate([state, xf], axis=-1)          # [B, D, state_len + S]
     out = jnp.zeros((b, d, s), jnp.float32)
@@ -97,4 +112,15 @@ def causal_conv1d_update(
     new_state_rows = window[:, :, -state_len:].astype(conv_state.dtype)
     scatter_idx = jnp.where(valid, idx, pool)               # OOB → dropped
     new_pool = conv_state.at[scatter_idx].set(new_state_rows, mode="drop")
-    return (out[:, :, 0] if squeeze else out), new_pool
+    out = out[:, :, 0] if squeeze else out
+    if intermediate_conv_window is None:
+        return out, new_pool
+    # per-token windows: window ending after token j (inclusive)
+    wins = jnp.stack(
+        [window[:, :, j + 1 : j + 1 + state_len] for j in range(s)], axis=1
+    ).astype(intermediate_conv_window.dtype)                # [B, S, D, state_len]
+    s_prev = intermediate_conv_window.shape[1]
+    if s < s_prev:
+        wins = jnp.pad(wins, ((0, 0), (0, s_prev - s), (0, 0), (0, 0)))
+    new_window = intermediate_conv_window.at[scatter_idx].set(wins[:, :s_prev], mode="drop")
+    return out, new_pool, new_window

@@ -101,3 +101,31 @@ def test_l2norm_and_layernorm_gated(rng):
     zn = np.asarray(z)
     want = rms.reshape(6, 64) * np.asarray(w) * zn * (1 / (1 + np.exp(-zn)))
     np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-4)
+
+
+def test_chunk_gdn_varlen_matches_per_sequence(rng):
+    """Packed varlen (boundary reset) == independent per-sequence runs."""
+    from sgl_kernel_npu_tpu.ops.fla.chunk import chunk_gated_delta_rule_varlen
+
+    h, kd, vd = 2, 16, 16
+    lens = [10, 5, 17]
+    cu = jnp.asarray(np.concatenate([[0], np.cumsum(lens)]), jnp.int32)
+    t = sum(lens)
+    q = jnp.asarray(rng.standard_normal((t, h, kd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((t, h, kd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((t, h, vd)) * 0.5, jnp.float32)
+    g = jnp.asarray(-np.abs(rng.standard_normal((t, h))) * 0.2, jnp.float32)
+    beta = jnp.asarray(rng.random((t, h)), jnp.float32)
+
+    o, _ = chunk_gated_delta_rule_varlen(q, k, v, g, beta, cu, chunk_size=8,
+                                         use_qk_l2norm_in_kernel=True)
+    off = 0
+    for ln in lens:
+        sl = slice(off, off + ln)
+        o_ref, _ = chunk_gated_delta_rule(
+            q[None, sl], k[None, sl], v[None, sl], g[None, sl], beta[None, sl],
+            chunk_size=8, use_qk_l2norm_in_kernel=True)
+        np.testing.assert_allclose(
+            np.asarray(o[sl]), np.asarray(o_ref[0]), rtol=3e-3, atol=3e-3,
+        )
+        off += ln

@@ -72,3 +72,34 @@ def test_causal_conv1d_update_pad_slot(rng):
         np.delete(np.asarray(new_pool), 3, axis=0), np.delete(np.asarray(pool), 3, axis=0)
     )
     assert not np.allclose(np.asarray(new_pool)[3], np.asarray(pool)[3])
+
+
+def test_causal_conv1d_mtp_rollback(rng):
+    """Speculative decoding: resume from the window of the last accepted draft."""
+    b, d, w = 2, 4, 4
+    state_len, s_draft = w - 1, 3
+    pool = jnp.zeros((b, d, state_len), jnp.float32)
+    window_pool = jnp.zeros((b, s_draft, d, state_len), jnp.float32)
+    weight = jnp.asarray(rng.standard_normal((d, w)), jnp.float32)
+    idx = jnp.arange(b, dtype=jnp.int32)
+
+    # step 1: process 3 draft tokens, saving per-token windows
+    xd = jnp.asarray(rng.standard_normal((b, d, s_draft)), jnp.float32)
+    out1, pool1, window_pool = causal_conv1d_update(
+        xd, pool, weight, activation=None, conv_state_indices=idx,
+        intermediate_conv_window=window_pool,
+    )
+    # step 2: request 0 accepted 2 drafts, request 1 accepted 1
+    acc = jnp.asarray([2, 1], jnp.int32)
+    x2 = jnp.asarray(rng.standard_normal((b, d)), jnp.float32)
+    out2, _, _ = causal_conv1d_update(
+        x2, pool1, weight, activation=None, conv_state_indices=idx,
+        num_accepted_tokens=acc, intermediate_conv_window=window_pool,
+    )
+    # golden: recompute from scratch with only the accepted prefixes
+    for bi, a in enumerate([2, 1]):
+        seq = np.concatenate([np.asarray(xd)[bi, :, :a], np.asarray(x2)[bi][:, None]], -1)
+        full = causal_conv1d_fn(jnp.asarray(seq)[None], weight, activation=None)
+        np.testing.assert_allclose(
+            np.asarray(out2)[bi], np.asarray(full)[0, :, -1], rtol=1e-5, atol=1e-6
+        )
