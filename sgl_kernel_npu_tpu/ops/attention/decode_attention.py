@@ -273,7 +273,7 @@ def decode_mla(
         q_nope, q_pe = jnp.pad(q_nope, pad), jnp.pad(q_pe, pad)
     kn = k_nope_buffer.reshape(n_pages_total, page_size, d_nope)
     kr = k_rope_buffer.reshape(n_pages_total, d_rope, page_size)
-    group = min(4, max_pages)  # pages per super-step (one wait per `group` pages)
+    group = min(8, max_pages)  # pages per super-step (one wait per `group` pages)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

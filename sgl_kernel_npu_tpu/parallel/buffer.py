@@ -206,11 +206,17 @@ class Buffer:
         topk_idx: jax.Array,
         *,
         use_int8: bool | None = None,
+        rounds: int | None = None,
     ):
         """Normal-mode dispatch (reference buffer.py:233 → intranode_dispatch):
         returns expert-sorted ragged tokens ready for ``jax.lax.ragged_dot``.
 
-        Returns ``(recv_x_sorted [R, R*C, H], recv_scales | None, group_sizes
+        ``rounds`` (default from ``config.normal_round_tokens``) streams long
+        prefill batches through bounded comm buffers (the reference's multi-round
+        long-seq mode, deep_ep.cpp:49-73) — same results, 1/rounds the buffer
+        memory.
+
+        Returns ``(recv_x_sorted [R, cap, H], recv_scales | None, group_sizes
         [R, E_local], handle, stats)`` with dim 0 = rank.
         """
         use_int8 = (
@@ -218,6 +224,10 @@ class Buffer:
         )
         t = x.shape[0] // self.group_size
         k = topk_idx.shape[1]
+        if rounds is None and self.config.normal_round_tokens:
+            rounds = max(1, t // self.config.normal_round_tokens)
+        if rounds and rounds > 1:
+            return self._dispatch_multi_round(x, topk_idx, use_int8, rounds)
         pair, seg = self._capacities(t, k)
 
         def body(xs, idx):
@@ -251,15 +261,62 @@ class Buffer:
         stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
         return xs, (scales if use_int8 else None), gs, handle, stats
 
+    def _dispatch_multi_round(self, x, topk_idx, use_int8, rounds):
+        t = x.shape[0] // self.group_size
+        k = topk_idx.shape[1]
+        tr = t // rounds
+        pair = self.config.pair_capacity(tr, k, self.group_size, self.num_local_experts)
+        seg = tr
+
+        def body(xs, idx):
+            res = ep_core.dispatch_ragged_multi_round(
+                xs, idx, rounds=rounds,
+                axis_name=self.axis_name, num_experts=self.num_experts,
+                num_ranks=self.group_size, pair_capacity=pair, seg_capacity=seg,
+                use_int8=use_int8,
+            )
+            scales = res.get("recv_scales_sorted")
+            flat = (
+                res["recv_x_sorted"][None],
+                scales[None] if scales is not None else jnp.zeros((1, 1), jnp.float32),
+                res["group_sizes"][None],
+                res["recv_count_matrix"][None],
+                res["num_dropped"][None],
+            )
+            per_round = (
+                tuple(h.gather_idx[None] for h in res["round_handles"])
+                + tuple(h.ok[None] for h in res["round_handles"])
+                + tuple(h.recv_sort_order[None] for h in res["round_handles"])
+                + tuple(p[None] for p in res["round_positions"])
+            )
+            return flat + per_round
+
+        p = P(self.axis_name)
+        n_out = 5 + 4 * rounds
+        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * n_out)(x, topk_idx)
+        xs, scales, gs, cmat, dropped = outs[:5]
+        gidx = outs[5 : 5 + rounds]
+        oks = outs[5 + rounds : 5 + 2 * rounds]
+        orders = outs[5 + 2 * rounds : 5 + 3 * rounds]
+        pos = outs[5 + 3 * rounds :]
+        handle = {
+            "rounds": rounds, "seg": seg,
+            "gather_idx": gidx, "ok": oks, "orders": orders, "positions": pos,
+        }
+        stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
+        return xs, (scales if use_int8 else None), gs, handle, stats
+
     def combine(
         self,
         y_sorted: jax.Array,
         topk_weights: jax.Array,
-        handle: ep_core.DispatchHandle,
+        handle,
         *,
         out_dtype=jnp.bfloat16,
     ):
         """Normal-mode combine (reference buffer.py:480)."""
+        if isinstance(handle, dict):  # multi-round handle
+            return self._combine_multi_round(y_sorted, topk_weights, handle, out_dtype)
         t = topk_weights.shape[0] // self.group_size
         k = topk_weights.shape[1]
         pair, seg = self._capacities(t, k)
@@ -281,6 +338,30 @@ class Buffer:
         return self._smap(body, in_specs=(p,) * 5, out_specs=p)(
             y_sorted, topk_weights, handle.gather_idx, handle.ok, handle.recv_sort_order
         )
+
+    def _combine_multi_round(self, y_sorted, topk_weights, handle, out_dtype):
+        rounds, seg = handle["rounds"], handle["seg"]
+
+        def body(ys, w, *hs):
+            gidx = hs[:rounds]
+            oks = hs[rounds : 2 * rounds]
+            orders = hs[2 * rounds : 3 * rounds]
+            pos = hs[3 * rounds :]
+            handles = [
+                ep_core.DispatchHandle(g[0], o[0], so[0], None)
+                for g, o, so in zip(gidx, oks, orders)
+            ]
+            return ep_core.combine_ragged_multi_round(
+                ys[0], w, handles, [pp[0] for pp in pos],
+                axis_name=self.axis_name, num_ranks=self.group_size,
+                num_local_experts=self.num_local_experts, seg_capacity=seg,
+                out_dtype=out_dtype,
+            )
+
+        p = P(self.axis_name)
+        args = (y_sorted, topk_weights, *handle["gather_idx"], *handle["ok"],
+                *handle["orders"], *handle["positions"])
+        return self._smap(body, in_specs=(p,) * len(args), out_specs=p)(*args)
 
     # -- fused MoE -------------------------------------------------------------------
 

@@ -53,3 +53,22 @@ def test_multi_round_matches_single(mesh8, rng):
     # golden: y = 2x ⇒ combined = 2·Σw·x
     golden = 2 * np.asarray(x) * np.asarray(w).sum(1, keepdims=True)
     np.testing.assert_allclose(np.asarray(out2), golden, rtol=1e-4, atol=1e-4)
+
+
+def test_buffer_multi_round_api(mesh8, rng):
+    from sgl_kernel_npu_tpu.config import EPConfig
+    from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+
+    buf = Buffer(mesh8, "ep", num_experts=E, config=EPConfig(
+        num_max_dispatch_tokens_per_rank=T, use_int8_dispatch=False,
+        normal_round_tokens=T // 2))
+    n = R * T
+    x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    idx = jnp.asarray(np.stack([rng.choice(E, K, replace=False) for _ in range(n)]), jnp.int32)
+    w = jnp.asarray(rng.random((n, K)), jnp.float32)
+    xs, _, gs, handle, stats = buf.dispatch(x, idx)   # auto 2 rounds
+    assert isinstance(handle, dict) and handle["rounds"] == 2
+    ys = xs * 3.0
+    out = buf.combine(ys, w, handle, out_dtype=jnp.float32)
+    golden = 3 * np.asarray(x) * np.asarray(w).sum(1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-4, atol=1e-4)
