@@ -305,6 +305,181 @@ def decode_mla(
 
 
 # ---------------------------------------------------------------------------
+# Pallas GQA decode — flat-pipeline variant (the `decode_gqa_high_performance`
+# equivalent, reference decode_attention.py:646): same continuous DMA walk as the
+# MLA kernel, one flat loop over (sequence, kv-head, super-page).
+# ---------------------------------------------------------------------------
+
+def _gqa_flat_kernel(
+    block_table_ref,  # [B, max_pages]
+    seq_lens_ref,     # [B]
+    q_ref,            # [B, Hkv, group, Dk] VMEM
+    k_hbm,            # [pages, Hkv, page, Dk] HBM
+    v_hbm,            # [pages, Hkv, page, Dv] HBM
+    o_ref,            # [B, Hkv, group, Dv] VMEM
+    k_buf,            # [2, G*page, Dk]
+    v_buf,            # [2, G*page, Dv]
+    acc_ref, m_ref, l_ref,
+    sems,             # [2, 2, G]
+    *,
+    sm_scale,
+    page_size,
+):
+    bsz, hkv = q_ref.shape[0], q_ref.shape[1]
+    n_buf, sp_keys, dk = k_buf.shape
+    group_pages = sp_keys // page_size
+    max_pages = block_table_ref.shape[1]
+    n_super = (max_pages + group_pages - 1) // group_pages
+    per_seq = hkv * n_super
+    total = bsz * per_seq
+
+    def decompose(t):
+        i = t // per_seq
+        r = t - i * per_seq
+        h = r // n_super
+        s = r - h * n_super
+        return i, h, s
+
+    def super_dma(slot, t):
+        i, h, s = decompose(t)
+        seq_len = seq_lens_ref[i]
+        last = jnp.maximum((seq_len + page_size - 1) // page_size - 1, 0)
+        for g in range(group_pages):
+            p = jnp.minimum(s * group_pages + g, last)
+            pg = block_table_ref[i, p]
+            pltpu.make_async_copy(
+                k_hbm.at[pg, h], k_buf.at[slot, pl.ds(g * page_size, page_size), :],
+                sems.at[slot, 0, g],
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[pg, h], v_buf.at[slot, pl.ds(g * page_size, page_size), :],
+                sems.at[slot, 1, g],
+            ).start()
+
+    def super_wait(slot, t):
+        i, h, s = decompose(t)
+        seq_len = seq_lens_ref[i]
+        last = jnp.maximum((seq_len + page_size - 1) // page_size - 1, 0)
+        for g in range(group_pages):
+            p = jnp.minimum(s * group_pages + g, last)
+            pg = block_table_ref[i, p]
+            pltpu.make_async_copy(
+                k_hbm.at[pg, h], k_buf.at[slot, pl.ds(g * page_size, page_size), :],
+                sems.at[slot, 0, g],
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[pg, h], v_buf.at[slot, pl.ds(g * page_size, page_size), :],
+                sems.at[slot, 1, g],
+            ).wait()
+
+    for w in range(n_buf - 1):
+        @pl.when(w < total)
+        def _warm(w=w):
+            super_dma(w, w)
+
+    def body(t, _):
+        i, h, s = decompose(t)
+        seq_len = seq_lens_ref[i]
+        slot = jax.lax.rem(t, n_buf)
+        nxt = jax.lax.rem(t + n_buf - 1, n_buf)
+
+        @pl.when(t + n_buf - 1 < total)
+        def _prefetch():
+            super_dma(nxt, t + n_buf - 1)
+
+        super_wait(slot, t)
+
+        @pl.when(s == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+
+        valid = seq_len - s * sp_keys
+
+        @pl.when(valid > 0)
+        def _compute():
+            q = q_ref[i, h].astype(jnp.float32)
+            k = k_buf[slot].astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.float32)
+            qk = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sm_scale
+            pos = jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+            qk = jnp.where(pos < valid, qk, NEG_INF)
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            probs = jnp.exp(qk - m_new)
+            l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
+            m_ref[:, :1] = m_new
+            acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+                probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        @pl.when(s == n_super - 1)
+        def _finish():
+            o_ref[i, h] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+        return 0
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def decode_gqa_high_performance(
+    q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *, interpret=None
+):
+    """Flat-pipeline paged GQA decode (reference decode_attention.py:646 analogue).
+
+    Same signature/layout as :func:`decode_gqa`; requires lane-aligned head dims
+    (falls back to :func:`decode_gqa` otherwise).
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    b, hq, dk = q.shape
+    n_pages_total, hkv, page_size, _ = k_buffer.shape
+    dv = v_buffer.shape[-1]
+    if not interpret and (dk % 128 or dv % 128 or page_size % 8):
+        return decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table,
+                          interpret=interpret)
+    group = hq // hkv
+    group_p = max(8, -(-group // 8) * 8)
+    qg = q.reshape(b, hkv, group, dk)
+    if group_p != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+    max_pages = block_table.shape[1]
+    gp = min(8, max_pages)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, gp * page_size, dk), k_buffer.dtype),
+            pltpu.VMEM((2, gp * page_size, dv), v_buffer.dtype),
+            pltpu.VMEM((group_p, dv), jnp.float32),
+            pltpu.VMEM((group_p, 128), jnp.float32),
+            pltpu.VMEM((group_p, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2, gp)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gqa_flat_kernel, sm_scale=sm_scale, page_size=page_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group_p, dv), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), qg, k_buffer, v_buffer)
+    return out[:, :, :group].reshape(b, hq, dv)
+
+
+# ---------------------------------------------------------------------------
 # Pallas GQA decode
 # ---------------------------------------------------------------------------
 

@@ -45,3 +45,20 @@ def test_decode_gqa(rng, hq, hkv, dk, dv):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
     )
+
+
+@pytest.mark.parametrize("hq,hkv,dk,dv", [(8, 2, 128, 128), (16, 16, 128, 128)])
+def test_decode_gqa_high_performance(rng, hq, hkv, dk, dv):
+    b, page, max_pages = 2, 16, 5
+    n_pages = b * max_pages
+    q = jnp.asarray(rng.standard_normal((b, hq, dk)) * 0.5, jnp.bfloat16)
+    k = _mk_paged(rng, n_pages, page, hkv, dk)
+    v = _mk_paged(rng, n_pages, page, hkv, dv)
+    block_table = jnp.asarray(rng.permutation(n_pages).reshape(b, max_pages), jnp.int32)
+    seq_lens = jnp.asarray([9, 61], jnp.int32)
+    sm_scale = 1.0 / np.sqrt(dk)
+    got = da.decode_gqa_high_performance(q, k, v, seq_lens, sm_scale, block_table)
+    want = da.decode_gqa_ref(q, k, v, seq_lens, sm_scale, block_table)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
+    )
