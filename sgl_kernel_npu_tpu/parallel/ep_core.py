@@ -74,18 +74,32 @@ def make_routing_plan(
     my_rank: jax.Array,
     pair_capacity: int,
     seg_capacity: int,
+    rank_remap: jax.Array | None = None,
 ) -> RoutingPlan:
     """One stable sort → every routing decision for this batch.
 
     ``pair_capacity`` bounds rows sent from this rank to one destination rank;
     ``seg_capacity`` bounds rows landing in one (expert, src-rank) segment of the
     receiver's packed layout (= max tokens per rank, since topk experts are distinct).
+
+    ``rank_remap`` (optional ``[num_ranks]`` int32) maps logical expert-owner ranks
+    to surviving physical ranks — the reference's elastic scale-down ``elastic_info``
+    (moe_distribute_dispatch_v2.h:270 InitElasticInfo, remap at :581-582,673-675).
+    Entries < 0 mark dead ranks: their experts' tokens are dropped (counted).
     """
     t, k = topk_idx.shape
     n = t * k
     e_local = num_experts // num_ranks
     flat_e = topk_idx.reshape(n).astype(jnp.int32)
     valid = flat_e >= 0
+    dead_drops = jnp.int32(0)
+    if rank_remap is not None:
+        owner = jnp.where(valid, flat_e // e_local, 0)
+        new_rank = rank_remap.astype(jnp.int32)[owner]
+        dead_drops = jnp.sum(valid & (new_rank < 0)).astype(jnp.int32)
+        valid &= new_rank >= 0
+        # re-key so the sort groups by the *physical* destination
+        flat_e = jnp.where(valid, new_rank * e_local + flat_e % e_local, flat_e)
     key = jnp.where(valid, flat_e, num_experts)
 
     order = jnp.argsort(key, stable=True)
@@ -98,7 +112,7 @@ def make_routing_plan(
 
     sorted_valid = sorted_key < num_experts
     ok_sorted = sorted_valid & (idx_in_dst < pair_capacity) & (idx_in_expert < seg_capacity)
-    num_dropped = jnp.sum(sorted_valid & ~ok_sorted)
+    num_dropped = jnp.sum(sorted_valid & ~ok_sorted) + dead_drops
 
     e_local_id = jnp.where(sorted_valid, sorted_key % e_local, 0)
     dest_slot_sorted = jnp.where(
@@ -151,6 +165,7 @@ def dispatch_core(
     pair_capacity: int,
     seg_capacity: int,
     use_int8: bool,
+    rank_remap: jax.Array | None = None,
 ):
     """Per-rank dispatch body (run inside shard_map).
 
@@ -172,6 +187,7 @@ def dispatch_core(
         my_rank=my_rank,
         pair_capacity=pair_capacity,
         seg_capacity=seg_capacity,
+        rank_remap=rank_remap,
     )
 
     if use_int8:

@@ -158,3 +158,39 @@ def test_capacity_drop_counted(mesh8, rng):
     idx = jnp.asarray(np.tile(np.arange(K), (n, 1)), jnp.int32)  # experts 0..3 (rank 0/1)
     _, _, _, _, stats = buf.low_latency_dispatch(x, idx)
     assert int(np.asarray(stats["num_dropped"]).sum()) > 0
+
+
+def test_elastic_rank_remap(mesh8, rng, buf):
+    """Elastic scale-down: rank 3's experts rehomed to rank 0; rank 5 dead."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from sgl_kernel_npu_tpu.parallel import ep_core
+
+    n = 8 * T
+    x, idx, w = _make_inputs(rng, 8)
+    remap = np.arange(8, dtype=np.int32)
+    remap[3] = 0     # rank 3's experts now served by rank 0
+    remap[5] = -1    # rank 5 dead: its experts' tokens dropped
+
+    def body(xs, ids):
+        d = ep_core.dispatch_core(
+            xs, ids, axis_name="ep", num_experts=E, num_ranks=8,
+            pair_capacity=T * K, seg_capacity=T, use_int8=False,
+            rank_remap=jnp.asarray(remap),
+        )
+        return d["recv_count_matrix"][None], d["num_dropped"][None]
+
+    cmat, dropped = jax.shard_map(
+        body, mesh=mesh8, in_specs=(P("ep"), P("ep")), out_specs=(P("ep"), P("ep")),
+        check_vma=False,
+    )(x, idx)
+    cmat = np.asarray(cmat)  # [dst_rank, src_rank, E_local]
+    idxn = np.asarray(idx)
+    el = E // 8
+    # rank 3 and 5 receive nothing
+    assert cmat[3].sum() == 0 and cmat[5].sum() == 0
+    # rank 0 receives its own + rank 3's expert traffic
+    expected0 = ((idxn // el == 0) | (idxn // el == 3)).sum()
+    assert cmat[0].sum() == expected0
+    # dropped = all traffic to rank 5's experts
+    assert np.asarray(dropped).sum() == (idxn // el == 5).sum()
