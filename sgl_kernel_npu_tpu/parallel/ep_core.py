@@ -38,6 +38,22 @@ import jax
 import jax.numpy as jnp
 
 from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
+from sgl_kernel_npu_tpu.parallel.pallas_a2a import pallas_all_to_all
+
+
+def _make_a2a(axis_name: str, num_ranks: int, backend: str, base_id: int = 1):
+    """Transport selector: XLA collective or the Pallas one-sided window backend."""
+    if backend == "pallas":
+        counter = [base_id]
+
+        def a2a(v):
+            counter[0] += 1
+            return pallas_all_to_all(
+                v, axis_name=axis_name, num_ranks=num_ranks, collective_id=counter[0]
+            )
+
+        return a2a
+    return lambda v: jax.lax.all_to_all(v, axis_name, split_axis=0, concat_axis=0, tiled=True)
 
 
 class RoutingPlan(NamedTuple):
@@ -166,6 +182,7 @@ def dispatch_core(
     seg_capacity: int,
     use_int8: bool,
     rank_remap: jax.Array | None = None,
+    backend: str = "xla",
 ):
     """Per-rank dispatch body (run inside shard_map).
 
@@ -203,7 +220,7 @@ def dispatch_core(
     dst = jnp.where(plan.ok, plan.dst_rank, num_ranks)
     send_meta = send_meta.at[dst, plan.send_slot].set(plan.dest_slot, mode="drop")
 
-    a2a = lambda v: jax.lax.all_to_all(v, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    a2a = _make_a2a(axis_name, num_ranks, backend, base_id=1)
     recv_payload = a2a(send_x)          # [R, C, H]
     recv_meta = a2a(send_meta)          # [R, C]
     counts = a2a(plan.counts_per_expert.reshape(num_ranks, e_local))  # [R, E_local]
@@ -249,6 +266,7 @@ def combine_core(
     num_ranks: int,
     seg_capacity: int,
     out_dtype=None,
+    backend: str = "xla",
 ):
     """Per-rank combine body (run inside shard_map).
 
@@ -260,9 +278,8 @@ def combine_core(
     out_dtype = out_dtype or y.dtype
     # regroup slots by destination (source) rank and route back
     y_by_rank = y.reshape(e_local, num_ranks, seg_capacity, hidden).transpose(1, 0, 2, 3)
-    y_back = jax.lax.all_to_all(
-        y_by_rank, axis_name, split_axis=0, concat_axis=0, tiled=True
-    )  # [R, E_local, seg, H] — [d, e, i] = expert output for our (t,k) sent to (d,e,i)
+    y_back = _make_a2a(axis_name, num_ranks, backend, base_id=8)(y_by_rank)
+    # [R, E_local, seg, H] — [d, e, i] = expert output for our (t,k) sent to (d,e,i)
     flat = y_back.reshape(-1, hidden)
     picked = flat[handle.gather_idx.reshape(-1)].reshape(*handle.gather_idx.shape, hidden)
     w = jnp.where(handle.ok, topk_weights, 0.0).astype(jnp.float32)
