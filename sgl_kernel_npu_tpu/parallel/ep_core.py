@@ -91,6 +91,9 @@ def make_routing_plan(
     pair_capacity: int,
     seg_capacity: int,
     rank_remap: jax.Array | None = None,
+    expert_owner: jax.Array | None = None,
+    expert_slot: jax.Array | None = None,
+    num_local_slots: int | None = None,
 ) -> RoutingPlan:
     """One stable sort → every routing decision for this batch.
 
@@ -102,44 +105,61 @@ def make_routing_plan(
     to surviving physical ranks — the reference's elastic scale-down ``elastic_info``
     (moe_distribute_dispatch_v2.h:270 InitElasticInfo, remap at :581-582,673-675).
     Entries < 0 mark dead ranks: their experts' tokens are dropped (counted).
+
+    ``expert_owner``/``expert_slot`` (optional ``[E_total]`` int32, E_total ≥
+    num_experts) give a fully general expert→(rank, local slot) placement —
+    used for shared-expert ranks (virtual expert ids ≥ num_experts address the
+    shared-expert slots, reference MOE_SHARED_EXPERT_RANK_NUM, deep_ep.cpp:48).
     """
     t, k = topk_idx.shape
     n = t * k
     e_local = num_experts // num_ranks
+    slots = num_local_slots or e_local  # local slots per rank in the packed layout
     flat_e = topk_idx.reshape(n).astype(jnp.int32)
-    valid = flat_e >= 0
+    if expert_owner is not None:
+        e_total = expert_owner.shape[0]
+        valid = (flat_e >= 0) & (flat_e < e_total)
+        safe_e = jnp.where(valid, flat_e, 0)
+        dst0 = expert_owner.astype(jnp.int32)[safe_e]
+        slot0 = expert_slot.astype(jnp.int32)[safe_e]
+    else:
+        valid = flat_e >= 0
+        safe_e = jnp.where(valid, flat_e, 0)
+        dst0 = safe_e // e_local
+        slot0 = safe_e % e_local
     dead_drops = jnp.int32(0)
     if rank_remap is not None:
-        owner = jnp.where(valid, flat_e // e_local, 0)
-        new_rank = rank_remap.astype(jnp.int32)[owner]
+        new_rank = rank_remap.astype(jnp.int32)[dst0]
         dead_drops = jnp.sum(valid & (new_rank < 0)).astype(jnp.int32)
         valid &= new_rank >= 0
-        # re-key so the sort groups by the *physical* destination
-        flat_e = jnp.where(valid, new_rank * e_local + flat_e % e_local, flat_e)
-    key = jnp.where(valid, flat_e, num_experts)
+        dst0 = new_rank
+
+    # composite sort key groups by (dst rank, local slot); sentinel = R*slots
+    sentinel = num_ranks * slots
+    key = jnp.where(valid, dst0 * slots + slot0, sentinel)
 
     order = jnp.argsort(key, stable=True)
     sorted_key = key[order]
     pos = jnp.arange(n, dtype=jnp.int32)
-    # occurrence index within the expert bucket / within the dst-rank bucket
+    # occurrence index within the (dst, slot) bucket / within the dst-rank bucket
     idx_in_expert = pos - jnp.searchsorted(sorted_key, sorted_key, side="left").astype(jnp.int32)
-    sorted_dst = jnp.where(sorted_key < num_experts, sorted_key // e_local, num_ranks)
+    sorted_dst = jnp.where(sorted_key < sentinel, sorted_key // slots, num_ranks)
     idx_in_dst = pos - jnp.searchsorted(sorted_dst, sorted_dst, side="left").astype(jnp.int32)
 
-    sorted_valid = sorted_key < num_experts
+    sorted_valid = sorted_key < sentinel
     ok_sorted = sorted_valid & (idx_in_dst < pair_capacity) & (idx_in_expert < seg_capacity)
     num_dropped = jnp.sum(sorted_valid & ~ok_sorted) + dead_drops
 
-    e_local_id = jnp.where(sorted_valid, sorted_key % e_local, 0)
+    slot_id = jnp.where(sorted_valid, sorted_key % slots, 0)
     dest_slot_sorted = jnp.where(
         ok_sorted,
-        e_local_id * (num_ranks * seg_capacity) + my_rank * seg_capacity + idx_in_expert,
+        slot_id * (num_ranks * seg_capacity) + my_rank * seg_capacity + idx_in_expert,
         -1,
     )
-    # combine gathers from y_back [R, E_local, seg] (flattened)
+    # combine gathers from y_back [R, slots, seg] (flattened)
     gather_sorted = jnp.where(
         ok_sorted,
-        sorted_dst * (e_local * seg_capacity) + e_local_id * seg_capacity + idx_in_expert,
+        sorted_dst * (slots * seg_capacity) + slot_id * seg_capacity + idx_in_expert,
         0,
     )
 
@@ -154,7 +174,7 @@ def make_routing_plan(
         gather_idx=unsort(gather_sorted),
         ok=jnp.zeros(n, bool).at[order].set(ok_sorted),
         src_token=pos // k,
-        counts_per_expert=jnp.zeros(num_experts, jnp.int32)
+        counts_per_expert=jnp.zeros(num_ranks * slots, jnp.int32)
         .at[sorted_key]
         .add(ok_sorted.astype(jnp.int32), mode="drop"),
         num_dropped=num_dropped,
@@ -182,6 +202,9 @@ def dispatch_core(
     seg_capacity: int,
     use_int8: bool,
     rank_remap: jax.Array | None = None,
+    expert_owner: jax.Array | None = None,
+    expert_slot: jax.Array | None = None,
+    num_local_slots: int | None = None,
     backend: str = "xla",
 ):
     """Per-rank dispatch body (run inside shard_map).
@@ -195,7 +218,7 @@ def dispatch_core(
       - ``handle``      DispatchHandle
     """
     t, hidden = x.shape
-    e_local = num_experts // num_ranks
+    e_local = num_local_slots or (num_experts // num_ranks)
     my_rank = jax.lax.axis_index(axis_name)
     plan = make_routing_plan(
         topk_idx,
@@ -205,6 +228,9 @@ def dispatch_core(
         pair_capacity=pair_capacity,
         seg_capacity=seg_capacity,
         rank_remap=rank_remap,
+        expert_owner=expert_owner,
+        expert_slot=expert_slot,
+        num_local_slots=e_local,
     )
 
     if use_int8:
@@ -285,6 +311,40 @@ def combine_core(
     w = jnp.where(handle.ok, topk_weights, 0.0).astype(jnp.float32)
     combined = jnp.sum(picked.astype(jnp.float32) * w[..., None], axis=1)
     return combined.astype(out_dtype)
+
+
+def dispatch_tp_allgather(
+    recv_x: jax.Array,
+    recv_scales: jax.Array | None,
+    counts_matrix: jax.Array,
+    *,
+    tp_axis: str,
+):
+    """TP variant of low-latency dispatch (reference ``IsNeedAllgather``,
+    moe_distribute_dispatch_v2.h:43,432-451): expert weights are column-split over
+    the TP axis while tokens are sharded over (ep × tp), so after the per-tp-group
+    EP exchange each TP rank all-gathers the packed tokens — every TP peer then
+    holds the complete expert input and computes its weight slice.
+
+    recv_x [E_local, R·seg, H] → [E_local, TP·R·seg, H]; counts [R, E_local] →
+    [TP·R, E_local].
+    """
+    gathered = jax.lax.all_gather(recv_x, tp_axis, axis=1, tiled=True)
+    counts = jax.lax.all_gather(counts_matrix, tp_axis, axis=0, tiled=True)
+    scales = (
+        jax.lax.all_gather(recv_scales, tp_axis, axis=1, tiled=True)
+        if recv_scales is not None
+        else None
+    )
+    return gathered, scales, counts
+
+
+def combine_tp_reduce(y: jax.Array, *, tp_axis: str, seg_total: int):
+    """Reverse of :func:`dispatch_tp_allgather`: sum the TP ranks' partial expert
+    outputs, then slice back this rank's own token segment for the EP combine."""
+    y_full = jax.lax.psum(y, tp_axis)
+    my_tp = jax.lax.axis_index(tp_axis)
+    return jax.lax.dynamic_slice_in_dim(y_full, my_tp * seg_total, seg_total, axis=1)
 
 
 def dispatch_ragged_core(
@@ -505,3 +565,29 @@ def combine_ragged_core(
         seg_capacity=seg_capacity,
         out_dtype=out_dtype,
     )
+
+
+def shared_expert_layout(num_experts: int, num_ranks: int, num_shared_ranks: int):
+    """Expert placement for dedicated shared-expert ranks.
+
+    Reference MOE_SHARED_EXPERT_RANK_NUM (deep_ep.cpp:48, deep_ep.hpp:39-41): the
+    first ``num_shared_ranks`` ranks serve only the shared expert; MoE experts
+    live on the remaining ranks.  Virtual expert ids ``num_experts + j`` address
+    shared rank ``j`` (slot 0); route each token to
+    ``num_experts + (global_token_id % num_shared_ranks)``.
+
+    Returns ``(expert_owner [E+Ns], expert_slot [E+Ns], num_local_slots)``.
+    """
+    assert num_shared_ranks < num_ranks
+    moe_ranks = num_ranks - num_shared_ranks
+    assert num_experts % moe_ranks == 0
+    e_local = num_experts // moe_ranks
+    owner = jnp.concatenate([
+        num_shared_ranks + jnp.arange(num_experts, dtype=jnp.int32) // e_local,
+        jnp.arange(num_shared_ranks, dtype=jnp.int32),
+    ])
+    slot = jnp.concatenate([
+        jnp.arange(num_experts, dtype=jnp.int32) % e_local,
+        jnp.zeros(num_shared_ranks, jnp.int32),
+    ])
+    return owner, slot, e_local

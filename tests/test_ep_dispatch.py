@@ -194,3 +194,52 @@ def test_elastic_rank_remap(mesh8, rng, buf):
     assert cmat[0].sum() == expected0
     # dropped = all traffic to rank 5's experts
     assert np.asarray(dropped).sum() == (idxn // el == 5).sum()
+
+
+def test_shared_expert_ranks(mesh8, rng):
+    """First 2 ranks serve the shared expert; MoE experts on ranks 2..7.
+    Every token also dispatches to a shared rank (round-robin); combine applies
+    weight 1.0 to the shared-expert output (reference shared-expert-rank mode)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from sgl_kernel_npu_tpu.parallel import ep_core
+
+    NS, E2 = 2, 12           # 12 MoE experts over 6 ranks -> e_local 2
+    owner, slot, slots = ep_core.shared_expert_layout(E2, 8, NS)
+    n = 8 * T
+    x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    idx = jnp.asarray(np.stack([rng.choice(E2, K, replace=False) for _ in range(n)]), jnp.int32)
+    w = jnp.asarray(rng.random((n, K)), jnp.float32)
+
+    def body(xs, ids, ws):
+        my = jax.lax.axis_index("ep")
+        t_local = ids.shape[0]
+        gtid = my * t_local + jnp.arange(t_local, dtype=jnp.int32)
+        shared_col = (E2 + gtid % NS)[:, None]
+        ids_ext = jnp.concatenate([ids, shared_col], axis=1)
+        ws_ext = jnp.concatenate([ws, jnp.ones((t_local, 1), jnp.float32)], axis=1)
+        d = ep_core.dispatch_core(
+            xs, ids_ext, axis_name="ep", num_experts=E2, num_ranks=8,
+            pair_capacity=T * (K + 1), seg_capacity=T, use_int8=False,
+            expert_owner=owner, expert_slot=slot, num_local_slots=slots)
+        # expert compute: shared ranks (my<NS) multiply by 100; moe expert (r,s)
+        # multiplies by global expert id + 1
+        eid = (my - NS) * slots + jnp.arange(slots) + 1
+        scale = jnp.where(my < NS, 100.0, eid.astype(jnp.float32))
+        y = d["recv_x"] * scale[:, None, None]
+        out = ep_core.combine_core(
+            y, ws_ext, d["handle"], axis_name="ep", num_ranks=8,
+            seg_capacity=T, out_dtype=jnp.float32)
+        return out, d["num_dropped"][None]
+
+    out, dropped = jax.shard_map(
+        body, mesh=mesh8, in_specs=(P("ep"),) * 3, out_specs=(P("ep"), P("ep")),
+        check_vma=False)(x, idx, w)
+    assert int(np.asarray(dropped).sum()) == 0
+    golden = np.zeros((n, H), np.float32)
+    xn, idxn, wn = map(np.asarray, (x, idx, w))
+    for t in range(n):
+        for k in range(K):
+            golden[t] += wn[t, k] * (idxn[t, k] + 1.0) * xn[t]
+        golden[t] += 100.0 * xn[t]     # shared expert, weight 1
+    np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-4, atol=1e-4)
