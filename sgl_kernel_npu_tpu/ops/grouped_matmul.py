@@ -102,6 +102,39 @@ def pack_gmm1_scales(s_gate: jax.Array, s_up: jax.Array, tn: int) -> jax.Array:
 # tile schedule metadata (device-computed, scalar-prefetched)
 # ---------------------------------------------------------------------------
 
+def select_gmm_tiles(
+    s: int, k: int, n: int, in_dtype, *, vmem_budget: int = 8 * 2**20
+) -> tuple[int, int, int]:
+    """Analytic tile selector (the reference's cost-model tiling,
+    ``PpMatmulTilingApi::GetTileSize`` mla_preprocess.cpp:211, rebuilt for VMEM):
+    maximize MXU tile area subject to double-buffered VMEM residency
+    ``2·(tm·tk + tk·tn)·esize + tm·tn·(4 + esize) ≤ budget``."""
+    esize = jnp.dtype(in_dtype).itemsize
+    best = (128, min(128, k), min(128, n))
+    best_score = 0.0
+    for tm in (128, 256, 512):
+        if tm > max(128, s):
+            continue
+        for tk in (128, 256, 512, 1024):
+            if k % tk and tk != k:
+                continue
+            if tk > k:
+                continue
+            for tn in (128, 256, 512):
+                if n % tn and tn != n:
+                    continue
+                if tn > n:
+                    continue
+                vmem = 2 * (tm * tk + tk * tn) * esize + tm * tn * (4 + esize)
+                if vmem > vmem_budget:
+                    continue
+                # prefer fewer grid steps; mild preference for square-ish tiles
+                score = tm * tn * tk / (1 + abs(tn - tk) / 1024)
+                if score > best_score:
+                    best, best_score = (tm, tk, tn), score
+    return best
+
+
 def make_gmm_metadata(group_sizes: jax.Array, m: int, tm: int):
     """Map grid steps to (group, m-tile) pairs; ragged-safe and host-sync-free.
 
@@ -209,9 +242,9 @@ def grouped_matmul(
     scale_w: jax.Array | None = None,
     *,
     epilogue: Epilogue = "none",
-    tm: int = 128,
-    tk: int = 256,
-    tn: int = 256,
+    tm: int | None = None,
+    tk: int | None = None,
+    tn: int | None = None,
     out_dtype=None,
     interpret=None,
 ) -> jax.Array:
@@ -234,6 +267,9 @@ def grouped_matmul(
         interpret = interpret_default()
     s, kdim = x.shape
     g, _, n = w.shape
+    if tm is None or tk is None or tn is None:
+        a_tm, a_tk, a_tn = select_gmm_tiles(s, kdim, n, x.dtype)
+        tm, tk, tn = tm or a_tm, tk or a_tk, tn or a_tn
     tm = min(tm, s)
     tk = min(tk, kdim)
     tn = min(tn, n)

@@ -293,18 +293,31 @@ def combine_core(
     seg_capacity: int,
     out_dtype=None,
     backend: str = "xla",
+    use_int8_comm: bool = False,
 ):
     """Per-rank combine body (run inside shard_map).
 
     ``y``: [E_local, R*seg, H] expert outputs in the dispatch packed layout.
     Returns [T, H] = Σ_k topk_weights[t,k] · expert_out(t, k).
+
+    ``use_int8_comm`` quantizes the return payload per row (the reference's
+    int8 comm-quant combine option, moe_distribute_combine_v2.h:28 SCALE_PARAM);
+    scales travel alongside and rows are dequantized after the gather.
     """
     e_local, slots, hidden = y.shape
     assert slots == num_ranks * seg_capacity
     out_dtype = out_dtype or y.dtype
     # regroup slots by destination (source) rank and route back
     y_by_rank = y.reshape(e_local, num_ranks, seg_capacity, hidden).transpose(1, 0, 2, 3)
-    y_back = _make_a2a(axis_name, num_ranks, backend, base_id=8)(y_by_rank)
+    a2a = _make_a2a(axis_name, num_ranks, backend, base_id=8)
+    if use_int8_comm:
+        yf = y_by_rank.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(yf), axis=-1, keepdims=True) / INT8_MAX, 1e-12)
+        q_back = a2a(saturate_int8(yf / scale))
+        s_back = a2a(scale)
+        y_back = q_back.astype(jnp.float32) * s_back
+    else:
+        y_back = a2a(y_by_rank)
     # [R, E_local, seg, H] — [d, e, i] = expert output for our (t,k) sent to (d,e,i)
     flat = y_back.reshape(-1, hidden)
     picked = flat[handle.gather_idx.reshape(-1)].reshape(*handle.gather_idx.shape, hidden)

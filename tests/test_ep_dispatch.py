@@ -243,3 +243,29 @@ def test_shared_expert_ranks(mesh8, rng):
             golden[t] += wn[t, k] * (idxn[t, k] + 1.0) * xn[t]
         golden[t] += 100.0 * xn[t]     # shared expert, weight 1
     np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-4, atol=1e-4)
+
+
+def test_int8_comm_combine(mesh8, rng, buf):
+    """INT8 comm-quant on the combine payload (reference SCALE_PARAM option)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from sgl_kernel_npu_tpu.parallel import ep_core
+
+    x, idx, w = _make_inputs(rng, 8)
+
+    def run(use_int8_comm):
+        def body(xs, ids, ws):
+            d = ep_core.dispatch_core(
+                xs, ids, axis_name="ep", num_experts=E, num_ranks=8,
+                pair_capacity=T * K, seg_capacity=T, use_int8=False)
+            y = d["recv_x"] * 2.0
+            return ep_core.combine_core(
+                y, ws, d["handle"], axis_name="ep", num_ranks=8, seg_capacity=T,
+                out_dtype=jnp.float32, use_int8_comm=use_int8_comm)
+        return jax.shard_map(body, mesh=mesh8, in_specs=(P("ep"),) * 3,
+                             out_specs=P("ep"), check_vma=False)(x, idx, w)
+
+    exact = np.asarray(run(False))
+    quant = np.asarray(run(True))
+    rel = np.linalg.norm(quant - exact) / np.linalg.norm(exact)
+    assert rel < 2e-2, rel

@@ -95,3 +95,21 @@ def test_gmm_dequant_swiglu(rng):
     want = np.asarray(gate) * (1 / (1 + np.exp(-np.asarray(gate)))) * np.asarray(up)
     total = int(sizes.sum())
     np.testing.assert_allclose(np.asarray(got[:total]), want[:total], rtol=5e-3, atol=5e-3)
+
+
+def test_auto_tile_selection(rng):
+    """Auto-selected tiles produce identical results; selector respects VMEM."""
+    g, s, k, n = 4, 256, 512, 512
+    sizes = _groups(rng, g, s)
+    x = jnp.asarray(rng.standard_normal((s, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((g, k, n)) * 0.1, jnp.float32)
+    gs = jnp.asarray(sizes)
+    auto = gm.grouped_matmul(x, w, gs)          # tiles auto-selected
+    manual = gm.grouped_matmul(x, w, gs, tm=64, tk=128, tn=128)
+    total = int(sizes.sum())
+    np.testing.assert_allclose(
+        np.asarray(auto[:total]), np.asarray(manual[:total]), rtol=2e-2, atol=2e-2
+    )
+    tm, tk, tn = gm.select_gmm_tiles(s, k, n, jnp.int8)
+    esize = 1
+    assert 2 * (tm * tk + tk * tn) * esize + tm * tn * (4 + esize) <= 8 * 2**20
