@@ -72,3 +72,33 @@ def test_ep_roundtrip_on_pallas_backend(mesh8, rng):
     out_p, cnt_p = run("pallas")
     np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_p))
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), rtol=1e-6)
+
+
+def test_pallas_ragged_a2a(mesh8, rng):
+    """Ragged window a2a: live rows arrive intact, counts exchanged correctly."""
+    from sgl_kernel_npu_tpu.parallel.pallas_a2a import pallas_ragged_all_to_all
+
+    cap = 16
+    counts = rng.integers(0, cap + 1, (R, R)).astype(np.int32)  # [src, dst]
+    x = rng.standard_normal((R, R, cap, H)).astype(np.float32)  # [src][dst block]
+    # zero dead rows for a clean equality check
+    for s in range(R):
+        for d in range(R):
+            x[s, d, counts[s, d]:] = 0.0
+    xg = jnp.asarray(x.reshape(R * R, cap, H))
+    cg = jnp.asarray(counts.reshape(R * R))  # per-rank view [R]
+
+    def body(xs, cs):
+        out, oc = pallas_ragged_all_to_all(xs, cs, axis_name="ep", num_ranks=R,
+                                           chunk_rows=4)
+        return out, oc[None]
+
+    out, oc = jax.shard_map(body, mesh=mesh8, in_specs=(P("ep"), P("ep")),
+                            out_specs=(P("ep"), P("ep")), check_vma=False)(xg, cg)
+    out = np.asarray(out).reshape(R, R, cap, H)   # [dst][src]
+    oc = np.asarray(oc)                           # [dst, src]
+    for d in range(R):
+        for s in range(R):
+            assert oc[d, s] == counts[s, d], (d, s)
+            n = counts[s, d]
+            np.testing.assert_allclose(out[d, s, :n], x[s, d, :n], rtol=1e-6)
