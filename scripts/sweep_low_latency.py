@@ -4,6 +4,10 @@ Env: SWEEP_TOKENS / SWEEP_HIDDEN / SWEEP_TOPK / SWEEP_EXPERTS.
 Runs on 8 virtual CPU devices; validates the roundtrip against dense golden math
 (same check as tests/test_ep_dispatch.py, parameterized by the sweep)."""
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import os
 
 os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

@@ -1,0 +1,100 @@
+"""Compile + numerics smoke test of every Pallas kernel on real TPU hardware.
+
+Run on a chip (bench runs this environment); CPU tests cover the same ops in
+interpret mode, but Mosaic lowering has extra constraints worth checking for real.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def check(name, got, want, tol=3e-2):
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    rel = np.abs(g - w).mean() / (np.abs(w).mean() + 1e-9)
+    status = "OK " if rel < tol else "FAIL"
+    print(f"{status} {name}: rel={rel:.2e}")
+    return rel < tol
+
+
+def main():
+    rng = np.random.default_rng(0)
+    ok = True
+
+    from sgl_kernel_npu_tpu.ops import activation, norm, quant
+    from sgl_kernel_npu_tpu.ops import grouped_matmul as gm
+    from sgl_kernel_npu_tpu.ops import matmul as mm
+
+    x = jnp.asarray(rng.standard_normal((256, 1024)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal(1024), jnp.bfloat16)
+    ok &= check("rms_norm", norm.rms_norm(x, w), norm.rms_norm_ref(x, w))
+
+    res = jnp.asarray(rng.standard_normal((256, 1024)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(1024) * 0.1, jnp.bfloat16)
+    got = norm.add_rms_norm_bias(x, res, w, b, 1e-6)
+    want = norm.add_rms_norm_bias_ref(x, res, w, b, 1e-6)
+    ok &= check("add_rms_norm_bias", got[0], want[0])
+
+    q, s = quant.quant_per_token(x)
+    qr, sr = quant.quant_per_token_ref(x)
+    ok &= check("quant_per_token", q.astype(jnp.float32) * s[:, None],
+                qr.astype(jnp.float32) * sr[:, None])
+
+    out, sc = activation.swiglu_quant(x, None, 1, True)
+    out_r, sc_r = activation.swiglu_quant_ref(x, None, 1, True)
+    ok &= check("swiglu_quant", out.astype(jnp.float32) * sc[:, None],
+                out_r.astype(jnp.float32) * sc_r[:, None])
+
+    xq = jnp.asarray(rng.integers(-64, 64, (128, 512)), jnp.int8)
+    wq = jnp.asarray(rng.integers(-64, 64, (256, 512)), jnp.int8)
+    ds = jnp.asarray(rng.random(256) / 100, jnp.float32)
+    ok &= check("quant_matmul", mm.quant_matmul(xq, wq, ds, out_dtype=jnp.float32),
+                mm.quant_matmul_ref(xq, wq, ds, out_dtype=jnp.float32), 1e-4)
+
+    sizes = jnp.asarray([100, 28, 60, 68], jnp.int32)
+    xg = jnp.asarray(rng.standard_normal((256, 512)), jnp.float32)
+    wg = jnp.asarray(rng.standard_normal((4, 512, 256)) * 0.05, jnp.float32)
+    ok &= check("grouped_matmul", gm.grouped_matmul(xg, wg, sizes),
+                gm.grouped_matmul_ref(xg, wg, sizes), 1e-3)
+
+    sxq, ssx = quant.quant_per_token_ref(xg)
+    sw = jnp.asarray(np.abs(np.asarray(wg)).max(1) / 127.0, jnp.float32)
+    wgq = jnp.clip(jnp.round(wg / sw[:, None, :]), -128, 127).astype(jnp.int8)
+    ok &= check("gmm_dequant",
+                gm.grouped_matmul(sxq, wgq, sizes, ssx, sw, epilogue="dequant",
+                                  out_dtype=jnp.float32),
+                gm.gmm_dequant_ref(sxq, wgq, sizes, ssx, sw), 1e-3)
+
+    from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
+    bsz, hq, hkv, dk, dv, page, mp = 4, 8, 2, 128, 128, 128, 2
+    npg = bsz * mp
+    qa = jnp.asarray(rng.standard_normal((bsz, hq, dk)) * 0.5, jnp.bfloat16)
+    ka = jnp.asarray(rng.standard_normal((npg, hkv, page, dk)) * 0.5, jnp.bfloat16)
+    va = jnp.asarray(rng.standard_normal((npg, hkv, page, dv)) * 0.5, jnp.bfloat16)
+    bt = jnp.asarray(rng.permutation(npg).reshape(bsz, mp), jnp.int32)
+    sl = jnp.asarray([17, 100, 256, 5], jnp.int32)
+    ok &= check("decode_gqa", da.decode_gqa(qa, ka, va, sl, 0.088, bt),
+                da.decode_gqa_ref(qa, ka, va, sl, 0.088, bt))
+    ok &= check("decode_gqa_hp", da.decode_gqa_high_performance(qa, ka, va, sl, 0.088, bt),
+                da.decode_gqa_ref(qa, ka, va, sl, 0.088, bt))
+
+    from sgl_kernel_npu_tpu.ops.attention import sinks_attention as sa
+    qs_ = jnp.asarray(rng.standard_normal((4, hq * dk)) * 0.5, jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(hq), jnp.float32)
+    ok &= check("attention_sinks",
+                sa.attention_sinks(qs_, ka.astype(jnp.float32), va.astype(jnp.float32),
+                                   sinks, bt, sl, 0.088, 64, hq, hkv),
+                sa.attention_sinks_ref(qs_, ka.astype(jnp.float32), va.astype(jnp.float32),
+                                       sinks, bt, sl, 0.088, 64, hq, hkv))
+
+    print("ALL OK" if ok else "SOME FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -221,7 +221,7 @@ def _gmm_kernel(
 
         result = acc_ref[...]
         if epilogue in ("dequant", "dequant_swiglu"):
-            result = result * sx_ref[...] * sw_ref[...]
+            result = result * sx_ref[...] * sw_ref[0]
         if epilogue == "dequant_swiglu":
             result = swiglu_block(result)
 
@@ -309,7 +309,9 @@ def grouped_matmul(
                 (tm, 1), lambda i, nn, kk, gi, mt, off: (mt[i], 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, tn), lambda i, nn, kk, gi, mt, off: (gi[i], nn), memory_space=pltpu.VMEM
+                (1, 1, tn),
+                lambda i, nn, kk, gi, mt, off: (gi[i], 0, nn),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -327,4 +329,4 @@ def grouped_matmul(
             bytes_accessed=s * kdim + g * kdim * n + s * n_out,
             transcendentals=s * n_out if epilogue == "dequant_swiglu" else 0,
         ),
-    )(group_ids, m_tiles, offsets, x, w, scale_x.reshape(s, 1), scale_w)
+    )(group_ids, m_tiles, offsets, x, w, scale_x.reshape(s, 1), scale_w.reshape(g, 1, n))

@@ -99,6 +99,29 @@ class Buffer:
         p = P(self.axis_name)
         return self._smap(body, in_specs=(p,), out_specs=(p, p, p))(topk_idx)
 
+    def get_routing_plan(self, topk_idx: jax.Array):
+        """Debug accessor: the full source-side routing metadata per rank
+        (reference ``get_notify_send_data`` blob + ``notify_verify``,
+        buffer.py:203-211/391 — here it is simply the RoutingPlan fields)."""
+        t = topk_idx.shape[0] // self.group_size
+        k = topk_idx.shape[1]
+        pair, seg = self._capacities(t, k)
+
+        def body(idx):
+            plan = ep_core.make_routing_plan(
+                idx,
+                num_experts=self.num_experts,
+                num_ranks=self.group_size,
+                my_rank=jax.lax.axis_index(self.axis_name),
+                pair_capacity=pair,
+                seg_capacity=seg,
+            )
+            return tuple(jnp.asarray(v)[None] for v in plan)
+
+        p = P(self.axis_name)
+        outs = self._smap(body, in_specs=(p,), out_specs=(p,) * 8)(topk_idx)
+        return ep_core.RoutingPlan(*outs)
+
     # -- low latency (decode) ------------------------------------------------------
 
     def low_latency_dispatch(

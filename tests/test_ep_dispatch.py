@@ -269,3 +269,15 @@ def test_int8_comm_combine(mesh8, rng, buf):
     quant = np.asarray(run(True))
     rel = np.linalg.norm(quant - exact) / np.linalg.norm(exact)
     assert rel < 2e-2, rel
+
+
+def test_routing_plan_debug_accessor(mesh8, rng, buf):
+    x, idx, w = _make_inputs(rng, 8)
+    plan = buf.get_routing_plan(idx)
+    # counts match the layout op
+    _, per_expert, _ = buf.get_dispatch_layout(idx)
+    np.testing.assert_array_equal(
+        np.asarray(plan.counts_per_expert).reshape(8, E).sum(0),
+        np.asarray(per_expert).sum(0),
+    )
+    assert int(np.asarray(plan.num_dropped).sum()) == 0
