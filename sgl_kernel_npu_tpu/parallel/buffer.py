@@ -398,7 +398,8 @@ class Buffer:
         w2: jax.Array,
         w2_scale: jax.Array,
         *,
-        gmm_tiles: tuple[int, int, int] = (128, 256, 256),
+        gmm_tiles: tuple[int, int, int] | None = None,
+        pack_tn: int = 256,
     ):
         """Fused dispatch→GMM1→SwiGLU→requant→GMM2→combine (reference buffer.py:852).
 
@@ -428,6 +429,7 @@ class Buffer:
                 pair_capacity=pair,
                 seg_capacity=seg,
                 gmm_tiles=gmm_tiles,
+                pack_tn=pack_tn,
             )
             return combined, gs[None], dropped[None]
 

@@ -45,15 +45,28 @@ def fused_deep_moe_rank(
     num_ranks: int,
     pair_capacity: int,
     seg_capacity: int,
-    gmm_tiles: tuple[int, int, int] = (128, 256, 256),
+    gmm_tiles: tuple[int, int, int] | None = None,
+    pack_tn: int = 256,
 ):
     """Per-rank fused MoE body (run inside shard_map).
+
+    ``pack_tn`` MUST equal the ``tn`` used by :func:`quantize_expert_weights` /
+    ``pack_gmm1_weights`` — the gate/up column-block layout is tied to it, so
+    GMM1 always tiles N at ``pack_tn`` regardless of the auto-selector.
 
     Returns ``(combined [T, H] bf16, recv_count [E_local], num_dropped [])``.
     """
     t, hidden = x.shape
     e_local = num_experts // num_ranks
-    tm, tk, tn = gmm_tiles
+    if gmm_tiles is None:
+        from sgl_kernel_npu_tpu.ops.grouped_matmul import select_gmm_tiles
+
+        tm, tk, _ = select_gmm_tiles(
+            num_ranks * pair_capacity, hidden, w1.shape[-1], jnp.int8
+        )
+    else:
+        tm, tk, _ = gmm_tiles
+    tn = min(pack_tn, w1.shape[-1])
 
     d = ep_core.dispatch_ragged_core(
         x,
@@ -80,8 +93,8 @@ def fused_deep_moe_rank(
 
     y = grouped_matmul(
         q2, w2, gs, s2, w2_scale,
-        epilogue="dequant", tm=tm, tk=tk, tn=tn, out_dtype=jnp.bfloat16,
-    )  # [cap, H]
+        epilogue="dequant", tm=tm, tk=tk, tn=None, out_dtype=jnp.bfloat16,
+    )  # [cap, H]  (GMM2's N tiling is free — auto-select)
 
     combined = ep_core.combine_ragged_core(
         y,

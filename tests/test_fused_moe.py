@@ -44,7 +44,7 @@ def test_fused_deep_moe_vs_golden(mesh8, rng):
         num_max_dispatch_tokens_per_rank=T))
 
     combined, recv_count, dropped = buf.fused_deep_moe(
-        x, idx, w, w1, s1, w2, s2, gmm_tiles=(64, 128, TN)
+        x, idx, w, w1, s1, w2, s2, gmm_tiles=(64, 128, TN), pack_tn=TN
     )
     assert int(np.asarray(dropped).sum()) == 0
     golden = _dense_moe_fp32(np.asarray(x), np.asarray(idx), np.asarray(w), wg, wu, wd)
@@ -58,3 +58,34 @@ def test_fused_deep_moe_vs_golden(mesh8, rng):
     # correlation must be essentially 1
     c = np.corrcoef(got.ravel(), golden.ravel())[0, 1]
     assert c > 0.999, c
+
+
+def test_model_decode_with_ep_buffer(mesh8, rng):
+    """Flagship decode_step with the EP fused-MoE path ≈ the dense single-chip path."""
+    import jax
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+
+    cfg = m.DeepSeekV3Config(
+        vocab_size=64, hidden=128, num_layers=1, num_heads=8, kv_lora_rank=128,
+        qk_rope_dim=64, qk_nope_dim=64, q_lora_rank=128, v_head_dim=64,
+        num_experts=16, topk=4, moe_intermediate=128, page_size=16,
+    )
+    params = m.init_weights(jax.random.key(1), cfg)
+    n, max_pages = 16, 2
+    caches = m.init_kv_cache(cfg, n * max_pages + 1, jnp.float32)
+    hidden = jnp.asarray(rng.standard_normal((n, cfg.hidden)) * 0.3, jnp.float32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    bt = jnp.arange(1, 1 + n * max_pages, dtype=jnp.int32).reshape(n, max_pages)
+    sl = jnp.full((n,), 5, jnp.int32)
+    slots = jnp.arange(n, dtype=jnp.int32) * cfg.page_size + 4
+
+    dense_out, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots)
+
+    buf = Buffer(mesh8, "ep", num_experts=cfg.num_experts,
+                 config=EPConfig(num_max_dispatch_tokens_per_rank=n // 8))
+    moe_q = m.quantize_moe_weights(cfg, params, tn=256)
+    ep_out, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots,
+                              moe_weights_q=moe_q, ep_buffer=buf)
+    d, e = np.asarray(dense_out), np.asarray(ep_out)
+    rel = np.abs(d - e).mean() / (np.abs(d).mean() + 1e-9)
+    assert rel < 0.05, rel  # int8 MoE vs fp32 dense budget
