@@ -38,12 +38,20 @@ import jax
 import jax.numpy as jnp
 
 from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
-from sgl_kernel_npu_tpu.parallel.pallas_a2a import pallas_all_to_all
+from sgl_kernel_npu_tpu.parallel.pallas_a2a import (
+    pallas_all_to_all,
+    pallas_ragged_all_to_all,
+)
 
 
 def _make_a2a(axis_name: str, num_ranks: int, backend: str, base_id: int = 1):
-    """Transport selector: XLA collective or the Pallas one-sided window backend."""
-    if backend == "pallas":
+    """Transport selector: XLA collective or the Pallas one-sided window backend.
+
+    "pallas_ragged" only differs on the dispatch payload path (handled inside
+    ``dispatch_core``); dense exchanges (combine, counts) use the fixed-size
+    window kernel for it.
+    """
+    if backend in ("pallas", "pallas_ragged"):
         counter = [base_id]
 
         def a2a(v):
@@ -206,6 +214,7 @@ def dispatch_core(
     expert_slot: jax.Array | None = None,
     num_local_slots: int | None = None,
     backend: str = "xla",
+    monitor: bool = False,
 ):
     """Per-rank dispatch body (run inside shard_map).
 
@@ -216,6 +225,13 @@ def dispatch_core(
       - ``recv_count_matrix`` [R, E_local]   per-source counts (diagnostics / EPLB)
       - ``num_dropped`` []                   capacity-overflow drops at this source
       - ``handle``      DispatchHandle
+
+    ``backend``: "xla" (lax.all_to_all), "pallas" (fixed-size one-sided windows), or
+    "pallas_ragged" (count exchange + only the live rows cross ICI — the reference's
+    actual NotifyDispatch→CamMoeDispatch protocol and the bandwidth win over the
+    padded collective).  ``monitor=True`` (pallas_ragged only) adds the reference's
+    timeout detection + per-source wait-cost stats to the payload exchange
+    (``wait_recv_cost_stats``/``timeout_flags`` keys; buffer.py:285-286 equivalent).
     """
     t, hidden = x.shape
     e_local = num_local_slots or (num_experts // num_ranks)
@@ -246,10 +262,51 @@ def dispatch_core(
     dst = jnp.where(plan.ok, plan.dst_rank, num_ranks)
     send_meta = send_meta.at[dst, plan.send_slot].set(plan.dest_slot, mode="drop")
 
-    a2a = _make_a2a(axis_name, num_ranks, backend, base_id=1)
-    recv_payload = a2a(send_x)          # [R, C, H]
-    recv_meta = a2a(send_meta)          # [R, C]
-    counts = a2a(plan.counts_per_expert.reshape(num_ranks, e_local))  # [R, E_local]
+    stats = None
+    if backend == "pallas_ragged":
+        # rows live per destination = ok (t,k) pairs routed there; send only those.
+        rows_to_dst = (
+            plan.counts_per_expert.reshape(num_ranks, e_local).sum(axis=-1)
+        )
+        if monitor:
+            recv_payload, rcnt, stats = pallas_ragged_all_to_all(
+                send_x, rows_to_dst, axis_name=axis_name, num_ranks=num_ranks,
+                collective_id=24, monitor=True,
+            )
+        else:
+            recv_payload, rcnt = pallas_ragged_all_to_all(
+                send_x, rows_to_dst, axis_name=axis_name, num_ranks=num_ranks,
+                collective_id=24,
+            )
+        # meta (+ scale bits) ride one ragged exchange as an int32 blob
+        blob = send_meta[:, :, None]
+        if use_int8:
+            send_scale = _pack_send_buffers(plan, scale[:, None], num_ranks, pair_capacity)
+            blob = jnp.concatenate(
+                [blob, jax.lax.bitcast_convert_type(send_scale, jnp.int32)], axis=-1
+            )
+        recv_blob, _ = pallas_ragged_all_to_all(
+            blob, rows_to_dst, axis_name=axis_name, num_ranks=num_ranks,
+            collective_id=25,
+        )
+        # rows past rcnt[s] are UNDEFINED window memory: their meta must not
+        # scatter (reference: receivers only touch rows < received count)
+        row_live = jnp.arange(pair_capacity, dtype=jnp.int32)[None, :] < rcnt[:, None]
+        recv_meta = jnp.where(row_live, recv_blob[:, :, 0], -1)
+        recv_scale_ragged = (
+            jax.lax.bitcast_convert_type(recv_blob[:, :, 1], jnp.float32)
+            if use_int8
+            else None
+        )
+        counts = pallas_all_to_all(
+            plan.counts_per_expert.reshape(num_ranks, e_local),
+            axis_name=axis_name, num_ranks=num_ranks, collective_id=26,
+        )
+    else:
+        a2a = _make_a2a(axis_name, num_ranks, backend, base_id=1)
+        recv_payload = a2a(send_x)          # [R, C, H]
+        recv_meta = a2a(send_meta)          # [R, C]
+        counts = a2a(plan.counts_per_expert.reshape(num_ranks, e_local))  # [R, E_local]
 
     n_slots = e_local * num_ranks * seg_capacity
     flat_meta = recv_meta.reshape(-1)
@@ -272,14 +329,21 @@ def dispatch_core(
         ),
     }
     if use_int8:
-        send_scale = _pack_send_buffers(plan, scale[:, None], num_ranks, pair_capacity)
-        recv_scale = a2a(send_scale)  # [R, C, 1]
+        if backend == "pallas_ragged":
+            recv_scale = recv_scale_ragged
+        else:
+            send_scale = _pack_send_buffers(plan, scale[:, None], num_ranks, pair_capacity)
+            recv_scale = a2a(send_scale)  # [R, C, 1]
         out["recv_scales"] = (
             jnp.zeros((n_slots,), jnp.float32)
             .at[flat_meta]
             .set(recv_scale.reshape(-1), mode="drop")
             .reshape(e_local, num_ranks * seg_capacity)
         )
+    if stats is not None:
+        out["wait_recv_cost_stats"] = stats[:, 0]
+        out["timeout_flags"] = stats[:, 1]
+        out["abort_observed"] = stats[:, 2]
     return out
 
 

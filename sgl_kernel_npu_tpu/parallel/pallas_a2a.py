@@ -172,6 +172,185 @@ def _ragged_a2a_kernel(
         jax.lax.fori_loop(0, n_chunks, wait_r, 0)
 
 
+def _ragged_a2a_monitored_kernel(
+    counts_ref,      # [R, 128] int32 VMEM (value in col 0): rows I send to each dst
+    x_ref,           # [R, C, H] send buffer
+    o_ref,           # out [R, C, H] receive window
+    oc_ref,          # out [R, 128] int32 receive counts window
+    stats_ref,       # out [R, 4] int32 SMEM: col0 poll iters, col1 timeout, col2 abort-seen
+    cnt_ssem, cnt_rsem, pay_ssem, pay_rsem,
+    state_sem,       # regular semaphore: the reference's STATE_CHECK window region
+    *,
+    axis_name,
+    num_ranks,
+    chunk_rows,
+    static_chunks,
+    max_poll_rounds,
+    inject_send_fault,
+    use_sem_read,
+):
+    """Ragged a2a with failure detection — the reference's ``TimeOutDetection``
+    (moe_distribute_dispatch_v2.h:23-26,1110-1126) + per-source wait-cost stats
+    (``dispatch_wait_recv_cost_stats``, buffer.py:285-286), TPU-native:
+
+    * the count-arrival wait is a *bounded* spin on ``pltpu.semaphore_read`` of the
+      DMA recv semaphore (poll iterations stand in for the reference's cycle counts);
+    * on timeout the waiter broadcasts a signal to every peer's ``state_sem`` —
+      exactly the reference's write into peers' STATE_CHECK offset — so the whole
+      job aborts its waits instead of hanging on one dead rank;
+    * a timed-out / aborted source's recv count is forced to 0 (its window rows stay
+      undefined) and the flag surfaces in ``stats`` for the host to act on.
+
+    ``inject_send_fault`` (static) makes THIS rank send nothing — the test hook for
+    exercising detection (the reference's inactive-rank test flags, SURVEY §5).
+    ``use_sem_read=False`` (interpret mode, where semaphore_read has no CPU lowering)
+    degrades to blocking waits with zeroed stats — functionally identical on the
+    no-fault path.
+    """
+    my = jax.lax.axis_index(axis_name)
+    c_cap = x_ref.shape[1]
+    max_chunks = (c_cap + chunk_rows - 1) // chunk_rows
+    for s0 in range(num_ranks):  # SMEM: scalar stores only
+        for c0 in range(stats_ref.shape[1]):
+            stats_ref[s0, c0] = 0
+
+    def chunk_count(n_rows):
+        if static_chunks:
+            return max_chunks
+        return (n_rows + chunk_rows - 1) // chunk_rows
+
+    def count_copy(off):
+        d = jax.lax.rem(my + off, num_ranks)
+        return pltpu.make_async_remote_copy(
+            src_ref=counts_ref.at[pl.ds(d, 1)],
+            dst_ref=oc_ref.at[pl.ds(my, 1)],
+            send_sem=cnt_ssem.at[d],
+            recv_sem=cnt_rsem.at[my],
+            device_id=d,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def payload_chunk(dst, src_row_block, c):
+        return pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[dst, pl.ds(c * chunk_rows, chunk_rows)],
+            dst_ref=o_ref.at[src_row_block, pl.ds(c * chunk_rows, chunk_rows)],
+            send_sem=pay_ssem.at[dst],
+            recv_sem=pay_rsem.at[src_row_block],
+            device_id=dst,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    if not inject_send_fault:
+        for off in range(num_ranks):
+            count_copy(off).start()
+        for off in range(num_ranks):
+            d = jax.lax.rem(my + off, num_ranks)
+            n_chunks = chunk_count(counts_ref[d, 0])
+
+            def send_c(c, _, d=d):
+                payload_chunk(d, my, c).start()
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, send_c, 0)
+        # drain own sends (local completion — independent of receiver liveness)
+        for off in range(num_ranks):
+            count_copy(off).wait_send()
+        for off in range(num_ranks):
+            d = jax.lax.rem(my + off, num_ranks)
+            n_chunks = chunk_count(counts_ref[d, 0])
+
+            def wait_s(c, _, d=d):
+                payload_chunk(d, my, c).wait_send()
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, wait_s, 0)
+
+    # count arrivals: bounded spin per source, then consume or abort
+    for off in range(num_ranks):
+        s = jax.lax.rem(my + off, num_ranks)
+        consume = pltpu.make_async_remote_copy(
+            src_ref=counts_ref.at[pl.ds(s, 1)],
+            dst_ref=oc_ref.at[pl.ds(s, 1)],
+            send_sem=cnt_ssem.at[s],
+            recv_sem=cnt_rsem.at[s],
+            device_id=s,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        if not use_sem_read:
+            consume.wait_recv()
+            continue
+
+        def poll_cond(carry):
+            it, arrived, aborted = carry
+            return jnp.logical_and(
+                jnp.logical_and(~arrived, ~aborted), it < max_poll_rounds
+            )
+
+        def poll_body(carry, s=s):
+            it, _, _ = carry
+            arrived = pltpu.semaphore_read(cnt_rsem.at[s]) > 0
+            aborted = pltpu.semaphore_read(state_sem) > 0
+            return (it + 1, arrived, aborted)
+
+        it, arrived, aborted = jax.lax.while_loop(
+            poll_cond, poll_body, (jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
+        )
+        timeout = jnp.logical_and(~arrived, ~aborted)
+        stats_ref[s, 0] = it
+        stats_ref[s, 1] = timeout.astype(jnp.int32)
+        stats_ref[s, 2] = aborted.astype(jnp.int32)
+
+        @pl.when(timeout)
+        def _():
+            # reference: broadcast to peers' STATE_CHECK region so every rank
+            # exits its wait loops instead of hanging
+            for d in range(num_ranks):
+                pltpu.semaphore_signal(
+                    state_sem,
+                    inc=1,
+                    device_id=d,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+
+        @pl.when(arrived)
+        def _():
+            consume.wait_recv()
+
+        @pl.when(~arrived)
+        def _(s=s):
+            # undefined window rows must not be consumed (vector row store:
+            # Mosaic disallows scalar stores to VMEM)
+            oc_ref[pl.ds(s, 1)] = jnp.zeros((1, oc_ref.shape[1]), oc_ref.dtype)
+
+    # payload drain: counts now authoritative (0 for dead/aborted sources)
+    for off in range(num_ranks):
+        s = jax.lax.rem(my + off, num_ranks)
+        n_chunks = chunk_count(oc_ref[s, 0])
+
+        def wait_r(c, _, s=s):
+            pltpu.make_async_remote_copy(
+                src_ref=x_ref.at[s, pl.ds(c * chunk_rows, chunk_rows)],
+                dst_ref=o_ref.at[s, pl.ds(c * chunk_rows, chunk_rows)],
+                send_sem=pay_ssem.at[s],
+                recv_sem=pay_rsem.at[s],
+                device_id=s,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).wait_recv()
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, wait_r, 0)
+
+    if use_sem_read:
+        # Drain the state-check semaphore so the kernel exits clean (semaphores
+        # must be zero at completion).  Best-effort on the abort path: a signal
+        # landing after this read belongs to a job that is tearing down anyway.
+        v = pltpu.semaphore_read(state_sem)
+
+        @pl.when(v > 0)
+        def _():
+            pltpu.semaphore_wait(state_sem, v)
+
+
 def pallas_ragged_all_to_all(
     x: jax.Array,
     counts: jax.Array,
@@ -182,6 +361,9 @@ def pallas_ragged_all_to_all(
     collective_id: int = 16,
     interpret: bool | None = None,
     static_chunks: bool | None = None,
+    monitor: bool = False,
+    max_poll_rounds: int = 5_000_000,
+    inject_send_fault: bool = False,
 ):
     """Ragged window all-to-all: transfer only ``counts[d]`` live rows per pair.
 
@@ -194,6 +376,11 @@ def pallas_ragged_all_to_all(
     Args: ``x [R, C, …]`` send blocks; ``counts [R]`` live rows per destination.
     Returns ``(recv [R, C, …], recv_counts [R])``; receiver rows past
     ``recv_counts[s]`` are undefined — mask downstream.
+
+    ``monitor=True`` adds timeout detection + wait-cost stats (see
+    :func:`_ragged_a2a_monitored_kernel`) and returns ``(recv, recv_counts,
+    stats [R, 3])`` — cols: poll iterations until count arrival, timeout flag,
+    abort-observed flag.  ``inject_send_fault`` makes this rank mute (test hook).
     """
     if interpret is None:
         interpret = interpret_default()
@@ -201,6 +388,58 @@ def pallas_ragged_all_to_all(
         static_chunks = interpret  # see chunk_count: interpret sim needs symmetry
     r, c_cap = x.shape[0], x.shape[1]
     assert r == num_ranks
+    use_sem_read = not interpret  # semaphore_read has no CPU interpret lowering
+    assert not (inject_send_fault and not use_sem_read), (
+        "fault injection needs the bounded-poll path (hardware); interpret-mode "
+        "blocking waits would deadlock on the muted rank"
+    )
+    counts_in = jnp.broadcast_to(
+        counts.reshape(num_ranks, 1).astype(jnp.int32), (num_ranks, 128)
+    )
+    common = dict(
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # 1-device meshes (self-loop smoke tests) take no cross-chip barrier
+            collective_id=collective_id if num_ranks > 1 else None,
+        ),
+        interpret=interpret,
+    )
+    if monitor:
+        out, oc, stats = pl.pallas_call(
+            functools.partial(
+                _ragged_a2a_monitored_kernel,
+                axis_name=axis_name,
+                num_ranks=num_ranks,
+                chunk_rows=min(chunk_rows, c_cap),
+                static_chunks=static_chunks,
+                max_poll_rounds=max_poll_rounds,
+                inject_send_fault=inject_send_fault,
+                use_sem_read=use_sem_read,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct((num_ranks, 128), jnp.int32),
+                jax.ShapeDtypeStruct((num_ranks, 4), jnp.int32),
+            ),
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ),
+            scratch_shapes=[
+                pltpu.SemaphoreType.DMA((num_ranks,)),
+                pltpu.SemaphoreType.DMA((num_ranks,)),
+                pltpu.SemaphoreType.DMA((num_ranks,)),
+                pltpu.SemaphoreType.DMA((num_ranks,)),
+                pltpu.SemaphoreType.REGULAR,
+            ],
+            **common,
+        )(counts_in, x)
+        return out, oc[:, 0], stats[:, :3]
     out, oc = pl.pallas_call(
         functools.partial(
             _ragged_a2a_kernel,
@@ -213,10 +452,6 @@ def pallas_ragged_all_to_all(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((num_ranks, 128), jnp.int32),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -227,14 +462,8 @@ def pallas_ragged_all_to_all(
             pltpu.SemaphoreType.DMA((num_ranks,)),
             pltpu.SemaphoreType.DMA((num_ranks,)),
         ],
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=collective_id
-        ),
-        interpret=interpret,
-    )(
-        jnp.broadcast_to(counts.reshape(num_ranks, 1).astype(jnp.int32), (num_ranks, 128)),
-        x,
-    )
+        **common,
+    )(counts_in, x)
     return out, oc[:, 0]
 
 

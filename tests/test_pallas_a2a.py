@@ -102,3 +102,44 @@ def test_pallas_ragged_a2a(mesh8, rng):
             assert oc[d, s] == counts[s, d], (d, s)
             n = counts[s, d]
             np.testing.assert_allclose(out[d, s, :n], x[s, d, :n], rtol=1e-6)
+
+
+def test_ep_roundtrip_on_ragged_backend(mesh8, rng):
+    """LL dispatch over the ragged window backend (count exchange + live rows only)
+    matches the XLA collective backend, bf16 and int8 payloads."""
+    from sgl_kernel_npu_tpu.parallel import ep_core
+
+    E, T, K, Hd = 16, 8, 4, 64
+    n = R * T
+    x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(E, K, replace=False) for _ in range(n)]), jnp.int32)
+    w = jnp.asarray(rng.random((n, K)), jnp.float32)
+
+    def run(backend, use_int8, monitor=False):
+        def body(xs, ids, ws):
+            d = ep_core.dispatch_core(
+                xs, ids, axis_name="ep", num_experts=E, num_ranks=R,
+                pair_capacity=T * K, seg_capacity=T, use_int8=use_int8,
+                backend=backend, monitor=monitor)
+            y = (d["recv_x"].astype(jnp.float32)
+                 * (d["recv_scales"][..., None] if use_int8 else 1.0)) * 2.0
+            out = ep_core.combine_core(
+                y, ws, d["handle"], axis_name="ep", num_ranks=R,
+                seg_capacity=T, out_dtype=jnp.float32, backend=backend)
+            extra = d.get("timeout_flags")
+            if extra is None:
+                extra = jnp.zeros(R, jnp.int32)
+            return out, d["recv_count"][None], extra[None]
+
+        return jax.shard_map(body, mesh=mesh8, in_specs=(P("ep"),) * 3,
+                             out_specs=(P("ep"),) * 3, check_vma=False)(x, idx, w)
+
+    for use_int8 in (False, True):
+        out_x, cnt_x, _ = run("xla", use_int8)
+        out_r, cnt_r, tflags = run("pallas_ragged", use_int8, monitor=True)
+        np.testing.assert_array_equal(np.asarray(cnt_x), np.asarray(cnt_r))
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_x),
+                                   rtol=1e-6, atol=1e-6)
+        # interpret mode degrades monitoring to blocking waits: no timeouts
+        assert not np.asarray(tflags).any()
