@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 4):
+def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 10):
     """Per-iteration device time via the marginal cost between two scan lengths.
 
     Iterations run inside ONE jitted scan (each step consumes a different q slice
@@ -78,18 +78,27 @@ def main():
     seq_lens = jnp.full((b,), seq, jnp.int32)
     sm_scale = float(1.0 / np.sqrt(d_nope + d_rope))
 
-    n1, n2 = (8, 40) if on_tpu else (1, 3)
+    # wide iteration spread: the marginal time between the two scan lengths must
+    # dwarf the axon tunnel's per-dispatch jitter (tens of ms)
+    n1, n2 = (8, 136) if on_tpu else (1, 3)
     qs_small = jnp.asarray(rng.standard_normal((n1, b, hq, d_nope + d_rope)), jnp.bfloat16)
     qs_big = jnp.asarray(rng.standard_normal((n2, b, hq, d_nope + d_rope)), jnp.bfloat16)
     operands = (kn, kr, seq_lens, block_table)
-    t_kernel = _bench_scanned(
+    def measure(fn):
+        # marginal-cost timing can degenerate (t2 < t1) under tunnel jitter;
+        # retry once before accepting
+        for _ in range(2):
+            t = _bench_scanned(fn, qs_small, qs_big, operands)
+            if t > 1e-8:
+                return t
+        return t
+
+    t_kernel = measure(
         lambda qq, kn_, kr_, sl_, bt_: da.decode_mla(
             qq, kn_, kr_, sl_, sm_scale, bt_, interpret=not on_tpu),
-        qs_small, qs_big, operands,
     )
-    t_golden = _bench_scanned(
+    t_golden = measure(
         lambda qq, kn_, kr_, sl_, bt_: da.decode_mla_ref(qq, kn_, kr_, sl_, sm_scale, bt_),
-        qs_small, qs_big, operands,
     )
 
     kv_bytes = b * seq * (d_nope + d_rope) * 2  # bf16 KV read per call

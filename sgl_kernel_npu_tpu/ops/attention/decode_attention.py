@@ -194,10 +194,13 @@ def _mla_kernel(
 
         @pl.when(valid > 0)
         def _compute():
-            q_nope = q_nope_ref[i].astype(jnp.float32)
-            q_pe = q_pe_ref[i].astype(jnp.float32)
-            k_nope = kn_buf[slot].astype(jnp.float32)            # [G·page, 512]
-            k_rope_t = kr_buf[slot].astype(jnp.float32)          # [rope, G·page]
+            # native-precision MXU dots (bf16×bf16→f32 accumulate): casting the
+            # [G·page, 512] K tile to f32 would both burn VPU cycles and drop
+            # MXU throughput ~8× — enough to unshadow the DMA pipeline.
+            q_nope = q_nope_ref[i]
+            q_pe = q_pe_ref[i]
+            k_nope = kn_buf[slot]                                # [G·page, 512]
+            k_rope_t = kr_buf[slot]                              # [rope, G·page]
             qk = jax.lax.dot_general(
                 q_nope, k_nope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -215,7 +218,8 @@ def _mla_kernel(
             l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
             m_ref[:, :1] = m_new
             pv = jax.lax.dot_general(
-                probs, k_nope, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                probs.astype(kn_buf.dtype), k_nope, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             acc_ref[...] = acc_ref[...] * alpha + pv
 
@@ -399,9 +403,10 @@ def _gqa_flat_kernel(
 
         @pl.when(valid > 0)
         def _compute():
-            q = q_ref[i, h].astype(jnp.float32)
-            k = k_buf[slot].astype(jnp.float32)
-            v = v_buf[slot].astype(jnp.float32)
+            # native-precision MXU dots (see _mla_kernel)
+            q = q_ref[i, h]
+            k = k_buf[slot]
+            v = v_buf[slot]
             qk = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * sm_scale
@@ -414,7 +419,8 @@ def _gqa_flat_kernel(
             l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
             m_ref[:, :1] = m_new
             acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-                probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                probs.astype(v_buf.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
 
         @pl.when(s == n_super - 1)
@@ -513,9 +519,9 @@ def _gqa_kernel(
 
     @pl.when(valid_in_page > 0)
     def _step():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
         # Split-K dot (DeepSeek 576 = 512 + 64) falls out of a single dot here since
         # both parts share the contraction; no special case needed on TPU.
         qk = jax.lax.dot_general(
@@ -531,7 +537,8 @@ def _gqa_kernel(
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
         m_ref[:, :1] = m_new
         pv = jax.lax.dot_general(
-            probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * alpha + pv
 
