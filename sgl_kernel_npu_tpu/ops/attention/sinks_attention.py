@@ -76,9 +76,10 @@ def _sinks_kernel(
 
     @pl.when(has_work)
     def _step():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
+        # native-precision MXU dots (see decode_attention._mla_kernel)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         qk = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         pos = page_start + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
@@ -93,7 +94,8 @@ def _sinks_kernel(
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
         m_ref[:, :1] = m_new
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            probs, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(p == n_pages - 1)
@@ -136,7 +138,9 @@ def attention_sinks(
         in_specs=[
             pl.BlockSpec((1, 1, group_p, d), lambda i, h, p, bt, cl: (i, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, group_p), lambda i, h, p, bt, cl: (0, h, 0),
+            # sinks laid out [Hkv, 1, group_p]: block == array on the last two
+            # dims (Mosaic requires (8,128)-divisible or full-dim blocks)
+            pl.BlockSpec((1, 1, group_p), lambda i, h, p, bt, cl: (h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, page_size, d), lambda i, h, p, bt, cl: (bt[i, p], h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -158,7 +162,7 @@ def attention_sinks(
         out_shape=jax.ShapeDtypeStruct((s, k_head_num, group_p, dv), query.dtype),
         interpret=interpret,
     )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
-      qg, sk[None], k_cache, v_cache)
+      qg, sk[:, None], k_cache, v_cache)
     return out[:, :, :group].reshape(s, q_head_num * dv)
 
 
