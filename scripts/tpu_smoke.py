@@ -92,6 +92,46 @@ def main():
                 sa.attention_sinks_ref(qs_, ka.astype(jnp.float32), va.astype(jnp.float32),
                                        sinks, bt, sl, 0.088, 64, hq, hkv))
 
+    # --- MLA decode (the bench kernel, 512+64 latent layout) ---
+    dn, dr = 512, 64
+    npg2 = bsz * mp + 1
+    qm = jnp.asarray(rng.standard_normal((bsz, hq, dn + dr)) * 0.5, jnp.bfloat16)
+    knm = jnp.asarray(rng.standard_normal((npg2, 1, page, dn)) * 0.5, jnp.bfloat16)
+    krm = jnp.asarray(rng.standard_normal((npg2, 1, dr, page)) * 0.5, jnp.bfloat16)
+    btm = jnp.asarray(rng.permutation(npg2 - 1)[: bsz * mp].reshape(bsz, mp) + 1, jnp.int32)
+    slm = jnp.asarray([17, 200, 256, 1], jnp.int32)
+    ok &= check("decode_mla", da.decode_mla(qm, knm, krm, slm, 0.042, btm),
+                da.decode_mla_ref(qm, knm, krm, slm, 0.042, btm))
+
+    # --- remaining Pallas norm/activation kernels ---
+    ok &= check("add_gemma_rms_norm",
+                norm.add_gemma_rms_norm(x, w, res)[0],
+                norm.add_gemma_rms_norm_ref(x, w, res, 1e-6)[0])
+    xf32 = x.astype(jnp.float32)
+    ok &= check("l1_norm", norm.l1_norm(xf32), norm.l1_norm_ref(xf32), 1e-4)
+    gu = jnp.asarray(rng.standard_normal((128, 512)), jnp.float32)
+    ok &= check("swiglu_oai", activation.swiglu_oai(gu),
+                activation.swiglu_oai_ref(gu), 1e-3)
+
+    # --- grouped matmul with the fused dequant+SwiGLU epilogue (fused-MoE GMM1) ---
+    gct, kd, inter, tn = 4, 128, 256, 256  # tn=256: hardware-legal swiglu tile
+    wg = jnp.asarray(rng.standard_normal((gct, kd, inter)) * 0.05, jnp.float32)
+    wu = jnp.asarray(rng.standard_normal((gct, kd, inter)) * 0.05, jnp.float32)
+    xg2 = jnp.asarray(rng.standard_normal((128, kd)), jnp.float32)
+    xq2, sx2 = quant.quant_per_token_ref(xg2)
+    sg2 = jnp.abs(wg).max(axis=1) / 127.0
+    su2 = jnp.abs(wu).max(axis=1) / 127.0
+    wgq = jnp.clip(jnp.round(wg / sg2[:, None, :]), -128, 127).astype(jnp.int8)
+    wuq = jnp.clip(jnp.round(wu / su2[:, None, :]), -128, 127).astype(jnp.int8)
+    sizes2 = jnp.asarray([60, 20, 30, 18], jnp.int32)
+    got = gm.grouped_matmul(
+        xq2, gm.pack_gmm1_weights(wgq, wuq, tn), sizes2, sx2,
+        gm.pack_gmm1_scales(sg2, su2, tn), epilogue="dequant_swiglu",
+        tm=64, tk=128, tn=tn, out_dtype=jnp.float32)
+    gate = gm.gmm_dequant_ref(xq2, wgq, sizes2, sx2, sg2)
+    up = gm.gmm_dequant_ref(xq2, wuq, sizes2, sx2, su2)
+    ok &= check("gmm_dequant_swiglu", got, jax.nn.sigmoid(gate) * gate * up, 1e-3)
+
     print("ALL OK" if ok else "SOME FAILED")
     return 0 if ok else 1
 

@@ -276,6 +276,14 @@ def grouped_matmul(
     assert kdim % tk == 0 and n % tn == 0, (kdim, tk, n, tn)
     if epilogue == "dequant_swiglu":
         assert tn % 2 == 0
+        if not interpret and (tn // 2) % 128 and tn != n:
+            # Mosaic: the output tile is tn/2 wide and must be lane-aligned (or
+            # span the full output).  tn cannot be silently widened here — the
+            # gate/up packing (pack_gmm1_weights) is tied to it.
+            raise ValueError(
+                f"dequant_swiglu on hardware needs (tn//2) % 128 == 0 or tn == n; "
+                f"got tn={tn}, n={n}. Re-pack weights with a legal tn (e.g. 256)."
+            )
         n_out = n // 2
         tn_out = tn // 2
     else:
