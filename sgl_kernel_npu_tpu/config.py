@@ -30,12 +30,20 @@ class EPConfig:
         normal_round_tokens: per-round token chunk for normal-mode multi-round
             long-sequence dispatch (reference DEEPEP_NORMAL_LONG_SEQ_PER_ROUND_TOKENS,
             deep_ep.cpp:49-73).  ``None`` disables chunking.
+        comm_backend: dispatch/combine transport — ``"xla"`` (lax.all_to_all),
+            ``"pallas"`` (fixed-size one-sided windows), or ``"pallas_ragged"``
+            (count exchange + live rows only; the reference's window protocol).
+        monitor_comm: collect per-source wait-cost stats + timeout flags on the
+            dispatch payload exchange (pallas_ragged only; the reference's
+            ``dispatch_wait_recv_cost_stats``, buffer.py:285-286).
     """
 
     num_max_dispatch_tokens_per_rank: int = 128
     capacity_factor: float | None = None
     use_int8_dispatch: bool = True
     normal_round_tokens: int | None = None
+    comm_backend: str = "xla"
+    monitor_comm: bool = False
 
     def pair_capacity(self, num_tokens: int, topk: int, num_ranks: int, experts_per_rank: int) -> int:
         """Rows a single src rank may send to a single dst rank."""

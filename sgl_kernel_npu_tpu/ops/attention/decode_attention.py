@@ -285,8 +285,8 @@ def decode_mla(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # q_nope, whole batch resident
             pl.BlockSpec(memory_space=pltpu.VMEM),   # q_pe
-            pl.BlockSpec(memory_space=pltpu.ANY),    # paged caches stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),    # paged caches stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -462,8 +462,8 @@ def decode_gqa_high_performance(
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[

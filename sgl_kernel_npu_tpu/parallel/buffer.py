@@ -131,12 +131,17 @@ class Buffer:
         num_max_dispatch_tokens_per_rank: int | None = None,
         *,
         use_int8: bool | None = None,
+        backend: str | None = None,
+        monitor: bool | None = None,
     ):
         """Decode-mode dispatch (reference buffer.py:676).
 
         Args:
             x: ``[R*T, H]`` tokens, sharded on dim 0 over the EP axis.
             topk_idx: ``[R*T, K]`` global expert ids (-1 = inactive).
+            backend: transport override (``config.comm_backend`` default).
+            monitor: collect wait-cost/timeout stats (pallas_ragged only;
+                ``config.monitor_comm`` default).
 
         Returns:
             ``(packed_recv_x, packed_recv_scales | None, packed_recv_count, handle,
@@ -144,9 +149,14 @@ class Buffer:
             each rank holds its ``[E_local, R*seg, H]`` experts (the reference's
             packed layout, deep_ep.cpp:941-967), ``packed_recv_count`` the per-expert
             valid counts, and ``stats`` carries ``recv_count_matrix``/``num_dropped``
-            (EPLB signals, reference buffer.py:700-703).
+            (EPLB signals, reference buffer.py:700-703) plus — when monitored — the
+            rank×rank ``wait_recv_cost_stats`` matrix and ``timeout_flags``
+            (reference buffer.py:285-286; feed ``utils.diagnostics.diagnose_matrix``).
         """
         use_int8 = self.config.use_int8_dispatch if use_int8 is None else use_int8
+        backend = backend or self.config.comm_backend
+        monitor = self.config.monitor_comm if monitor is None else monitor
+        monitor = monitor and backend == "pallas_ragged"
         t = x.shape[0] // self.group_size
         k = topk_idx.shape[1]
         seg = num_max_dispatch_tokens_per_rank or max(
@@ -164,8 +174,11 @@ class Buffer:
                 pair_capacity=pair,
                 seg_capacity=seg,
                 use_int8=use_int8,
+                backend=backend,
+                monitor=monitor,
             )
             scales = res.get("recv_scales")
+            zero_r = jnp.zeros((self.group_size,), jnp.int32)
             return (
                 res["recv_x"],
                 scales if scales is not None else jnp.zeros((1, 1), jnp.float32),
@@ -174,15 +187,20 @@ class Buffer:
                 res["handle"].ok[None],
                 res["recv_count_matrix"][None],
                 res["num_dropped"][None],
+                res.get("wait_recv_cost_stats", zero_r)[None],
+                res.get("timeout_flags", zero_r)[None],
             )
 
         p = P(self.axis_name)
         outs = self._smap(
-            body, in_specs=(p, p), out_specs=(p, p, p, p, p, p, p)
+            body, in_specs=(p, p), out_specs=(p,) * 9
         )(x, topk_idx)
-        recv_x, recv_scales, recv_count, gidx, ok, cmat, dropped = outs
+        recv_x, recv_scales, recv_count, gidx, ok, cmat, dropped, wait, tflags = outs
         handle = ep_core.DispatchHandle(gidx, ok, None, None)
         stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
+        if monitor:
+            stats["wait_recv_cost_stats"] = wait   # [R dst, R src] poll-iteration matrix
+            stats["timeout_flags"] = tflags
         return (
             recv_x,
             recv_scales if use_int8 else None,
@@ -198,11 +216,13 @@ class Buffer:
         handle: ep_core.DispatchHandle,
         *,
         out_dtype=jnp.bfloat16,
+        backend: str | None = None,
     ):
         """Decode-mode combine (reference buffer.py:779): weighted sum of expert
         outputs back at each token's source rank.  ``y`` is the packed layout
         returned by :meth:`low_latency_dispatch` (after expert compute)."""
         seg = y.shape[1] // self.group_size
+        backend = backend or self.config.comm_backend
 
         def body(ys, w, gidx, ok):
             h = ep_core.DispatchHandle(gidx[0], ok[0], None, None)
@@ -214,6 +234,7 @@ class Buffer:
                 num_ranks=self.group_size,
                 seg_capacity=seg,
                 out_dtype=out_dtype,
+                backend=backend,
             )
 
         p = P(self.axis_name)
@@ -230,6 +251,7 @@ class Buffer:
         *,
         use_int8: bool | None = None,
         rounds: int | None = None,
+        backend: str | None = None,
     ):
         """Normal-mode dispatch (reference buffer.py:233 → intranode_dispatch):
         returns expert-sorted ragged tokens ready for ``jax.lax.ragged_dot``.
@@ -245,6 +267,7 @@ class Buffer:
         use_int8 = (
             self.config.use_int8_dispatch if use_int8 is None else use_int8
         )
+        backend = backend or self.config.comm_backend
         t = x.shape[0] // self.group_size
         k = topk_idx.shape[1]
         if rounds is None and self.config.normal_round_tokens:
@@ -263,6 +286,7 @@ class Buffer:
                 pair_capacity=pair,
                 seg_capacity=seg,
                 use_int8=use_int8,
+                backend=backend,
             )
             h = res["handle"]
             scales = res.get("recv_scales_sorted")
@@ -336,10 +360,12 @@ class Buffer:
         handle,
         *,
         out_dtype=jnp.bfloat16,
+        backend: str | None = None,
     ):
         """Normal-mode combine (reference buffer.py:480)."""
         if isinstance(handle, dict):  # multi-round handle
             return self._combine_multi_round(y_sorted, topk_weights, handle, out_dtype)
+        backend = backend or self.config.comm_backend
         t = topk_weights.shape[0] // self.group_size
         k = topk_weights.shape[1]
         pair, seg = self._capacities(t, k)
@@ -355,6 +381,7 @@ class Buffer:
                 num_local_experts=self.num_local_experts,
                 seg_capacity=seg,
                 out_dtype=out_dtype,
+                backend=backend,
             )
 
         p = P(self.axis_name)

@@ -61,6 +61,10 @@ def _make_a2a(axis_name: str, num_ranks: int, backend: str, base_id: int = 1):
             )
 
         return a2a
+    if backend != "xla":
+        raise ValueError(
+            f"unknown comm backend {backend!r}; expected 'xla', 'pallas', or 'pallas_ragged'"
+        )
     return lambda v: jax.lax.all_to_all(v, axis_name, split_axis=0, concat_axis=0, tiled=True)
 
 
@@ -434,6 +438,8 @@ def dispatch_ragged_core(
     pair_capacity: int,
     seg_capacity: int,
     use_int8: bool,
+    backend: str = "xla",
+    monitor: bool = False,
 ):
     """Normal-mode (prefill) dispatch: output sorted-by-expert ragged layout.
 
@@ -458,6 +464,8 @@ def dispatch_ragged_core(
         pair_capacity=pair_capacity,
         seg_capacity=seg_capacity,
         use_int8=use_int8,
+        backend=backend,
+        monitor=monitor,
     )
     # Compact the per-expert padded layout into a ragged, expert-sorted matrix.
     # Valid slots per (e, r) segment: first counts[r, e] rows of each segment.
@@ -493,6 +501,9 @@ def dispatch_ragged_core(
             .at[tgt]
             .set(res["recv_scales"].reshape(-1), mode="drop")
         )
+    for key in ("wait_recv_cost_stats", "timeout_flags", "abort_observed"):
+        if key in res:
+            out[key] = res[key]
     return out
 
 
@@ -624,6 +635,7 @@ def combine_ragged_core(
     num_local_experts: int,
     seg_capacity: int,
     out_dtype=None,
+    backend: str = "xla",
 ):
     """Normal-mode combine: scatter expert-sorted rows back to packed slots, then
     reuse the gather-combine path."""
@@ -641,6 +653,7 @@ def combine_ragged_core(
         num_ranks=num_ranks,
         seg_capacity=seg_capacity,
         out_dtype=out_dtype,
+        backend=backend,
     )
 
 

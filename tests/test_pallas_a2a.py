@@ -143,3 +143,33 @@ def test_ep_roundtrip_on_ragged_backend(mesh8, rng):
                                    rtol=1e-6, atol=1e-6)
         # interpret mode degrades monitoring to blocking waits: no timeouts
         assert not np.asarray(tflags).any()
+
+
+def test_buffer_ragged_backend_and_monitor(mesh8, rng):
+    """User-level Buffer over the ragged window backend + monitor stats surface."""
+    from sgl_kernel_npu_tpu.config import EPConfig
+    from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+
+    E, T, K, Hd = 16, 8, 4, 64
+    n = R * T
+    x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.bfloat16)
+    idx = jnp.asarray(
+        np.stack([rng.choice(E, K, replace=False) for _ in range(n)]), jnp.int32)
+    w = jnp.asarray(rng.random((n, K)), jnp.float32)
+
+    def run(backend, monitor=False):
+        buf = Buffer(mesh8, "ep", E, EPConfig(
+            num_max_dispatch_tokens_per_rank=T, comm_backend=backend,
+            monitor_comm=monitor))
+        rx, rs, rc, h, stats = buf.low_latency_dispatch(x, idx)
+        y = (rx.astype(jnp.float32) * rs[..., None] * 0.5).astype(jnp.bfloat16)
+        out = buf.low_latency_combine(y, w, h, out_dtype=jnp.float32)
+        return out, rc, stats
+
+    out_x, rc_x, _ = run("xla")
+    out_r, rc_r, stats = run("pallas_ragged", monitor=True)
+    np.testing.assert_array_equal(np.asarray(rc_x), np.asarray(rc_r))
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+    assert stats["wait_recv_cost_stats"].shape == (R, R)
+    assert not np.asarray(stats["timeout_flags"]).any()
