@@ -1,0 +1,103 @@
+"""End-to-end model smoke on real TPU hardware (both model families).
+
+`tpu_smoke.py` proves kernels against goldens; this proves the *compositions*:
+
+  1. DeepSeek-V3 decode step (mla_preprocess → paged MLA attention → router →
+     fused INT8 MoE) — two steps on chip: finite outputs, paged KV actually
+     advances, same-input determinism.
+  2. Qwen3-Next GDN hybrid — chunked-prefill FLA vs recurrent decode on chip
+     must agree step-for-step (the strongest self-consistency check the model
+     has; mirrors tests/test_qwen3_next.py on hardware).
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def deepseek_decode():
+    from __graft_entry__ import _tiny_cfg
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+
+    cfg = _tiny_cfg()
+    params = m.init_weights(jax.random.key(0), cfg)
+    n, max_pages = 4, 4
+    caches = m.init_kv_cache(cfg, n * max_pages + 1, jnp.float32)
+    hidden = jnp.ones((n, cfg.hidden), jnp.float32)
+    positions = jnp.arange(n, dtype=jnp.int32) + 7
+    bt = jnp.arange(1, 1 + n * max_pages, dtype=jnp.int32).reshape(n, max_pages)
+    seq_lens = jnp.full((n,), 8, jnp.int32)
+    slots = jnp.arange(n, dtype=jnp.int32) * cfg.page_size + 7
+
+    step = jax.jit(lambda h, p, c, b, s, sm: m.decode_step(cfg, params, h, p, c, b, s, sm))
+    out1, caches1 = step(hidden, positions, caches, bt, seq_lens, slots)
+    out1b, _ = step(hidden, positions, caches, bt, seq_lens, slots)
+    out2, caches2 = step(out1, positions + 1, caches1, bt, seq_lens + 1, slots + 1)
+
+    finite = bool(np.isfinite(np.asarray(out1)).all() and np.isfinite(np.asarray(out2)).all())
+    determ = bool((np.asarray(out1) == np.asarray(out1b)).all())
+    # the written KV slots must differ from the empty cache
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(caches), jax.tree.leaves(caches1))
+    )
+    ok = finite and determ and moved
+    print(f"{'OK ' if ok else 'FAIL'} deepseek_v3 decode x2: finite={finite} "
+          f"deterministic={determ} kv_advanced={moved}")
+    return ok
+
+
+def qwen3_next_consistency():
+    """Chunked-prefill vs recurrent decode, under f32 matmul precision.
+
+    TPU's default matmul precision feeds f32 operands to the MXU as bf16; the
+    two paths accumulate that rounding differently (2.6e-2 divergence over 16
+    steps), so the *consistency* check pins precision to isolate real bugs.
+    """
+    from sgl_kernel_npu_tpu.models import qwen3_next as q3
+
+    cfg = q3.Qwen3NextConfig(hidden=64, num_k_heads=2, num_v_heads=4,
+                             head_k_dim=16, head_v_dim=16, mlp_intermediate=128,
+                             chunk_size=8)
+    rng = np.random.default_rng(0)
+    w = q3.init_weights(jax.random.key(0), cfg)
+    b, s = 2, 16
+    x = jnp.asarray(rng.standard_normal((b, s, cfg.hidden)) * 0.5, jnp.float32)
+
+    with jax.default_matmul_precision("float32"):
+        full, conv_fin, ssm_fin = jax.jit(lambda xx: q3.prefill(cfg, w, xx))(x)
+
+        conv_pool = jnp.zeros((b, cfg.qkv_dim, cfg.conv_width - 1), jnp.float32)
+        ssm_pool = jnp.zeros(
+            (b, cfg.num_v_heads, cfg.head_k_dim, cfg.head_v_dim), jnp.float32
+        )
+        idx = jnp.arange(b, dtype=jnp.int32)
+        dstep = jax.jit(lambda xt, c, ss: q3.decode_step(cfg, w, xt, c, ss, idx))
+        outs = []
+        for t in range(s):
+            o, conv_pool, ssm_pool = dstep(x[:, t], conv_pool, ssm_pool)
+            outs.append(np.asarray(o))
+    got = np.stack(outs, axis=1)
+    rel = np.abs(got - np.asarray(full)).max()
+    srel = np.abs(np.asarray(ssm_pool) - np.asarray(ssm_fin)).max()
+    ok = rel < 5e-3 and srel < 5e-3
+    print(f"{'OK ' if ok else 'FAIL'} qwen3_next decode==prefill on chip: "
+          f"max_abs_diff={rel:.2e} state_diff={srel:.2e}")
+    return ok
+
+
+def main():
+    print(f"device: {jax.devices()[0].device_kind}")
+    ok = deepseek_decode()
+    ok &= qwen3_next_consistency()
+    print("ALL OK" if ok else "SOME FAILED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -76,7 +76,7 @@ def _sinks_kernel(
 
     @pl.when(has_work)
     def _step():
-        # native-precision MXU dots (see decode_attention._mla_kernel)
+        # native-precision MXU dots (cf. decode_attention._mla_kernel)
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
