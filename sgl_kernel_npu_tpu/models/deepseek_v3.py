@@ -211,7 +211,7 @@ def _dense_moe(cfg, lw, x, topk_idx, topk_w):
     return jnp.einsum("ne,neh->nh", w, y)
 
 
-def quantize_moe_weights(cfg: DeepSeekV3Config, params: dict, tn: int = 256):
+def quantize_moe_weights(cfg: DeepSeekV3Config, params: dict, tn: int | None = None):
     """Per-layer W8A8 expert weights for the fused MoE path."""
     return [
         quantize_expert_weights(lw["w_gate"], lw["w_up"], lw["w_down"], tn=tn)

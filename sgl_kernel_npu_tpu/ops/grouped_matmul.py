@@ -73,6 +73,17 @@ def swiglu_block(acc: jax.Array) -> jax.Array:
     return gate * jax.nn.sigmoid(gate) * up
 
 
+def default_pack_tn(n: int) -> int:
+    """Widest hardware-legal SwiGLU pack/tile width (≤ 2048) dividing ``n``.
+
+    Wide tn minimizes x re-reads in the grouped GEMM (see select_gmm_tiles);
+    tn == n is always legal (full-width output tile)."""
+    for t in (2048, 1024, 512, 256):
+        if n % t == 0:
+            return t
+    return n
+
+
 def pack_gmm1_weights(w_gate: jax.Array, w_up: jax.Array, tn: int) -> jax.Array:
     """Interleave gate/up column *blocks*: each tn-wide slab = [gate tn/2 | up tn/2].
 
@@ -103,44 +114,72 @@ def pack_gmm1_scales(s_gate: jax.Array, s_up: jax.Array, tn: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def select_gmm_tiles(
-    s: int, k: int, n: int, in_dtype, *, vmem_budget: int = 8 * 2**20
+    s: int,
+    k: int,
+    n: int,
+    in_dtype,
+    *,
+    num_groups: int = 8,
+    out_esize: int = 2,
+    vmem_budget: int = 12 * 2**20,
 ) -> tuple[int, int, int]:
     """Analytic tile selector (the reference's cost-model tiling,
-    ``PpMatmulTilingApi::GetTileSize`` mla_preprocess.cpp:211, rebuilt for VMEM):
-    maximize MXU tile area subject to double-buffered VMEM residency
-    ``2·(tm·tk + tk·tn)·esize + tm·tn·(4 + esize) ≤ budget``."""
+    ``PpMatmulTilingApi::GetTileSize`` mla_preprocess.cpp:211, rebuilt for TPU):
+    minimize modeled HBM traffic under a VMEM residency budget.
+
+    Per grid row-step the inner (n, k) sweep reads the step's group's entire
+    [K, N] weight slab once, the x row-block once per n-tile, and writes the
+    out row-block once — so weight traffic wants *few row steps* (large tm,
+    bounded below by one step per group) while x traffic wants *wide tn*.
+    Measured on-chip (v5e, S=1024 K=7168 N=4096 G=8 int8): square-tile choice
+    887 µs vs traffic-model choice 293 µs against a 287 µs weight-read floor
+    (XLA ragged_dot int8: 601 µs).
+    """
     esize = jnp.dtype(in_dtype).itemsize
-    best = (128, min(128, k), min(128, n))
-    best_score = 0.0
+    best = (min(128, max(8, s)), min(128, k), min(128, n))
+    best_cost = (float("inf"), 0, 0)
     for tm in (128, 256, 512):
         if tm > max(128, s):
             continue
-        for tk in (128, 256, 512, 1024):
-            if k % tk and tk != k:
+        # row steps: one per m-tile, at least one per group (straddles add a
+        # few more for any tm, so they don't change the ranking)
+        steps = max(-(-s // tm), num_groups)
+        for tk in (256, 512, 1024, 2048):
+            if k % tk or tk > k:
                 continue
-            if tk > k:
-                continue
-            for tn in (128, 256, 512):
-                if n % tn and tn != n:
+            for tn in (256, 512, 1024, 2048):
+                if n % tn or tn > n:
                     continue
-                if tn > n:
-                    continue
-                vmem = 2 * (tm * tk + tk * tn) * esize + tm * tn * (4 + esize)
+                vmem = (
+                    2 * (tm * tk + tk * tn) * esize   # double-buffered x + w blocks
+                    + tm * tn * 4                     # f32 accumulator
+                    + 2 * tm * tn * out_esize         # out block (pipelined)
+                )
                 if vmem > vmem_budget:
                     continue
-                # prefer fewer grid steps; mild preference for square-ish tiles
-                score = tm * tn * tk / (1 + abs(tn - tk) / 1024)
-                if score > best_score:
-                    best, best_score = (tm, tk, tn), score
+                traffic = (
+                    steps * k * n * esize             # weight slabs
+                    + steps * (n // tn) * tm * k * esize  # x re-reads per n-tile
+                    + steps * tm * n * out_esize      # out writes
+                )
+                # traffic is tk-independent: tie-break toward larger tk
+                # (fewer grid steps / semaphore waits), then larger tn
+                cost = (traffic, -tk, -tn)
+                if cost < best_cost:
+                    best, best_cost = (tm, tk, tn), cost
     return best
 
 
 def make_gmm_metadata(group_sizes: jax.Array, m: int, tm: int):
     """Map grid steps to (group, m-tile) pairs; ragged-safe and host-sync-free.
 
-    Returns ``(group_ids, m_tile_ids, group_offsets, num_tiles)`` where the first
-    three are device arrays (``num_tiles`` static).  Padding steps re-visit tail
-    tiles so every output tile is written at least once (zero-fill guarantee).
+    Returns ``(group_ids, m_tile_ids, group_offsets, is_pad, num_tiles)`` where
+    the device arrays are scalar-prefetched (``num_tiles`` static).  Padding
+    steps re-visit tail tiles so every output tile is written at least once
+    (zero-fill guarantee); ``is_pad`` lets the index maps pin pad steps' input
+    blocks (no refetch) and the kernel skip their MXU work — without it, every
+    pad step re-reads its group's entire [K, N] weight slab, up to 2× total
+    weight traffic when groups align with tiles.
     """
     g = group_sizes.shape[0]
     m_tiles = cdiv(m, tm)
@@ -167,7 +206,7 @@ def make_gmm_metadata(group_sizes: jax.Array, m: int, tm: int):
     is_pad = pos >= actual
     m_tile = jnp.where(is_pad, pad_tile, m_tile).clip(0, m_tiles - 1)
     group_ids = jnp.where(is_pad, g - 1, group_ids)
-    return group_ids, m_tile, offsets, num_tiles
+    return group_ids, m_tile, offsets, is_pad.astype(jnp.int32), num_tiles
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +217,7 @@ def _gmm_kernel(
     group_ids_ref,
     m_tiles_ref,
     offsets_ref,
+    is_pad_ref,
     x_ref,
     w_ref,
     sx_ref,
@@ -196,20 +236,22 @@ def _gmm_kernel(
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    if x_ref.dtype == jnp.int8:
-        acc_ref[...] += jax.lax.dot_general(
-            x_ref[...],
-            w_ref[0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-    else:
-        acc_ref[...] += jax.lax.dot_general(
-            x_ref[...],
-            w_ref[0],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    @pl.when(is_pad_ref[i] == 0)  # pad steps only zero-fill their out tile
+    def _mxu():
+        if x_ref.dtype == jnp.int8:
+            acc_ref[...] += jax.lax.dot_general(
+                x_ref[...],
+                w_ref[0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            acc_ref[...] += jax.lax.dot_general(
+                x_ref[...],
+                w_ref[0],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(k == nk - 1)
     def _epilogue():
@@ -217,7 +259,9 @@ def _gmm_kernel(
         m_tile = m_tiles_ref[i]
         start, end = offsets_ref[g], offsets_ref[g + 1]
         rows = m_tile * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
-        in_group = (rows >= start) & (rows < end)
+        # pad steps never own rows: a clipped pad tile can alias the last real
+        # tile, and pads skip the MXU work, so their acc is stale
+        in_group = (rows >= start) & (rows < end) & (is_pad_ref[i] == 0)
 
         result = acc_ref[...]
         if epilogue in ("dequant", "dequant_swiglu"):
@@ -268,7 +312,10 @@ def grouped_matmul(
     s, kdim = x.shape
     g, _, n = w.shape
     if tm is None or tk is None or tn is None:
-        a_tm, a_tk, a_tn = select_gmm_tiles(s, kdim, n, x.dtype)
+        a_tm, a_tk, a_tn = select_gmm_tiles(
+            s, kdim, n, x.dtype, num_groups=g,
+            out_esize=jnp.dtype(out_dtype or jnp.float32).itemsize,
+        )
         tm, tk, tn = tm or a_tm, tk or a_tk, tn or a_tn
     tm = min(tm, s)
     tk = min(tk, kdim)
@@ -291,7 +338,7 @@ def grouped_matmul(
         tn_out = tn
     out_dtype = out_dtype or (jnp.bfloat16 if epilogue != "none" else jnp.float32)
 
-    group_ids, m_tiles, offsets, num_tiles = make_gmm_metadata(group_sizes, s, tm)
+    group_ids, m_tiles, offsets, is_pad, num_tiles = make_gmm_metadata(group_sizes, s, tm)
 
     if scale_x is None:
         scale_x = jnp.ones((s,), jnp.float32)
@@ -300,30 +347,41 @@ def grouped_matmul(
 
     grid = (num_tiles, n // tn, kdim // tk)
 
+    # Pad steps pin their input block indices to (…, 0, 0): consecutive pads then
+    # map to the same blocks and Pallas skips the refetch — otherwise each pad
+    # step would re-stream its group's whole [K, N] weight slab.
     kernel = functools.partial(_gmm_kernel, tm=tm, epilogue=epilogue)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (tm, tk), lambda i, nn, kk, gi, mt, off: (mt[i], kk), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, tk, tn),
-                lambda i, nn, kk, gi, mt, off: (gi[i], kk, nn),
+                (tm, tk),
+                lambda i, nn, kk, gi, mt, off, pad: (mt[i], kk * (1 - pad[i])),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tm, 1), lambda i, nn, kk, gi, mt, off: (mt[i], 0), memory_space=pltpu.VMEM
+                (1, tk, tn),
+                lambda i, nn, kk, gi, mt, off, pad: (
+                    gi[i], kk * (1 - pad[i]), nn * (1 - pad[i])
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tm, 1),
+                lambda i, nn, kk, gi, mt, off, pad: (mt[i], 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, tn),
-                lambda i, nn, kk, gi, mt, off: (gi[i], 0, nn),
+                lambda i, nn, kk, gi, mt, off, pad: (gi[i], 0, nn * (1 - pad[i])),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tm, tn_out), lambda i, nn, kk, gi, mt, off: (mt[i], nn), memory_space=pltpu.VMEM
+            (tm, tn_out),
+            lambda i, nn, kk, gi, mt, off, pad: (mt[i], nn),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
     )
@@ -337,4 +395,5 @@ def grouped_matmul(
             bytes_accessed=s * kdim + g * kdim * n + s * n_out,
             transcendentals=s * n_out if epilogue == "dequant_swiglu" else 0,
         ),
-    )(group_ids, m_tiles, offsets, x, w, scale_x.reshape(s, 1), scale_w.reshape(g, 1, n))
+    )(group_ids, m_tiles, offsets, is_pad,
+      x, w, scale_x.reshape(s, 1), scale_w.reshape(g, 1, n))

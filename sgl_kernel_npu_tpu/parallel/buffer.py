@@ -426,7 +426,7 @@ class Buffer:
         w2_scale: jax.Array,
         *,
         gmm_tiles: tuple[int, int, int] | None = None,
-        pack_tn: int = 256,
+        pack_tn: int | None = None,
     ):
         """Fused dispatch→GMM1→SwiGLU→requant→GMM2→combine (reference buffer.py:852).
 

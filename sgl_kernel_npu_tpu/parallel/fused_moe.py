@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from sgl_kernel_npu_tpu.ops.grouped_matmul import grouped_matmul
+from sgl_kernel_npu_tpu.ops.grouped_matmul import default_pack_tn, grouped_matmul
 from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
 from sgl_kernel_npu_tpu.parallel import ep_core
 
@@ -46,7 +46,7 @@ def fused_deep_moe_rank(
     pair_capacity: int,
     seg_capacity: int,
     gmm_tiles: tuple[int, int, int] | None = None,
-    pack_tn: int = 256,
+    pack_tn: int | None = None,
 ):
     """Per-rank fused MoE body (run inside shard_map).
 
@@ -62,11 +62,12 @@ def fused_deep_moe_rank(
         from sgl_kernel_npu_tpu.ops.grouped_matmul import select_gmm_tiles
 
         tm, tk, _ = select_gmm_tiles(
-            num_ranks * pair_capacity, hidden, w1.shape[-1], jnp.int8
+            num_ranks * pair_capacity, hidden, w1.shape[-1], jnp.int8,
+            num_groups=e_local, out_esize=4,
         )
     else:
         tm, tk, _ = gmm_tiles
-    tn = min(pack_tn, w1.shape[-1])
+    tn = default_pack_tn(w1.shape[-1]) if pack_tn is None else min(pack_tn, w1.shape[-1])
 
     d = ep_core.dispatch_ragged_core(
         x,
@@ -109,7 +110,7 @@ def fused_deep_moe_rank(
     return combined, gs, d["num_dropped"]
 
 
-def quantize_expert_weights(w_gate, w_up, w_down, tn: int = 256):
+def quantize_expert_weights(w_gate, w_up, w_down, tn: int | None = None):
     """Quantize fp expert weights to the fused-MoE W8A8 layout.
 
     Args: ``w_gate``/``w_up``: [E, H, I]; ``w_down``: [E, I, H] (float).
@@ -117,6 +118,9 @@ def quantize_expert_weights(w_gate, w_up, w_down, tn: int = 256):
     w2_scale [E, H])``.
     """
     from sgl_kernel_npu_tpu.ops.grouped_matmul import pack_gmm1_scales, pack_gmm1_weights
+
+    if tn is None:
+        tn = default_pack_tn(2 * w_gate.shape[-1])
 
     def chan_quant(w):  # per-output-channel symmetric
         s = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / INT8_MAX, 1e-12)  # [E, N]
