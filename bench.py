@@ -115,7 +115,33 @@ def main():
             "backend": jax.default_backend(),
         },
     }
+    if on_tpu:
+        result["detail"].update(_gmm_secondary(rng))
     print(json.dumps(result))
+
+
+def _gmm_secondary(rng):
+    """Secondary metric: W8A8 grouped GEMM (fused-MoE GMM1 shape) vs its
+    weight-read floor and vs XLA ragged_dot (see PERF.md)."""
+    from sgl_kernel_npu_tpu.ops import grouped_matmul as gmod
+
+    e, s, k, n = 8, 1024, 7168, 4096
+    gs = jnp.full((e,), s // e, jnp.int32)
+    wq = jnp.asarray(rng.integers(-100, 100, (e, k, n)), jnp.int8)
+    sx = jnp.asarray(rng.random(s).astype(np.float32) / 100)
+    sw = jnp.asarray(rng.random((e, n)).astype(np.float32) / 100)
+    xs_small = jnp.asarray(rng.integers(-100, 100, (2, s, k)), jnp.int8)
+    xs_big = jnp.asarray(rng.integers(-100, 100, (18, s, k)), jnp.int8)
+    t = _bench_scanned(
+        lambda x, w, g, a, bb: gmod.grouped_matmul(
+            x, w, g, a, bb, epilogue="dequant", out_dtype=jnp.bfloat16),
+        xs_small, xs_big, (wq, gs, sx, sw),
+    )
+    return {
+        "gmm1_int8_us": round(t * 1e6, 1),
+        "gmm1_int8_tops": round(2 * s * k * n / t / 1e12, 1),
+        "gmm1_weight_floor_us": round(e * k * n / 819e9 * 1e6, 1),
+    }
 
 
 if __name__ == "__main__":
