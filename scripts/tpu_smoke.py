@@ -130,7 +130,20 @@ def main():
         tm=64, tk=128, tn=tn, out_dtype=jnp.float32)
     gate = gm.gmm_dequant_ref(xq2, wgq, sizes2, sx2, sg2)
     up = gm.gmm_dequant_ref(xq2, wuq, sizes2, sx2, su2)
-    ok &= check("gmm_dequant_swiglu", got, jax.nn.sigmoid(gate) * gate * up, 1e-3)
+    h_ref = jax.nn.sigmoid(gate) * gate * up
+    ok &= check("gmm_dequant_swiglu", got, h_ref, 1e-3)
+
+    # fused per-token re-quant epilogue (full-width packing)
+    n_full = 2 * inter
+    wp = gm.pack_gmm1_weights(wgq, wuq, n_full)
+    sp = gm.pack_gmm1_scales(sg2, su2, n_full)
+    qv, qs = gm.grouped_matmul(
+        xq2, wp, sizes2, sx2, sp, epilogue="dequant_swiglu_quant", tm=64, tk=128)
+    s_ref = jnp.maximum(jnp.max(jnp.abs(h_ref), axis=-1) / 127.0, 1e-12)
+    q_ref = jnp.clip(jnp.round(h_ref / s_ref[:, None]), -128, 127)
+    ok &= check("gmm_dequant_swiglu_quant",
+                qv.astype(jnp.float32) * qs[:, None],
+                q_ref * s_ref[:, None], 1e-3)
 
     print("ALL OK" if ok else "SOME FAILED")
     return 0 if ok else 1

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sgl_kernel_npu_tpu.utils.common import cdiv, interpret_default
 
-Epilogue = Literal["none", "dequant", "dequant_swiglu"]
+Epilogue = Literal["none", "dequant", "dequant_swiglu", "dequant_swiglu_quant"]
 
 
 # ---------------------------------------------------------------------------
@@ -82,6 +82,15 @@ def default_pack_tn(n: int) -> int:
         if n % t == 0:
             return t
     return n
+
+
+def moe_pack_tn(n: int) -> int:
+    """Pack width for fused-MoE GMM1 weights: full-width when the fused
+    dequant+SwiGLU+quant epilogue's accumulator fits VMEM (n ≲ 8192), else the
+    widest legal tile (separate requant pass)."""
+    if 128 * n * 4 + 2 * 256 * (128 + n) <= 12 * 2**20:
+        return n
+    return default_pack_tn(n)
 
 
 def pack_gmm1_weights(w_gate: jax.Array, w_up: jax.Array, tn: int) -> jax.Array:
@@ -222,12 +231,14 @@ def _gmm_kernel(
     w_ref,
     sx_ref,
     sw_ref,
-    o_ref,
-    acc_ref,
-    *,
+    *refs,  # o_ref [, s_out_ref], acc_ref
     tm: int,
     epilogue: Epilogue,
 ):
+    if epilogue == "dequant_swiglu_quant":
+        o_ref, s_out_ref, acc_ref = refs
+    else:
+        (o_ref, acc_ref), s_out_ref = refs, None
     i = pl.program_id(0)
     k = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -264,14 +275,27 @@ def _gmm_kernel(
         in_group = (rows >= start) & (rows < end) & (is_pad_ref[i] == 0)
 
         result = acc_ref[...]
-        if epilogue in ("dequant", "dequant_swiglu"):
+        if epilogue != "none":
             result = result * sx_ref[...] * sw_ref[0]
-        if epilogue == "dequant_swiglu":
+        if epilogue in ("dequant_swiglu", "dequant_swiglu_quant"):
             result = swiglu_block(result)
 
         first_visit = jnp.logical_or(i == 0, m_tiles_ref[jnp.maximum(i - 1, 0)] != m_tile)
         prev = jnp.where(first_visit, jnp.zeros_like(o_ref[...]), o_ref[...])
-        o_ref[...] = jnp.where(in_group, result.astype(o_ref.dtype), prev)
+        if epilogue == "dequant_swiglu_quant":
+            # the reference's GmmDeqSwigluQuant fusion (fused_deep_moe.h:60-120):
+            # per-token dynamic re-quant in-tile — needs tn == n so the whole
+            # output row is visible for the row max
+            amax = jnp.max(jnp.abs(result), axis=-1, keepdims=True)
+            scale = jnp.maximum(amax / 127.0, 1e-12)
+            q = jnp.clip(jnp.round(result / scale), -128, 127)
+            o_ref[...] = jnp.where(in_group, q.astype(o_ref.dtype), prev)
+            prev_s = jnp.where(
+                first_visit, jnp.zeros_like(s_out_ref[...]), s_out_ref[...]
+            )
+            s_out_ref[...] = jnp.where(in_group, scale.astype(jnp.float32), prev_s)
+        else:
+            o_ref[...] = jnp.where(in_group, result.astype(o_ref.dtype), prev)
 
 
 @functools.partial(
@@ -320,6 +344,13 @@ def grouped_matmul(
     tm = min(tm, s)
     tk = min(tk, kdim)
     tn = min(tn, n)
+    if epilogue == "dequant_swiglu_quant":
+        # the row max for per-token quant needs the whole output row in-tile
+        tn = n
+        while tm > 128 and tm * n * 4 > 4 * 2**20:  # full-width f32 accumulator
+            tm //= 2
+        while tk > 256 and 2 * tk * (tm + n) > 6 * 2**20:
+            tk //= 2
     assert kdim % tk == 0 and n % tn == 0, (kdim, tk, n, tn)
     if epilogue == "dequant_swiglu":
         assert tn % 2 == 0
@@ -333,6 +364,10 @@ def grouped_matmul(
             )
         n_out = n // 2
         tn_out = tn // 2
+    elif epilogue == "dequant_swiglu_quant":
+        n_out = n // 2
+        tn_out = tn // 2
+        out_dtype = jnp.int8
     else:
         n_out = n
         tn_out = tn
@@ -378,22 +413,41 @@ def grouped_matmul(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (tm, tn_out),
-            lambda i, nn, kk, gi, mt, off, pad: (mt[i], nn),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (tm, tn_out),
+                lambda i, nn, kk, gi, mt, off, pad: (mt[i], nn),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        + (
+            (
+                pl.BlockSpec(
+                    (tm, 1),
+                    lambda i, nn, kk, gi, mt, off, pad: (mt[i], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            )
+            if epilogue == "dequant_swiglu_quant"
+            else ()
         ),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
     )
-    return pl.pallas_call(
+    out_shape = (jax.ShapeDtypeStruct((s, n_out), out_dtype),)
+    if epilogue == "dequant_swiglu_quant":
+        out_shape += (jax.ShapeDtypeStruct((s, 1), jnp.float32),)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s, n_out), out_dtype),
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * s * kdim * n,
             bytes_accessed=s * kdim + g * kdim * n + s * n_out,
-            transcendentals=s * n_out if epilogue == "dequant_swiglu" else 0,
+            transcendentals=s * n_out if epilogue != "none" else 0,
         ),
     )(group_ids, m_tiles, offsets, is_pad,
       x, w, scale_x.reshape(s, 1), scale_w.reshape(g, 1, n))
+    if epilogue == "dequant_swiglu_quant":
+        return outs[0], outs[1][:, 0]
+    return outs[0]

@@ -26,7 +26,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from sgl_kernel_npu_tpu.ops.grouped_matmul import default_pack_tn, grouped_matmul
+from sgl_kernel_npu_tpu.ops.grouped_matmul import grouped_matmul, moe_pack_tn
 from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
 from sgl_kernel_npu_tpu.parallel import ep_core
 
@@ -67,7 +67,7 @@ def fused_deep_moe_rank(
         )
     else:
         tm, tk, _ = gmm_tiles
-    tn = default_pack_tn(w1.shape[-1]) if pack_tn is None else min(pack_tn, w1.shape[-1])
+    tn = moe_pack_tn(w1.shape[-1]) if pack_tn is None else min(pack_tn, w1.shape[-1])
 
     d = ep_core.dispatch_ragged_core(
         x,
@@ -83,14 +83,22 @@ def fused_deep_moe_rank(
     sx = d["recv_scales_sorted"]       # [cap]
     gs = d["group_sizes"]              # [E_local]
 
-    h1 = grouped_matmul(
-        xs, w1, gs, sx, w1_scale,
-        epilogue="dequant_swiglu", tm=tm, tk=tk, tn=tn, out_dtype=jnp.float32,
-    )  # [cap, I]
-
-    # per-token dynamic requant (reference: SwiGLU+re-quant epilogue, fused_deep_moe.h)
-    s2 = jnp.maximum(jnp.max(jnp.abs(h1), axis=-1) / INT8_MAX, 1e-12)
-    q2 = saturate_int8(h1 / s2[:, None])
+    if tn == w1.shape[-1]:
+        # single fused GMM1 + dequant + SwiGLU + per-token re-quant (the
+        # reference's GmmDeqSwigluQuant, fused_deep_moe.h:60-120): int8
+        # activations leave the kernel directly — no f32 round trip
+        q2, s2 = grouped_matmul(
+            xs, w1, gs, sx, w1_scale,
+            epilogue="dequant_swiglu_quant", tm=tm, tk=tk,
+        )
+    else:
+        h1 = grouped_matmul(
+            xs, w1, gs, sx, w1_scale,
+            epilogue="dequant_swiglu", tm=tm, tk=tk, tn=tn, out_dtype=jnp.float32,
+        )  # [cap, I]
+        # per-token dynamic requant as a separate pass (wide-N fallback)
+        s2 = jnp.maximum(jnp.max(jnp.abs(h1), axis=-1) / INT8_MAX, 1e-12)
+        q2 = saturate_int8(h1 / s2[:, None])
 
     y = grouped_matmul(
         q2, w2, gs, s2, w2_scale,
@@ -120,7 +128,7 @@ def quantize_expert_weights(w_gate, w_up, w_down, tn: int | None = None):
     from sgl_kernel_npu_tpu.ops.grouped_matmul import pack_gmm1_scales, pack_gmm1_weights
 
     if tn is None:
-        tn = default_pack_tn(2 * w_gate.shape[-1])
+        tn = moe_pack_tn(2 * w_gate.shape[-1])
 
     def chan_quant(w):  # per-output-channel symmetric
         s = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / INT8_MAX, 1e-12)  # [E, N]

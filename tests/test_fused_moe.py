@@ -89,3 +89,32 @@ def test_model_decode_with_ep_buffer(mesh8, rng):
     d, e = np.asarray(dense_out), np.asarray(ep_out)
     rel = np.abs(d - e).mean() / (np.abs(d).mean() + 1e-9)
     assert rel < 0.05, rel  # int8 MoE vs fp32 dense budget
+
+
+def test_fused_deep_moe_default_pack_quant_epilogue(mesh8, rng):
+    """Default packing → full-width tn → single GmmDeqSwigluQuant-style kernel."""
+    from sgl_kernel_npu_tpu.ops.grouped_matmul import moe_pack_tn
+
+    assert moe_pack_tn(2 * I) == 2 * I  # this shape takes the fused-quant path
+    n = 8 * T
+    x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(E, K, replace=False) for _ in range(n)]), jnp.int32
+    )
+    w = jnp.asarray(rng.random((n, K)), jnp.float32)
+    wg = (rng.standard_normal((E, H, I)) * 0.05).astype(np.float32)
+    wu = (rng.standard_normal((E, H, I)) * 0.05).astype(np.float32)
+    wd = (rng.standard_normal((E, I, H)) * 0.05).astype(np.float32)
+
+    w1, s1, w2, s2 = quantize_expert_weights(
+        jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd))  # default pack
+    buf = Buffer(mesh8, "ep", num_experts=E, config=EPConfig(
+        num_max_dispatch_tokens_per_rank=T))
+    combined, _, dropped = buf.fused_deep_moe(x, idx, w, w1, s1, w2, s2)
+    assert int(np.asarray(dropped).sum()) == 0
+    golden = _dense_moe_fp32(np.asarray(x), np.asarray(idx), np.asarray(w), wg, wu, wd)
+    got = np.asarray(combined, np.float32)
+    avg_diff = np.abs(got - golden).mean() / (np.abs(golden).mean() + 1e-6)
+    assert avg_diff < 0.1, avg_diff
+    c = np.corrcoef(got.ravel(), golden.ravel())[0, 1]
+    assert c > 0.999, c

@@ -113,3 +113,43 @@ def test_auto_tile_selection(rng):
     tm, tk, tn = gm.select_gmm_tiles(s, k, n, jnp.int8)
     esize = 1
     assert 2 * (tm * tk + tk * tn) * esize + tm * tn * (4 + esize) <= 8 * 2**20
+
+
+def test_gmm_dequant_swiglu_quant(rng):
+    """Fused GMM1+dequant+SwiGLU+per-token-quant == unfused swiglu + requant."""
+    from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
+
+    g, s, k, i = 4, 128, 128, 256
+    n = 2 * i
+    sizes = _groups(rng, g, s)
+    xf = rng.standard_normal((s, k)).astype(np.float32)
+    wg = (rng.standard_normal((g, k, i)) * 0.05).astype(np.float32)
+    wu = (rng.standard_normal((g, k, i)) * 0.05).astype(np.float32)
+    x_q, sx = quant_per_token_ref(jnp.asarray(xf))
+    sg = np.abs(wg).max(axis=1) / 127.0
+    su = np.abs(wu).max(axis=1) / 127.0
+    wg_q = np.clip(np.round(wg / sg[:, None, :]), -128, 127).astype(np.int8)
+    wu_q = np.clip(np.round(wu / su[:, None, :]), -128, 127).astype(np.int8)
+
+    w_packed = gm.pack_gmm1_weights(jnp.asarray(wg_q), jnp.asarray(wu_q), n)
+    s_packed = gm.pack_gmm1_scales(jnp.asarray(sg), jnp.asarray(su), n)
+    gs = jnp.asarray(sizes)
+    q, scales = gm.grouped_matmul(
+        x_q, w_packed, gs, sx, s_packed, epilogue="dequant_swiglu_quant",
+        tm=64, tk=128,
+    )
+    assert q.shape == (s, i) and q.dtype == jnp.int8 and scales.shape == (s,)
+    # golden: unfused dequant gmm → swiglu → per-token requant
+    gate = gm.gmm_dequant_ref(x_q, jnp.asarray(wg_q), gs, sx, jnp.asarray(sg))
+    up = gm.gmm_dequant_ref(x_q, jnp.asarray(wu_q), gs, sx, jnp.asarray(su))
+    h = np.asarray(gate) * (1 / (1 + np.exp(-np.asarray(gate)))) * np.asarray(up)
+    s2 = np.maximum(np.abs(h).max(-1) / 127.0, 1e-12)
+    q_ref = np.clip(np.round(h / s2[:, None]), -128, 127)
+    total = int(sizes.sum())
+    deq = np.asarray(q, np.float32)[:total] * np.asarray(scales)[:total, None]
+    deq_ref = q_ref[:total] * s2[:total, None]
+    np.testing.assert_allclose(deq, deq_ref, rtol=5e-3, atol=5e-3)
+    # rows past the total are zero, scales zero
+    if total < s:
+        assert (np.asarray(q)[total:] == 0).all()
+        assert (np.asarray(scales)[total:] == 0).all()
