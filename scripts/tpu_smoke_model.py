@@ -91,10 +91,35 @@ def qwen3_next_consistency():
     return ok
 
 
+def gpt_oss_decode():
+    """Third family: sinks attention + sliding window + clamped SwiGLU,
+    Pallas decode path vs the jnp golden composition, on chip."""
+    from sgl_kernel_npu_tpu.models import gpt_oss as m
+
+    cfg = m.GptOssConfig(head_dim=128, page_size=128)  # chip-aligned dims
+    rng = np.random.default_rng(0)
+    params = m.init_weights(jax.random.key(0), cfg)
+    b, max_pages = 4, 2
+    caches = m.init_kv_cache(cfg, b * max_pages + 1)
+    bt = jnp.arange(1, 1 + b * max_pages, dtype=jnp.int32).reshape(b, max_pages)
+    x = jnp.asarray(rng.standard_normal((b, cfg.hidden)) * .5, jnp.float32)
+    pos = jnp.zeros((b,), jnp.int32)
+    ctx = jnp.ones((b,), jnp.int32)
+    slots = bt[:, 0] * cfg.page_size
+    got, _ = m.decode_step(cfg, params, x, pos, caches, bt, ctx, slots)
+    want, _ = m.decode_step_ref(cfg, params, x, pos, caches, bt, ctx, slots)
+    rel = np.abs(np.asarray(got) - np.asarray(want)).max()
+    ok = rel < 3e-2
+    print(f"{'OK ' if ok else 'FAIL'} gpt_oss decode vs golden on chip: "
+          f"max_abs_diff={rel:.2e}")
+    return ok
+
+
 def main():
     print(f"device: {jax.devices()[0].device_kind}")
     ok = deepseek_decode()
     ok &= qwen3_next_consistency()
+    ok &= gpt_oss_decode()
     print("ALL OK" if ok else "SOME FAILED")
     return 0 if ok else 1
 

@@ -1,0 +1,147 @@
+"""GPT-OSS-style decode layer stack (third model family, beyond reference).
+
+Composes the ops the reference ships for GPT-OSS-class models — attention sinks
+with alternating sliding-window/full layers (reference
+attention/sinks_attention.py) and the clamped SwiGLU variant (reference
+activation/swiglu_oai.py:98) — into a runnable paged decode model, the way
+models/deepseek_v3.py does for MLA+MoE.
+
+Shapes stay static and host-sync-free: paged KV via ``reshape_and_cache``,
+decode attention via the Pallas sinks kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from sgl_kernel_npu_tpu.ops.activation import swiglu_oai
+from sgl_kernel_npu_tpu.ops.attention.sinks_attention import attention_sinks
+from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
+from sgl_kernel_npu_tpu.ops.norm import rms_norm
+from sgl_kernel_npu_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class GptOssConfig:
+    hidden: int = 256
+    num_layers: int = 2
+    num_heads: int = 8
+    num_kv_heads: int = 2
+    head_dim: int = 32
+    intermediate: int = 512        # per gate/up half
+    sliding_window: int = 128      # even layers use the window, odd layers full
+    page_size: int = 16
+    rope_theta: float = 10000.0
+    alpha: float = 1.702
+    limit: float = 7.0
+
+
+def init_weights(key, cfg: GptOssConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, cfg.num_layers * 8 + 1)
+    it = iter(ks)
+
+    def rnd(*shape, scale=0.02):
+        return (jax.random.normal(next(it), shape) * scale).astype(dtype)
+
+    layers = []
+    h, d = cfg.hidden, cfg.head_dim
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "ln1": jnp.ones((h,), dtype),
+            "wq": rnd(h, cfg.num_heads * d),
+            "wk": rnd(h, cfg.num_kv_heads * d),
+            "wv": rnd(h, cfg.num_kv_heads * d),
+            "wo": rnd(cfg.num_heads * d, h),
+            "sinks": rnd(cfg.num_heads, scale=1.0),
+            "ln2": jnp.ones((h,), dtype),
+            "w_gate_up": rnd(h, 2 * cfg.intermediate),   # interleaved gate/up
+            "w_down": rnd(cfg.intermediate, h),
+        })
+    return {"layers": layers}
+
+
+def init_kv_cache(cfg: GptOssConfig, num_pages: int, dtype=jnp.float32):
+    shape = (num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.num_layers)
+    ]
+
+
+def decode_step(
+    cfg: GptOssConfig,
+    params: dict,
+    x: jax.Array,            # [B, hidden]
+    positions: jax.Array,    # [B] absolute positions of the new tokens
+    caches: list,            # per layer (k_cache, v_cache)
+    block_tables: jax.Array, # [B, max_pages]
+    context_lens: jax.Array, # [B] lengths INCLUDING the new token
+    slot_mapping: jax.Array, # [B] global cache slots for the new token
+):
+    """One decode step over the full layer stack; returns (hidden, new_caches)."""
+    b = x.shape[0]
+    d = cfg.head_dim
+    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    new_caches = []
+    scale = 1.0 / math.sqrt(d)
+    for li, lw in enumerate(params["layers"]):
+        k_cache, v_cache = caches[li]
+        hidden_n = rms_norm(x, lw["ln1"])
+        q = (hidden_n @ lw["wq"]).reshape(b, cfg.num_heads, d)
+        k = (hidden_n @ lw["wk"]).reshape(b, cfg.num_kv_heads, d)
+        v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
+        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        window = cfg.sliding_window if li % 2 == 0 else 0  # GPT-OSS alternation
+        attn = attention_sinks(
+            q.reshape(b, cfg.num_heads * d), k_cache, v_cache, lw["sinks"],
+            block_tables, context_lens, scale, window,
+            cfg.num_heads, cfg.num_kv_heads,
+        )
+        x = x + attn.reshape(b, -1) @ lw["wo"]
+        mlp_in = rms_norm(x, lw["ln2"])
+        act = swiglu_oai(mlp_in @ lw["w_gate_up"], cfg.alpha, cfg.limit)
+        x = x + act @ lw["w_down"]
+        new_caches.append((k_cache, v_cache))
+    return x, new_caches
+
+
+def decode_step_ref(cfg, params, x, positions, caches, block_tables, context_lens,
+                    slot_mapping):
+    """Golden: same math with the jnp reference attention (sinks_attention_ref)."""
+    from sgl_kernel_npu_tpu.ops.activation import swiglu_oai_ref
+    from sgl_kernel_npu_tpu.ops.attention.sinks_attention import attention_sinks_ref
+
+    b = x.shape[0]
+    d = cfg.head_dim
+    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    new_caches = []
+    scale = 1.0 / math.sqrt(d)
+    for li, lw in enumerate(params["layers"]):
+        k_cache, v_cache = caches[li]
+        hidden_n = rms_norm(x, lw["ln1"])
+        q = (hidden_n @ lw["wq"]).reshape(b, cfg.num_heads, d)
+        k = (hidden_n @ lw["wk"]).reshape(b, cfg.num_kv_heads, d)
+        v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
+        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        window = cfg.sliding_window if li % 2 == 0 else 0
+        attn = attention_sinks_ref(
+            q.reshape(b, cfg.num_heads * d), k_cache, v_cache, lw["sinks"],
+            block_tables, context_lens, scale, window,
+            cfg.num_heads, cfg.num_kv_heads,
+        )
+        x = x + attn.reshape(b, -1) @ lw["wo"]
+        mlp_in = rms_norm(x, lw["ln2"])
+        act = swiglu_oai_ref(mlp_in @ lw["w_gate_up"], cfg.alpha, cfg.limit)
+        x = x + act @ lw["w_down"]
+        new_caches.append((k_cache, v_cache))
+    return x, new_caches
