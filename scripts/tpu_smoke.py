@@ -92,6 +92,16 @@ def main():
                 sa.attention_sinks_ref(qs_, ka.astype(jnp.float32), va.astype(jnp.float32),
                                        sinks, bt, sl, 0.088, 64, hq, hkv))
 
+    sq = jnp.asarray([2, 100, 30, 1], jnp.int32)   # varlen new tokens per request
+    qp = jnp.asarray(rng.standard_normal((int(sq.sum()), hq * dk)) * 0.5, jnp.float32)
+    ok &= check("attention_sinks_prefill",
+                sa.attention_sinks_prefill_pallas(
+                    qp, ka.astype(jnp.float32), va.astype(jnp.float32),
+                    sinks, sq, bt, sl, 0.088, 64, hq, hkv, max_q=128),
+                sa.attention_sinks_prefill(
+                    qp, ka.astype(jnp.float32), va.astype(jnp.float32),
+                    sinks, sq, bt, sl, 0.088, 64, hq, hkv))
+
     # --- MLA decode (the bench kernel, 512+64 latent layout) ---
     dn, dr = 512, 64
     npg2 = bsz * mp + 1

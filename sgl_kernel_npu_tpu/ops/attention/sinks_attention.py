@@ -6,9 +6,10 @@ per-head learned sink logits join the softmax denominator (equivalent to one ext
 always-attended token with value 0), plus sliding-window masking.
 
 Decode runs as a Pallas flash-decoding kernel over the page grid (same structure as
-ops/attention/decode_attention.decode_gqa); prefill is a fused jnp path (XLA handles
-the irregular q-length batching well at prefill sizes; a Pallas prefill kernel is a
-later optimization).
+ops/attention/decode_attention.decode_gqa); prefill ships both a fused jnp golden
+(:func:`attention_sinks_prefill`) and a Pallas varlen flash kernel
+(:func:`attention_sinks_prefill_pallas`) over a (batch, kv-head, q-chunk, kv-page)
+grid.
 
 Cache layout: ``[pages, kv_heads, page_size, head_dim]`` (TPU-first, see
 decode_attention module docstring).
@@ -164,6 +165,186 @@ def attention_sinks(
     )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
       qg, sk[:, None], k_cache, v_cache)
     return out[:, :, :group].reshape(s, q_head_num * dv)
+
+
+def _sinks_prefill_kernel(
+    seq_lens_ref,    # [B] new-token counts
+    ctx_lens_ref,    # [B] total lengths (incl. new tokens)
+    bt_ref,          # [B, max_pages]
+    q_ref,           # [1, 1, CQ, G, D] dense-padded queries
+    sink_ref,        # [1, 1, G]
+    k_ref,           # [1, 1, page, D]
+    v_ref,           # [1, 1, page, Dv]
+    o_ref,           # [1, 1, CQ, G, Dv]
+    acc_ref, m_ref, l_ref,
+    *,
+    scale,
+    page_size,
+    window,
+):
+    b = pl.program_id(0)
+    qc = pl.program_id(2)
+    pc = pl.program_id(3)
+    n_pages = pl.num_programs(3)
+    cq, g, dk = q_ref.shape[2], q_ref.shape[3], q_ref.shape[4]
+    rows = cq * g
+
+    seq_len = seq_lens_ref[b]
+    ctx = ctx_lens_ref[b]
+
+    @pl.when(pc == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    # absolute causal position of each q row (rows are (token, head-in-group))
+    tok = qc * cq + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // g
+    qpos = ctx - seq_len + tok                       # [rows, 1]
+    row_live = tok < seq_len
+    page_lo = pc * page_size
+    chunk_has_work = jnp.logical_and(
+        qc * cq < seq_len,
+        # page overlaps some row's visible range
+        jnp.logical_and(page_lo < ctx, True if window <= 0 else True),
+    )
+
+    @pl.when(chunk_has_work)
+    def _step():
+        q = q_ref[0, 0].reshape(rows, dk)            # merge leading dims only
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        qk = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        kpos = page_lo + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+        mask = jnp.logical_and(kpos <= qpos, row_live)
+        if window > 0:
+            mask = jnp.logical_and(mask, kpos > qpos - window)
+        qk = jnp.where(mask, qk, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        probs = jnp.exp(qk - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_new
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pc == n_pages - 1)
+    def _finish():
+        # per-row sink logit: row (token, g) uses sinks[g]
+        rowg = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % g
+        sink = jnp.zeros((rows, 1), jnp.float32)
+        for gi in range(g):
+            sink = jnp.where(rowg == gi, sink_ref[0, 0, gi], sink)
+        m_fin = jnp.maximum(m_ref[:, :1], sink)
+        l_fin = l_ref[:, :1] * jnp.exp(m_ref[:, :1] - m_fin) + jnp.exp(sink - m_fin)
+        out = acc_ref[...] * jnp.exp(m_ref[:, :1] - m_fin) / jnp.maximum(l_fin, 1e-30)
+        out = jnp.where(row_live, out, 0.0)
+        o_ref[0, 0] = out.reshape(cq, g, -1).astype(o_ref.dtype)
+
+
+def attention_sinks_prefill_pallas(
+    query, k_cache, v_cache, sinks, seq_lens, block_tables, context_lens, scale,
+    sliding_window_size: int, q_head_num: int, k_head_num: int,
+    *, max_q: int | None = None, q_chunk: int = 128, interpret=None,
+):
+    """Pallas varlen prefill with sinks + sliding window — the device-kernel
+    counterpart of :func:`attention_sinks_prefill` (the reference ships this as
+    ``attention_sinks_prefill_triton:241``; here a flash kernel over a
+    ``(batch, kv-head, q-chunk, kv-page)`` grid with the online-softmax state
+    carried across the page dim).
+
+    ``max_q``: static bound on per-request new-token counts (defaults to the
+    packed total — correct but wasteful; callers should pass their bound).
+    Packed rows are scattered to a dense ``[B, max_q]`` layout, the kernel runs
+    regular, and outputs gather back to packed rows.
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    s = query.shape[0]
+    d = query.shape[-1] // q_head_num
+    dv = v_cache.shape[-1]
+    bsz = seq_lens.shape[0]
+    n_pages_total, hkv, page_size, _ = k_cache.shape
+    assert hkv == k_head_num
+    group = q_head_num // k_head_num
+    max_q = max_q or s
+    cq = min(q_chunk, max(8, max_q))
+    max_q = -(-max_q // cq) * cq                       # pad to chunk multiple
+
+    ends = jnp.cumsum(seq_lens.astype(jnp.int32))
+    req = jnp.clip(jnp.searchsorted(ends, jnp.arange(s), side="right"), 0, bsz - 1)
+    j = jnp.arange(s) - (ends[req] - seq_lens[req])
+    qg = query.reshape(s, k_head_num, group, d)
+    qd = (
+        jnp.zeros((bsz, max_q, k_head_num, group, d), query.dtype)
+        .at[req, j]
+        .set(qg, mode="drop")
+        .transpose(0, 2, 1, 3, 4)                      # [B, Hkv, max_q, G, D]
+    )
+    max_pages = block_tables.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(bsz, k_head_num, max_q // cq, max_pages),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, cq, group, d),
+                lambda b, h, qc, pc, sl, cl, bt: (b, h, qc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, group),
+                lambda b, h, qc, pc, sl, cl, bt: (h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, d),
+                lambda b, h, qc, pc, sl, cl, bt: (bt[b, pc], h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, dv),
+                lambda b, h, qc, pc, sl, cl, bt: (bt[b, pc], h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cq, group, dv),
+            lambda b, h, qc, pc, sl, cl, bt: (b, h, qc, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cq * group, dv), jnp.float32),
+            pltpu.VMEM((cq * group, 128), jnp.float32),
+            pltpu.VMEM((cq * group, 128), jnp.float32),
+        ],
+    )
+    od = pl.pallas_call(
+        functools.partial(
+            _sinks_prefill_kernel, scale=scale, page_size=page_size,
+            window=sliding_window_size,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, k_head_num, max_q, group, dv), query.dtype
+        ),
+        interpret=interpret,
+    )(
+        seq_lens.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        block_tables.astype(jnp.int32),
+        qd,
+        sinks.astype(jnp.float32).reshape(k_head_num, 1, group),
+        k_cache,
+        v_cache,
+    )
+    out = od.transpose(0, 2, 1, 3, 4)[req, j]          # [S, Hkv, G, Dv]
+    return out.reshape(s, q_head_num * dv)
 
 
 def attention_sinks_prefill(

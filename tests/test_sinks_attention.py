@@ -37,6 +37,29 @@ def test_sink_matters(rng):
     assert np.abs(np.asarray(small)).max() > 1e-2
 
 
+@pytest.mark.parametrize("window", [0, 24])
+def test_attention_sinks_prefill_pallas(rng, window):
+    """Pallas varlen prefill kernel vs the jnp golden."""
+    hq, hkv, d, dv, page, max_pages = 4, 2, 32, 32, 16, 4
+    bsz = 3
+    n_pages = bsz * max_pages
+    k = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n_pages, hkv, page, dv)) * 0.5, jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(hq), jnp.float32)
+    bt = jnp.asarray(rng.permutation(n_pages).reshape(bsz, max_pages), jnp.int32)
+    ctx = jnp.asarray([40, 25, 64], jnp.int32)
+    seq_lens = jnp.asarray([3, 25, 10], jnp.int32)  # req 1 is a full prefill
+    s = int(seq_lens.sum())
+    q = jnp.asarray(rng.standard_normal((s, hq * d)) * 0.5, jnp.float32)
+    scale = 1 / np.sqrt(d)
+    want = sa.attention_sinks_prefill(
+        q, k, v, sinks, seq_lens, bt, ctx, scale, window, hq, hkv)
+    got = sa.attention_sinks_prefill_pallas(
+        q, k, v, sinks, seq_lens, bt, ctx, scale, window, hq, hkv,
+        max_q=32, q_chunk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
 def test_attention_sinks_prefill_matches_decode_lastrow(rng):
     """The last query token of each prefill request must equal the decode result."""
     hq, hkv, d, dv, page, max_pages = 4, 2, 32, 32, 16, 4
