@@ -167,6 +167,22 @@ def attention_sinks(
     return out[:, :, :group].reshape(s, q_head_num * dv)
 
 
+def _prefill_page_bounds(seq_len, ctx, qc, *, cq, window, page_size, max_pages):
+    """[lo_page, hi_page] of KV pages visible to q-chunk ``qc`` of a request.
+
+    Chunk rows occupy absolute positions [ctx−seq+qc·cq, ctx−seq+(qc+1)·cq) ∩
+    [·, ctx); causal hi = last visible position, window lo = first.  Grid steps
+    outside the range clamp to ``hi_page`` so Pallas re-uses the already-resident
+    block (no DMA) and the kernel skips their compute.
+    """
+    start = ctx - seq_len + qc * cq
+    hi_pos = jnp.minimum(ctx - seq_len + (qc + 1) * cq, ctx)  # exclusive
+    hi_page = jnp.clip((hi_pos - 1) // page_size, 0, max_pages - 1)
+    lo_pos = jnp.maximum(start - (window - 1), 0) if window > 0 else 0
+    lo_page = jnp.clip(jnp.minimum(lo_pos // page_size, hi_page), 0, max_pages - 1)
+    return lo_page, hi_page
+
+
 def _sinks_prefill_kernel(
     seq_lens_ref,    # [B] new-token counts
     ctx_lens_ref,    # [B] total lengths (incl. new tokens)
@@ -181,6 +197,7 @@ def _sinks_prefill_kernel(
     scale,
     page_size,
     window,
+    max_pages,
 ):
     b = pl.program_id(0)
     qc = pl.program_id(2)
@@ -202,12 +219,13 @@ def _sinks_prefill_kernel(
     tok = qc * cq + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // g
     qpos = ctx - seq_len + tok                       # [rows, 1]
     row_live = tok < seq_len
-    page_lo = pc * page_size
-    chunk_has_work = jnp.logical_and(
-        qc * cq < seq_len,
-        # page overlaps some row's visible range
-        jnp.logical_and(page_lo < ctx, True if window <= 0 else True),
+    lo_page, hi_page = _prefill_page_bounds(
+        seq_len, ctx, qc, cq=cq, window=window, page_size=page_size,
+        max_pages=max_pages,
     )
+    page = jnp.minimum(lo_page + pc, hi_page)        # must match the index maps
+    page_lo = page * page_size
+    chunk_has_work = jnp.logical_and(qc * cq < seq_len, lo_page + pc <= hi_page)
 
     @pl.when(chunk_has_work)
     def _step():
@@ -287,10 +305,23 @@ def attention_sinks_prefill_pallas(
         .transpose(0, 2, 1, 3, 4)                      # [B, Hkv, max_q, G, D]
     )
     max_pages = block_tables.shape[1]
+    if sliding_window_size > 0:
+        # pages spanned by [first-row window lo, last-row causal hi): the visible
+        # range is ≤ (cq−1)+window long → bounded page count, O(window) not O(seq)
+        n_pg = min(max_pages, -(-(cq + sliding_window_size - 1) // page_size) + 1)
+    else:
+        n_pg = max_pages
+
+    def _kv_page(b, qc, pc, sl, cl, bt):
+        lo_page, hi_page = _prefill_page_bounds(
+            sl[b], cl[b], qc, cq=cq, window=sliding_window_size,
+            page_size=page_size, max_pages=max_pages,
+        )
+        return bt[b, jnp.minimum(lo_page + pc, hi_page)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(bsz, k_head_num, max_q // cq, max_pages),
+        grid=(bsz, k_head_num, max_q // cq, n_pg),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, cq, group, d),
@@ -304,12 +335,12 @@ def attention_sinks_prefill_pallas(
             ),
             pl.BlockSpec(
                 (1, 1, page_size, d),
-                lambda b, h, qc, pc, sl, cl, bt: (bt[b, pc], h, 0, 0),
+                lambda b, h, qc, pc, sl, cl, bt: (_kv_page(b, qc, pc, sl, cl, bt), h, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, page_size, dv),
-                lambda b, h, qc, pc, sl, cl, bt: (bt[b, pc], h, 0, 0),
+                lambda b, h, qc, pc, sl, cl, bt: (_kv_page(b, qc, pc, sl, cl, bt), h, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -327,7 +358,7 @@ def attention_sinks_prefill_pallas(
     od = pl.pallas_call(
         functools.partial(
             _sinks_prefill_kernel, scale=scale, page_size=page_size,
-            window=sliding_window_size,
+            window=sliding_window_size, max_pages=max_pages,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
