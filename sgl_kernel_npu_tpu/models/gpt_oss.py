@@ -19,7 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from sgl_kernel_npu_tpu.ops.activation import swiglu_oai
-from sgl_kernel_npu_tpu.ops.attention.sinks_attention import attention_sinks
+from sgl_kernel_npu_tpu.ops.attention.sinks_attention import (
+    attention_sinks,
+    attention_sinks_prefill,
+    attention_sinks_prefill_pallas,
+)
 from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
 from sgl_kernel_npu_tpu.ops.norm import rms_norm
 from sgl_kernel_npu_tpu.ops.rope import apply_rope, rope_cos_sin
@@ -105,6 +109,59 @@ def decode_step(
             cfg.num_heads, cfg.num_kv_heads,
         )
         x = x + attn.reshape(b, -1) @ lw["wo"]
+        mlp_in = rms_norm(x, lw["ln2"])
+        act = swiglu_oai(mlp_in @ lw["w_gate_up"], cfg.alpha, cfg.limit)
+        x = x + act @ lw["w_down"]
+        new_caches.append((k_cache, v_cache))
+    return x, new_caches
+
+
+def prefill_step(
+    cfg: GptOssConfig,
+    params: dict,
+    x: jax.Array,            # [S, hidden] packed varlen tokens
+    seq_lens: jax.Array,     # [B] new-token counts per request
+    caches: list,            # per layer (k_cache, v_cache)
+    block_tables: jax.Array, # [B, max_pages]
+    context_lens: jax.Array, # [B] total lengths INCLUDING the new tokens
+    slot_mapping: jax.Array, # [S] global cache slots for the new tokens
+    *,
+    max_q: int | None = None,
+    use_pallas: bool = True,
+):
+    """Varlen (chunked) prefill over the layer stack: rows are the concatenation
+    of each request's last ``seq_lens[b]`` tokens.  KV is written to the paged
+    cache first, then attention reads it back — so prefill and decode share one
+    cache layout and the Pallas kernels (`attention_sinks_prefill_pallas`)."""
+    s = x.shape[0]
+    d = cfg.head_dim
+    bsz = seq_lens.shape[0]
+    ends = jnp.cumsum(seq_lens.astype(jnp.int32))
+    req = jnp.clip(jnp.searchsorted(ends, jnp.arange(s), side="right"), 0, bsz - 1)
+    j = jnp.arange(s) - (ends[req] - seq_lens[req])
+    positions = context_lens[req] - seq_lens[req] + j
+    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    attend = attention_sinks_prefill_pallas if use_pallas else attention_sinks_prefill
+    kw = {"max_q": max_q} if use_pallas else {}
+    new_caches = []
+    scale = 1.0 / math.sqrt(d)
+    for li, lw in enumerate(params["layers"]):
+        k_cache, v_cache = caches[li]
+        hidden_n = rms_norm(x, lw["ln1"])
+        q = (hidden_n @ lw["wq"]).reshape(s, cfg.num_heads, d)
+        k = (hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d)
+        v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
+        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        window = cfg.sliding_window if li % 2 == 0 else 0
+        attn = attend(
+            q.reshape(s, cfg.num_heads * d), k_cache, v_cache, lw["sinks"],
+            seq_lens, block_tables, context_lens, scale, window,
+            cfg.num_heads, cfg.num_kv_heads, **kw,
+        )
+        x = x + attn.reshape(s, -1) @ lw["wo"]
         mlp_in = rms_norm(x, lw["ln2"])
         act = swiglu_oai(mlp_in @ lw["w_gate_up"], cfg.alpha, cfg.limit)
         x = x + act @ lw["w_down"]

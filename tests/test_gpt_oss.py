@@ -46,6 +46,66 @@ def test_decode_matches_ref(rng):
         np.testing.assert_allclose(np.asarray(kg), np.asarray(kw), rtol=1e-4, atol=1e-5)
 
 
+def test_prefill_pallas_matches_golden(rng):
+    """Varlen prefill_step: Pallas kernel path vs the jnp composition."""
+    cfg = m.GptOssConfig()
+    params = m.init_weights(jax.random.key(2), cfg)
+    bsz, max_pages = 3, 4
+    num_pages = bsz * max_pages + 1
+    caches = m.init_kv_cache(cfg, num_pages)
+    bt = jnp.asarray(
+        rng.permutation(num_pages - 1)[: bsz * max_pages].reshape(bsz, max_pages) + 1,
+        jnp.int32)
+    seq_lens = jnp.asarray([5, 17, 32], jnp.int32)   # fresh prefills: ctx == seq
+    ctx = seq_lens
+    s = int(seq_lens.sum())
+    x = jnp.asarray(rng.standard_normal((s, cfg.hidden)) * 0.5, jnp.float32)
+    # slot for token j of request b = page bt[b, j//page] * page + j%page
+    slots = []
+    for b in range(bsz):
+        for j in range(int(seq_lens[b])):
+            slots.append(int(bt[b, j // cfg.page_size]) * cfg.page_size + j % cfg.page_size)
+    slots = jnp.asarray(slots, jnp.int32)
+
+    got, cg = m.prefill_step(cfg, params, x, seq_lens, caches, bt, ctx, slots,
+                             max_q=32, use_pallas=True)
+    want, cw = m.prefill_step(cfg, params, x, seq_lens, caches, bt, ctx, slots,
+                              use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4)
+    for (kg, _), (kw, _) in zip(cg, cw):
+        np.testing.assert_allclose(np.asarray(kg), np.asarray(kw), rtol=1e-5, atol=1e-6)
+
+
+def test_prefill_agrees_with_decode_chain(rng):
+    """One prefill_step == token-by-token decode_step (same cache, same hiddens)."""
+    cfg = m.GptOssConfig(num_layers=2)
+    params = m.init_weights(jax.random.key(3), cfg)
+    n, max_pages = 6, 2
+    caches0 = m.init_kv_cache(cfg, max_pages + 1)
+    bt = jnp.arange(1, 1 + max_pages, dtype=jnp.int32).reshape(1, max_pages)
+    x = jnp.asarray(rng.standard_normal((n, cfg.hidden)) * 0.5, jnp.float32)
+
+    pre, cache_pre = m.prefill_step(
+        cfg, params, x, jnp.asarray([n], jnp.int32), caches0, bt,
+        jnp.asarray([n], jnp.int32),
+        bt[0, jnp.arange(n) // cfg.page_size] * cfg.page_size
+        + jnp.arange(n) % cfg.page_size,
+        max_q=8)
+
+    caches = caches0
+    outs = []
+    for t in range(n):
+        sl = bt[:, t // cfg.page_size] * cfg.page_size + t % cfg.page_size
+        y, caches = m.decode_step(
+            cfg, params, x[t][None], jnp.asarray([t], jnp.int32), caches, bt,
+            jnp.asarray([t + 1], jnp.int32), sl)
+        outs.append(y[0])
+    np.testing.assert_allclose(
+        np.asarray(pre), np.asarray(jnp.stack(outs)), rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(cache_pre[0][0]), np.asarray(caches[0][0]), rtol=1e-5, atol=1e-6)
+
+
 def test_two_steps_progress(rng):
     """Two chained decode steps stay finite and the caches advance."""
     cfg = m.GptOssConfig(num_layers=2)
