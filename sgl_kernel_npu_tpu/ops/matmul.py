@@ -64,6 +64,19 @@ def _quant_matmul_kernel(x_ref, w_ref, ds_ref, b_ref, o_ref, acc_ref, *, has_bia
         )
 
 
+def _quant_matmul_tiles(m, n, k, out_bytes, budget=10 * 2**20):
+    """Traffic-model tile pick (cf. grouped_matmul's selector): weights are read
+    once per m-step and x once per (m-step, n-tile), so the widest VMEM-legal
+    ``tn`` minimizes x re-reads — full-N when it fits (then x streams exactly
+    once).  Lane dim of the f32 out block needs 128-divisibility → round N up."""
+    tm = min(128, max(32, m))
+    tn = -(-n // 128) * 128
+    tk = min(512, -(-k // 128) * 128)
+    while tn > 256 and (2 * tk * tn + 2 * (4 + out_bytes) * tm * tn + 2 * tm * tk) > budget:
+        tn = -(-(tn // 2) // 128) * 128
+    return tm, tn, tk
+
+
 @functools.partial(
     jax.jit, static_argnames=("out_dtype", "tm", "tn", "tk", "interpret")
 )
@@ -74,22 +87,26 @@ def quant_matmul(
     bias: jax.Array | None = None,
     *,
     out_dtype=jnp.bfloat16,
-    tm: int = 128,
-    tn: int = 256,
-    tk: int = 512,
+    tm: int | None = None,
+    tn: int | None = None,
+    tk: int | None = None,
     interpret=None,
 ) -> jax.Array:
     """W8A8 GEMM: ``x_q [M, K] int8 @ w_q [N, K].T`` + bias, × per-channel de_scale.
 
     N and K must be multiples of the tile sizes after clamping; M is padded freely.
+    Tile sizes default to the traffic-model pick (wide N, see _quant_matmul_tiles).
     """
     if interpret is None:
         interpret = interpret_default()
     m, kdim = x_q.shape
     n = w_q.shape[0]
+    atm, atn, atk = _quant_matmul_tiles(
+        m, n, kdim, jnp.dtype(out_dtype).itemsize)
+    tm, tn, tk = tm or atm, tn or atn, tk or atk
     tm = min(tm, max(32, m))
-    tn = min(tn, n)
-    tk = min(tk, kdim)
+    tn = min(tn, -(-n // 128) * 128)
+    tk = min(tk, -(-kdim // 128) * 128)
     has_bias = bias is not None
     if bias is None:
         bias = jnp.zeros((n,), jnp.int32)
