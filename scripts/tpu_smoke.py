@@ -102,6 +102,14 @@ def main():
                     qp, ka.astype(jnp.float32), va.astype(jnp.float32),
                     sinks, sq, bt, sl, 0.088, 64, hq, hkv))
 
+    ok &= check("prefill_no_sinks",
+                sa.attention_sinks_prefill_pallas(
+                    qp, ka.astype(jnp.float32), va.astype(jnp.float32),
+                    None, sq, bt, sl, 0.088, 0, hq, hkv, max_q=128),
+                sa.attention_sinks_prefill(
+                    qp, ka.astype(jnp.float32), va.astype(jnp.float32),
+                    None, sq, bt, sl, 0.088, 0, hq, hkv))
+
     # --- MLA decode (the bench kernel, 512+64 latent layout) ---
     dn, dr = 512, 64
     npg2 = bsz * mp + 1

@@ -1,0 +1,157 @@
+"""Dense GQA (Llama-class) layer stack — fourth model family (beyond reference).
+
+The reference is a kernel library consumed by SGLang for exactly this model
+class: paged GQA decode attention (reference attention/decode_attention.py:373),
+fused QKV-split+RMSNorm+RoPE (norm/split_qkv_rmsnorm_rope.py:202), SwiGLU MLP.
+This module composes those kernels into runnable paged prefill + decode steps,
+the way models/gpt_oss.py does for the sinks family.
+
+Prefill uses the general varlen flash kernel
+(ops/attention/sinks_attention.attention_sinks_prefill_pallas with ``sinks=None``);
+decode uses the Pallas GQA flash-decode kernel.  Both share one paged cache
+layout, so chunked prefill and decode interleave freely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from sgl_kernel_npu_tpu.ops.attention.decode_attention import decode_gqa
+from sgl_kernel_npu_tpu.ops.attention.sinks_attention import (
+    attention_sinks_prefill,
+    attention_sinks_prefill_pallas,
+)
+from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
+from sgl_kernel_npu_tpu.ops.norm import rms_norm
+from sgl_kernel_npu_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    hidden: int = 256
+    num_layers: int = 2
+    num_heads: int = 8
+    num_kv_heads: int = 2
+    head_dim: int = 32
+    intermediate: int = 512
+    page_size: int = 16
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+
+
+def init_weights(key, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, cfg.num_layers * 8 + 2)
+    it = iter(ks)
+
+    def rnd(*shape, scale=0.02):
+        return (jax.random.normal(next(it), shape) * scale).astype(dtype)
+
+    h, d = cfg.hidden, cfg.head_dim
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "ln1": jnp.ones((h,), dtype),
+            "wq": rnd(h, cfg.num_heads * d),
+            "wk": rnd(h, cfg.num_kv_heads * d),
+            "wv": rnd(h, cfg.num_kv_heads * d),
+            "wo": rnd(cfg.num_heads * d, h),
+            "ln2": jnp.ones((h,), dtype),
+            "w_gate": rnd(h, cfg.intermediate),
+            "w_up": rnd(h, cfg.intermediate),
+            "w_down": rnd(cfg.intermediate, h),
+        })
+    return {"layers": layers, "ln_f": jnp.ones((h,), dtype)}
+
+
+def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.float32):
+    shape = (num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
+    return [
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.num_layers)
+    ]
+
+
+def _mlp(lw, x):
+    g = x @ lw["w_gate"]
+    return (jax.nn.silu(g) * (x @ lw["w_up"])) @ lw["w_down"]
+
+
+def decode_step(
+    cfg: LlamaConfig,
+    params: dict,
+    x: jax.Array,            # [B, hidden]
+    positions: jax.Array,    # [B]
+    caches: list,
+    block_tables: jax.Array, # [B, max_pages]
+    context_lens: jax.Array, # [B] lengths INCLUDING the new token
+    slot_mapping: jax.Array, # [B]
+):
+    """One decode step over the stack; returns (hidden, new_caches)."""
+    b = x.shape[0]
+    d = cfg.head_dim
+    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    scale = 1.0 / math.sqrt(d)
+    new_caches = []
+    for li, lw in enumerate(params["layers"]):
+        k_cache, v_cache = caches[li]
+        hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
+        q = apply_rope((hidden_n @ lw["wq"]).reshape(b, cfg.num_heads, d), cos, sin)
+        k = apply_rope((hidden_n @ lw["wk"]).reshape(b, cfg.num_kv_heads, d), cos, sin)
+        v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
+        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
+        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        attn = decode_gqa(q, k_cache, v_cache, context_lens, scale, block_tables)
+        x = x + attn.reshape(b, -1) @ lw["wo"]
+        x = x + _mlp(lw, rms_norm(x, lw["ln2"], cfg.rms_eps))
+        new_caches.append((k_cache, v_cache))
+    return rms_norm(x, params["ln_f"], cfg.rms_eps), new_caches
+
+
+def prefill_step(
+    cfg: LlamaConfig,
+    params: dict,
+    x: jax.Array,            # [S, hidden] packed varlen tokens
+    seq_lens: jax.Array,     # [B] new-token counts
+    caches: list,
+    block_tables: jax.Array, # [B, max_pages]
+    context_lens: jax.Array, # [B] totals INCLUDING the new tokens
+    slot_mapping: jax.Array, # [S]
+    *,
+    max_q: int | None = None,
+    use_pallas: bool = True,
+):
+    """Varlen (chunked) prefill; rows are each request's last ``seq_lens[b]``
+    tokens.  KV lands in the paged cache first; attention reads it back."""
+    s = x.shape[0]
+    d = cfg.head_dim
+    bsz = seq_lens.shape[0]
+    ends = jnp.cumsum(seq_lens.astype(jnp.int32))
+    req = jnp.clip(jnp.searchsorted(ends, jnp.arange(s), side="right"), 0, bsz - 1)
+    j = jnp.arange(s) - (ends[req] - seq_lens[req])
+    positions = context_lens[req] - seq_lens[req] + j
+    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    attend = attention_sinks_prefill_pallas if use_pallas else attention_sinks_prefill
+    kw = {"max_q": max_q} if use_pallas else {}
+    scale = 1.0 / math.sqrt(d)
+    new_caches = []
+    for li, lw in enumerate(params["layers"]):
+        k_cache, v_cache = caches[li]
+        hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
+        q = apply_rope((hidden_n @ lw["wq"]).reshape(s, cfg.num_heads, d), cos, sin)
+        k = apply_rope((hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d), cos, sin)
+        v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
+        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
+        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        attn = attend(
+            q.reshape(s, cfg.num_heads * d), k_cache, v_cache, None,
+            seq_lens, block_tables, context_lens, scale, 0,
+            cfg.num_heads, cfg.num_kv_heads, **kw,
+        )
+        x = x + attn.reshape(s, -1) @ lw["wo"]
+        x = x + _mlp(lw, rms_norm(x, lw["ln2"], cfg.rms_eps))
+        new_caches.append((k_cache, v_cache))
+    return rms_norm(x, params["ln_f"], cfg.rms_eps), new_caches

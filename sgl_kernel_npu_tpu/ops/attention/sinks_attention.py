@@ -253,14 +253,17 @@ def _sinks_prefill_kernel(
 
     @pl.when(pc == n_pages - 1)
     def _finish():
-        # per-row sink logit: row (token, g) uses sinks[g]
-        rowg = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % g
-        sink = jnp.zeros((rows, 1), jnp.float32)
-        for gi in range(g):
-            sink = jnp.where(rowg == gi, sink_ref[0, 0, gi], sink)
-        m_fin = jnp.maximum(m_ref[:, :1], sink)
-        l_fin = l_ref[:, :1] * jnp.exp(m_ref[:, :1] - m_fin) + jnp.exp(sink - m_fin)
-        out = acc_ref[...] * jnp.exp(m_ref[:, :1] - m_fin) / jnp.maximum(l_fin, 1e-30)
+        if sink_ref is None:          # plain varlen flash prefill (no sink logit)
+            out = acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
+        else:
+            # per-row sink logit: row (token, g) uses sinks[g]
+            rowg = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % g
+            sink = jnp.zeros((rows, 1), jnp.float32)
+            for gi in range(g):
+                sink = jnp.where(rowg == gi, sink_ref[0, 0, gi], sink)
+            m_fin = jnp.maximum(m_ref[:, :1], sink)
+            l_fin = l_ref[:, :1] * jnp.exp(m_ref[:, :1] - m_fin) + jnp.exp(sink - m_fin)
+            out = acc_ref[...] * jnp.exp(m_ref[:, :1] - m_fin) / jnp.maximum(l_fin, 1e-30)
         out = jnp.where(row_live, out, 0.0)
         o_ref[0, 0] = out.reshape(cq, g, -1).astype(o_ref.dtype)
 
@@ -280,6 +283,9 @@ def attention_sinks_prefill_pallas(
     packed total — correct but wasteful; callers should pass their bound).
     Packed rows are scattered to a dense ``[B, max_q]`` layout, the kernel runs
     regular, and outputs gather back to packed rows.
+
+    ``sinks=None`` runs plain varlen flash prefill (no sink logit) — the general
+    paged causal prefill kernel for GQA models without sinks.
     """
     if interpret is None:
         interpret = interpret_default()
@@ -319,6 +325,13 @@ def attention_sinks_prefill_pallas(
         )
         return bt[b, jnp.minimum(lo_page + pc, hi_page)]
 
+    sink_specs = [] if sinks is None else [
+        pl.BlockSpec(
+            (1, 1, group),
+            lambda b, h, qc, pc, sl, cl, bt: (h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(bsz, k_head_num, max_q // cq, n_pg),
@@ -328,11 +341,7 @@ def attention_sinks_prefill_pallas(
                 lambda b, h, qc, pc, sl, cl, bt: (b, h, qc, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, group),
-                lambda b, h, qc, pc, sl, cl, bt: (h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            *sink_specs,
             pl.BlockSpec(
                 (1, 1, page_size, d),
                 lambda b, h, qc, pc, sl, cl, bt: (_kv_page(b, qc, pc, sl, cl, bt), h, 0, 0),
@@ -355,11 +364,19 @@ def attention_sinks_prefill_pallas(
             pltpu.VMEM((cq * group, 128), jnp.float32),
         ],
     )
+    body = functools.partial(
+        _sinks_prefill_kernel, scale=scale, page_size=page_size,
+        window=sliding_window_size, max_pages=max_pages,
+    )
+    if sinks is None:
+        kernel = lambda sl, cl, bt, q, k, v, o, acc, m, l: body(
+            sl, cl, bt, q, None, k, v, o, acc, m, l)
+        sink_args = ()
+    else:
+        kernel = body
+        sink_args = (sinks.astype(jnp.float32).reshape(k_head_num, 1, group),)
     od = pl.pallas_call(
-        functools.partial(
-            _sinks_prefill_kernel, scale=scale, page_size=page_size,
-            window=sliding_window_size, max_pages=max_pages,
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (bsz, k_head_num, max_q, group, dv), query.dtype
@@ -370,7 +387,7 @@ def attention_sinks_prefill_pallas(
         context_lens.astype(jnp.int32),
         block_tables.astype(jnp.int32),
         qd,
-        sinks.astype(jnp.float32).reshape(k_head_num, 1, group),
+        *sink_args,
         k_cache,
         v_cache,
     )
@@ -406,10 +423,13 @@ def attention_sinks_prefill(
         mask &= pos >= hi - sliding_window_size
     logits = jnp.where(mask, logits, NEG_INF)
     group = q_head_num // k_head_num
-    sink = sinks.astype(jnp.float32).reshape(k_head_num, group)[None, :, :, None]
-    all_logits = jnp.concatenate(
-        [logits, jnp.broadcast_to(sink, (s, k_head_num, group, 1))], -1
-    )
-    p = jax.nn.softmax(all_logits, axis=-1)[..., :-1]
+    if sinks is None:
+        p = jax.nn.softmax(logits, axis=-1)
+    else:
+        sink = sinks.astype(jnp.float32).reshape(k_head_num, group)[None, :, :, None]
+        all_logits = jnp.concatenate(
+            [logits, jnp.broadcast_to(sink, (s, k_head_num, group, 1))], -1
+        )
+        p = jax.nn.softmax(all_logits, axis=-1)[..., :-1]
     out = jnp.einsum("skgl,skld->skgd", p, v)
     return out.reshape(s, q_head_num * dv).astype(query.dtype)
