@@ -56,14 +56,31 @@ def attention_sinks_ref(
     return out.reshape(s, q_head_num * dv).astype(query.dtype)
 
 
+def _decode_page_bounds(ctx, *, window, page_size, max_pages):
+    """[lo_page, hi_page] of KV pages a decode token (position ctx−1) can see.
+
+    Window pruning: grid steps outside the range clamp to ``hi_page`` (index maps
+    reuse the resident block, no DMA) and skip compute — KV traffic is O(window),
+    not O(ctx), on sliding-window layers."""
+    hi_page = jnp.clip((ctx - 1) // page_size, 0, max_pages - 1)
+    lo = jnp.maximum(ctx - window, 0) if window > 0 else 0
+    lo_page = jnp.clip(jnp.minimum(lo // page_size, hi_page), 0, max_pages - 1)
+    return lo_page, hi_page
+
+
 def _sinks_kernel(
     bt_ref, ctx_ref, q_ref, sink_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-    *, scale, page_size, window,
+    *, scale, page_size, window, max_pages, hkv,
 ):
+    """All kv heads of one token per grid step: grid is (token, page) and the
+    per-head flash dots run as a static unrolled loop, so each step moves one
+    fat ``[hkv, page, d]`` block instead of hkv thin ones (8× fewer grid steps
+    and DMAs at GPT-OSS shapes — the step cost is DMA/grid-bound, not MXU)."""
     i = pl.program_id(0)
-    p = pl.program_id(2)
-    n_pages = pl.num_programs(2)
+    p = pl.program_id(1)
+    n_pages = pl.num_programs(1)
     ctx = ctx_ref[i]
+    g = q_ref.shape[2]
 
     @pl.when(p == 0)
     def _init():
@@ -72,40 +89,51 @@ def _sinks_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
 
     lo = ctx - window if window > 0 else 0
-    page_start = p * page_size
-    has_work = (page_start < ctx) & (page_start + page_size > lo)
+    lo_page, hi_page = _decode_page_bounds(
+        ctx, window=window, page_size=page_size, max_pages=max_pages)
+    page = jnp.minimum(lo_page + p, hi_page)         # must match the index maps
+    page_start = page * page_size
+    has_work = jnp.logical_and(
+        lo_page + p <= hi_page,
+        (page_start < ctx) & (page_start + page_size > lo),
+    )
 
     @pl.when(has_work)
     def _step():
-        # native-precision MXU dots (cf. decode_attention._mla_kernel)
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        qk = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        pos = page_start + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-        mask = pos < ctx
-        if window > 0:
-            mask &= pos >= lo
-        qk = jnp.where(mask, qk, NEG_INF)
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        probs = jnp.exp(qk - m_new)
-        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
-        m_ref[:, :1] = m_new
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for h in range(hkv):                         # static unroll
+            rows = pl.ds(h * g, g)
+            # native-precision MXU dots (cf. decode_attention._mla_kernel)
+            qk = jax.lax.dot_general(
+                q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            pos = page_start + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+            mask = pos < ctx
+            if window > 0:
+                mask &= pos >= lo
+            qk = jnp.where(mask, qk, NEG_INF)
+            m_prev = m_ref[rows, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            probs = jnp.exp(qk - m_new)
+            l_ref[rows, :1] = l_ref[rows, :1] * alpha + jnp.sum(
+                probs, axis=-1, keepdims=True)
+            m_ref[rows, :1] = m_new
+            acc_ref[rows, :] = acc_ref[rows, :] * alpha + jax.lax.dot_general(
+                probs.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(p == n_pages - 1)
     def _finish():
-        # the sink joins the denominator as one extra logit per head
-        sink = sink_ref[0, 0].astype(jnp.float32)[:, None]
-        m_fin = jnp.maximum(m_ref[:, :1], sink)
-        l_fin = l_ref[:, :1] * jnp.exp(m_ref[:, :1] - m_fin) + jnp.exp(sink - m_fin)
-        o_ref[0, 0] = (acc_ref[...] * jnp.exp(m_ref[:, :1] - m_fin) / l_fin).astype(o_ref.dtype)
+        for h in range(hkv):                         # static unroll
+            rows = pl.ds(h * g, g)
+            # the sink joins the denominator as one extra logit per head
+            sink = sink_ref[h, 0].astype(jnp.float32)[:, None]
+            m_fin = jnp.maximum(m_ref[rows, :1], sink)
+            l_fin = l_ref[rows, :1] * jnp.exp(m_ref[rows, :1] - m_fin) + jnp.exp(
+                sink - m_fin)
+            o_ref[0, h] = (acc_ref[rows, :] * jnp.exp(m_ref[rows, :1] - m_fin)
+                           / l_fin).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -132,33 +160,48 @@ def attention_sinks(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
         sk = jnp.pad(sk, ((0, 0), (0, group_p - group)))
     max_pages = block_tables.shape[1]
+    if sliding_window_size > 0:
+        n_pg = min(max_pages, -(-sliding_window_size // page_size) + 1)
+    else:
+        n_pg = max_pages
+
+    def _kv_page(i, p, bt, cl):
+        lo_page, hi_page = _decode_page_bounds(
+            cl[i], window=sliding_window_size, page_size=page_size,
+            max_pages=max_pages)
+        return bt[i, jnp.minimum(lo_page + p, hi_page)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(s, k_head_num, max_pages),
+        grid=(s, n_pg),
         in_specs=[
-            pl.BlockSpec((1, 1, group_p, d), lambda i, h, p, bt, cl: (i, h, 0, 0),
+            pl.BlockSpec((1, k_head_num, group_p, d),
+                         lambda i, p, bt, cl: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            # sinks laid out [Hkv, 1, group_p]: block == array on the last two
-            # dims (Mosaic requires (8,128)-divisible or full-dim blocks)
-            pl.BlockSpec((1, 1, group_p), lambda i, h, p, bt, cl: (h, 0, 0),
+            # sinks laid out [Hkv, 1, group_p]: block == array (Mosaic requires
+            # (8,128)-divisible or full-dim blocks)
+            pl.BlockSpec((k_head_num, 1, group_p), lambda i, p, bt, cl: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page_size, d), lambda i, h, p, bt, cl: (bt[i, p], h, 0, 0),
+            pl.BlockSpec((1, k_head_num, page_size, d),
+                         lambda i, p, bt, cl: (_kv_page(i, p, bt, cl), 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, page_size, dv), lambda i, h, p, bt, cl: (bt[i, p], h, 0, 0),
+            pl.BlockSpec((1, k_head_num, page_size, dv),
+                         lambda i, p, bt, cl: (_kv_page(i, p, bt, cl), 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, group_p, dv), lambda i, h, p, bt, cl: (i, h, 0, 0),
+        out_specs=pl.BlockSpec((1, k_head_num, group_p, dv),
+                               lambda i, p, bt, cl: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((group_p, dv), jnp.float32),
-            pltpu.VMEM((group_p, 128), jnp.float32),
-            pltpu.VMEM((group_p, 128), jnp.float32),
+            pltpu.VMEM((k_head_num * group_p, dv), jnp.float32),
+            pltpu.VMEM((k_head_num * group_p, 128), jnp.float32),
+            pltpu.VMEM((k_head_num * group_p, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_sinks_kernel, scale=scale, page_size=page_size,
-                          window=sliding_window_size),
+                          window=sliding_window_size, max_pages=max_pages,
+                          hkv=k_head_num),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, k_head_num, group_p, dv), query.dtype),
         interpret=interpret,
