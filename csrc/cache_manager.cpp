@@ -12,7 +12,6 @@
 // Exposed as a plain C API consumed via ctypes (no pybind11 in the image).
 
 #include <cstdint>
-#include <cstring>
 #include <map>
 #include <memory>
 #include <vector>
@@ -27,7 +26,10 @@ struct Node {
     int64_t refcount = 0;
     uint64_t last_use = 0;
     Node* parent = nullptr;
-    std::map<int32_t, std::unique_ptr<Node>> children;  // keyed by first token
+    // keyed by the FULL token chunk: first-token keying would make two
+    // different chunks that share a first token collide (silent overwrite =
+    // leaked pages + dangling refcounts)
+    std::map<std::vector<int32_t>, std::unique_ptr<Node>> children;
 };
 
 struct CacheManager {
@@ -43,11 +45,6 @@ struct CacheManager {
         for (int64_t i = n - 1; i >= 0; --i) free_pages.push_back(static_cast<int32_t>(i));
     }
 };
-
-bool chunk_equal(const std::vector<int32_t>& a, const int32_t* b, int64_t len) {
-    if (static_cast<int64_t>(a.size()) != len) return false;
-    return std::memcmp(a.data(), b, len * sizeof(int32_t)) == 0;
-}
 
 // Collect evictable (refcount==0) leaves, remove the least-recently-used one.
 // Returns the freed page id or -1.
@@ -65,7 +62,7 @@ int32_t evict_one(CacheManager* cm) {
     }
     if (!victim) return -1;
     int32_t page = victim->page;
-    victim->parent->children.erase(victim->tokens[0]);
+    victim->parent->children.erase(victim->tokens);
     cm->cached_pages--;
     return page;
 }
@@ -95,10 +92,9 @@ int64_t cm_match(void* hptr, const int32_t* tokens, int64_t n, int32_t* out_page
     Node* cur = &cm->root;
     int64_t matched = 0, pages = 0;
     while (matched + cm->page_size <= n && pages < cap) {
-        auto it = cur->children.find(tokens[matched]);
-        if (it == cur->children.end() ||
-            !chunk_equal(it->second->tokens, tokens + matched, cm->page_size))
-            break;
+        std::vector<int32_t> key(tokens + matched, tokens + matched + cm->page_size);
+        auto it = cur->children.find(key);
+        if (it == cur->children.end()) break;
         cur = it->second.get();
         cur->refcount++;
         cur->last_use = cm->tick;
@@ -119,9 +115,9 @@ int64_t cm_insert(void* hptr, const int32_t* tokens, int64_t n, const int32_t* p
     Node* cur = &cm->root;
     int64_t inserted = 0, dups = 0, pi = 0;
     for (int64_t off = 0; off + cm->page_size <= n && pi < npages; off += cm->page_size, ++pi) {
-        auto it = cur->children.find(tokens[off]);
-        if (it != cur->children.end() &&
-            chunk_equal(it->second->tokens, tokens + off, cm->page_size)) {
+        std::vector<int32_t> key(tokens + off, tokens + off + cm->page_size);
+        auto it = cur->children.find(key);
+        if (it != cur->children.end()) {
             cur = it->second.get();
             cur->last_use = cm->tick;
             out_dup_pages[dups++] = pages[pi];  // duplicate — caller's page unused
@@ -134,7 +130,7 @@ int64_t cm_insert(void* hptr, const int32_t* tokens, int64_t n, const int32_t* p
         node->last_use = cm->tick;
         node->parent = cur;
         Node* raw = node.get();
-        cur->children[tokens[off]] = std::move(node);
+        cur->children[key] = std::move(node);
         cur = raw;
         cm->cached_pages++;
         inserted++;
@@ -147,10 +143,9 @@ void cm_release(void* hptr, const int32_t* tokens, int64_t n) {
     auto* cm = static_cast<CacheManager*>(hptr);
     Node* cur = &cm->root;
     for (int64_t off = 0; off + cm->page_size <= n; off += cm->page_size) {
-        auto it = cur->children.find(tokens[off]);
-        if (it == cur->children.end() ||
-            !chunk_equal(it->second->tokens, tokens + off, cm->page_size))
-            break;
+        std::vector<int32_t> key(tokens + off, tokens + off + cm->page_size);
+        auto it = cur->children.find(key);
+        if (it == cur->children.end()) break;
         cur = it->second.get();
         if (cur->refcount > 0) cur->refcount--;
     }

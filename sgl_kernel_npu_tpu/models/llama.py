@@ -32,6 +32,7 @@ from sgl_kernel_npu_tpu.ops.rope import apply_rope, rope_cos_sin
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
+    vocab_size: int = 128
     hidden: int = 256
     num_layers: int = 2
     num_heads: int = 8
@@ -64,7 +65,22 @@ def init_weights(key, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
             "w_up": rnd(h, cfg.intermediate),
             "w_down": rnd(cfg.intermediate, h),
         })
-    return {"layers": layers, "ln_f": jnp.ones((h,), dtype)}
+    return {
+        "layers": layers,
+        "ln_f": jnp.ones((h,), dtype),
+        # tied embedding / lm head
+        "wte": (jax.random.normal(next(it), (cfg.vocab_size, h)) * 0.02).astype(dtype),
+    }
+
+
+def embed(params: dict, ids: jax.Array) -> jax.Array:
+    """Token ids → hidden states (tied embedding table)."""
+    return params["wte"][ids]
+
+
+def lm_head(params: dict, x: jax.Array) -> jax.Array:
+    """Hidden states (already final-normed by the steps) → logits."""
+    return x @ params["wte"].T
 
 
 def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.float32):

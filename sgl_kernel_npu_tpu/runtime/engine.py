@@ -1,0 +1,239 @@
+"""Continuous-batching serving engine over the native radix cache.
+
+The reference is a kernel library whose consumer (SGLang) supplies the serving
+runtime; this module supplies the TPU-native equivalent so the framework is
+usable end-to-end: request admission → radix prefix reuse (C++ cache manager,
+csrc/cache_manager.cpp) → chunked varlen prefill → batched paged decode →
+refcounted release, all with static shapes (every jit signature is fixed by the
+engine's capacity knobs, so steady-state serving never recompiles).
+
+Model-agnostic: the engine drives a :class:`ModelAdapter`; `llama_adapter`
+wires models/llama.py (GPT-OSS or DeepSeek adapters follow the same shape).
+
+Radix refcount protocol (single-threaded engine; see csrc/cache_manager.cpp):
+  admit     — match(prompt[:-1]) holds the shared prefix; allocate private tail
+  prompt done — insert(span, ref=0) then one match(span) = exactly one hold per
+              chunk; duplicates beyond the admit prefix were raced-in by an
+              identical in-flight prompt: remap to canonical pages, free ours
+  finish    — release(span); free private (uncached) pages
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgl_kernel_npu_tpu.runtime.cache_manager import RadixCacheManager
+
+
+@dataclasses.dataclass
+class ModelAdapter:
+    """Static-shape callables the engine drives (all jit-able)."""
+
+    page_size: int
+    embed: Callable            # ids [N] → hidden [N, H]
+    lm_head: Callable          # hidden [N, H] → logits [N, V]
+    prefill_step: Callable     # (x, seq_lens, caches, bt, ctx, slots) → (h, caches)
+    decode_step: Callable      # (x, pos, caches, bt, ctx, slots) → (h, caches)
+    init_cache: Callable       # (num_pages) → caches
+
+
+def llama_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
+    from sgl_kernel_npu_tpu.models import llama as m
+
+    return ModelAdapter(
+        page_size=cfg.page_size,
+        embed=lambda ids: m.embed(params, ids),
+        lm_head=lambda x: m.lm_head(params, x),
+        prefill_step=lambda x, sl, c, bt, ctx, slots: m.prefill_step(
+            cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
+        decode_step=lambda x, pos, c, bt, ctx, slots: m.decode_step(
+            cfg, params, x, pos, c, bt, ctx, slots),
+        init_cache=lambda n: m.init_kv_cache(cfg, n, dtype),
+    )
+
+
+@dataclasses.dataclass
+class _Request:
+    rid: int
+    prompt: np.ndarray            # int32 token ids
+    max_new_tokens: int
+    pages: list = dataclasses.field(default_factory=list)   # block table (physical)
+    pos: int = 0                  # tokens whose KV is in the cache
+    admit_matched: int = 0        # tokens held via the admit-time match
+    inserted_span: int = 0        # tokens held via the post-prefill insert
+    out_tokens: list = dataclasses.field(default_factory=list)
+    done: bool = False
+
+    @property
+    def prompt_len(self) -> int:
+        return len(self.prompt)
+
+    def token_at(self, i: int) -> int:
+        """Full sequence view: prompt then generated tokens."""
+        return int(self.prompt[i]) if i < self.prompt_len else self.out_tokens[
+            i - self.prompt_len]
+
+
+class Engine:
+    """Continuous-batching engine: `add_request` then `step` until drained."""
+
+    def __init__(self, adapter: ModelAdapter, num_pages: int, *,
+                 max_batch: int = 8, max_pages_per_req: int = 16,
+                 prefill_chunk: int = 64):
+        self.a = adapter
+        self.page = adapter.page_size
+        self.cm = RadixCacheManager(num_pages, self.page)
+        self.caches = adapter.init_cache(num_pages)
+        self.max_batch = max_batch
+        self.max_pages_per_req = max_pages_per_req
+        self.prefill_chunk = prefill_chunk
+        self.waiting: deque[_Request] = deque()
+        self.running: list[_Request] = []
+        self.finished: dict[int, list[int]] = {}
+        self.stats = {"prefill_tokens": 0, "decode_steps": 0, "cached_tokens": 0}
+        self._next_rid = 0
+        # caches are donated: the engine's KV pool updates in place
+        self._jit_prefill = jax.jit(self._prefill_call, donate_argnums=(2,))
+        self._jit_decode = jax.jit(self._decode_call, donate_argnums=(2,))
+
+    # ---------------- public API ----------------
+
+    def add_request(self, prompt, max_new_tokens: int) -> int:
+        rid = self._next_rid
+        self._next_rid += 1
+        self.waiting.append(_Request(rid, np.asarray(prompt, np.int32), max_new_tokens))
+        return rid
+
+    def run(self, prompts, max_new_tokens: int) -> list[list[int]]:
+        rids = [self.add_request(p, max_new_tokens) for p in prompts]
+        while self.waiting or self.running:
+            self.step()
+        return [self.finished[r] for r in rids]
+
+    def step(self) -> None:
+        self._admit()
+        pre = [r for r in self.running if r.pos < r.prompt_len]
+        if pre:
+            self._prefill(pre[0])
+        elif self.running:
+            self._decode()
+        self._retire()
+
+    # ---------------- internals ----------------
+
+    def _admit(self) -> None:
+        while self.waiting and len(self.running) < self.max_batch:
+            r = self.waiting.popleft()
+            # match only up to prompt_len-1: the last prompt token always
+            # re-prefills so there is a live row to take logits from
+            matched, pages = self.cm.match(r.prompt[: r.prompt_len - 1])
+            r.admit_matched = matched
+            r.pages = list(int(p) for p in pages)
+            r.pos = matched
+            self.stats["cached_tokens"] += matched
+            self.running.append(r)
+
+    def _ensure_pages(self, r: _Request, upto_tokens: int) -> None:
+        need = -(-upto_tokens // self.page) - len(r.pages)
+        if need > 0:
+            got = self.cm.alloc(need)
+            if len(got) < need:
+                raise RuntimeError("out of KV pages (raise num_pages)")
+            r.pages.extend(int(p) for p in got)
+
+    def _slot(self, r: _Request, i: int) -> int:
+        return r.pages[i // self.page] * self.page + i % self.page
+
+    def _prefill_call(self, ids, seq_len, caches, bt, ctx, slots):
+        x = self.a.embed(ids)
+        h, caches = self.a.prefill_step(
+            x, seq_len[None], caches, bt[None], ctx[None], slots)
+        logits = self.a.lm_head(h[seq_len - 1][None])
+        return jnp.argmax(logits, -1)[0], caches
+
+    def _decode_call(self, ids, pos, caches, bt, ctx, slots):
+        x = self.a.embed(ids)
+        h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots)
+        return jnp.argmax(self.a.lm_head(h), -1), caches
+
+    def _prefill(self, r: _Request) -> None:
+        chunk = min(self.prefill_chunk, r.prompt_len - r.pos)
+        self._ensure_pages(r, r.pos + chunk)
+        s = self.prefill_chunk                      # static packed width
+        ids = np.zeros((s,), np.int32)
+        slots = np.full((s,), -1, np.int32)
+        ids[:chunk] = r.prompt[r.pos : r.pos + chunk]
+        for j in range(chunk):
+            slots[j] = self._slot(r, r.pos + j)
+        bt = np.zeros((self.max_pages_per_req,), np.int32)
+        bt[: len(r.pages)] = r.pages
+        tok, self.caches = self._jit_prefill(
+            jnp.asarray(ids), jnp.int32(chunk), self.caches,
+            jnp.asarray(bt), jnp.int32(r.pos + chunk), jnp.asarray(slots))
+        r.pos += chunk
+        self.stats["prefill_tokens"] += chunk
+        if r.pos == r.prompt_len:
+            r.out_tokens.append(int(tok))
+            self._share_prefix(r)
+
+    def _share_prefix(self, r: _Request) -> None:
+        span = (r.prompt_len // self.page) * self.page
+        if span == 0:
+            return
+        npg = span // self.page
+        _, dup = self.cm.insert(r.prompt[:span], np.asarray(r.pages[:npg]), ref=0)
+        m2, canon = self.cm.match(r.prompt[:span])     # the single long-term hold
+        assert m2 == span
+        admit_pages = r.admit_matched // self.page
+        for i, p in enumerate(int(c) for c in canon):
+            r.pages[i] = p
+        if r.admit_matched:
+            self.cm.release(r.prompt[: r.admit_matched])
+        if len(dup) > admit_pages:                     # raced-in duplicates: ours
+            self.cm.free(dup[admit_pages:])
+        r.inserted_span = span
+        r.admit_matched = 0
+
+    def _decode(self) -> None:
+        b = self.max_batch                             # static batch width
+        live = self.running
+        ids = np.zeros((b,), np.int32)
+        pos = np.zeros((b,), np.int32)
+        ctx = np.ones((b,), np.int32)
+        slots = np.full((b,), -1, np.int32)
+        bt = np.zeros((b, self.max_pages_per_req), np.int32)
+        for i, r in enumerate(live):
+            seq_i = r.prompt_len + len(r.out_tokens)   # includes the new token
+            self._ensure_pages(r, seq_i)
+            ids[i] = r.token_at(seq_i - 1)
+            pos[i] = seq_i - 1
+            ctx[i] = seq_i
+            slots[i] = self._slot(r, seq_i - 1)
+            bt[i, : len(r.pages)] = r.pages
+        toks, self.caches = self._jit_decode(
+            jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
+            jnp.asarray(ctx), jnp.asarray(slots))
+        toks = np.asarray(toks)
+        for i, r in enumerate(live):
+            r.out_tokens.append(int(toks[i]))
+            if len(r.out_tokens) >= r.max_new_tokens:
+                r.done = True
+        self.stats["decode_steps"] += 1
+
+    def _retire(self) -> None:
+        for r in [x for x in self.running if x.done]:
+            if r.inserted_span:
+                self.cm.release(r.prompt[: r.inserted_span])
+            elif r.admit_matched:
+                self.cm.release(r.prompt[: r.admit_matched])
+            shared = (r.inserted_span or r.admit_matched) // self.page
+            if len(r.pages) > shared:
+                self.cm.free(np.asarray(r.pages[shared:], np.int32))
+            self.finished[r.rid] = list(r.out_tokens)
+            self.running.remove(r)

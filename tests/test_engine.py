@@ -1,0 +1,102 @@
+"""Continuous-batching engine: correctness vs direct model calls, radix reuse."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_npu_tpu.models import llama as m
+from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = m.LlamaConfig(vocab_size=61, num_layers=2, page_size=4)
+    params = m.init_weights(jax.random.key(7), cfg)
+    return cfg, params
+
+
+def reference_generate(cfg, params, prompt, n_new, num_pages=32):
+    """Straight-line generation with the model functions and a private cache."""
+    caches = m.init_kv_cache(cfg, num_pages)
+    max_pages = 16
+    bt = jnp.arange(1, 1 + max_pages, dtype=jnp.int32).reshape(1, max_pages)
+    page = cfg.page_size
+    toks = list(int(t) for t in prompt)
+    slot = lambda i: int(bt[0, i // page]) * page + i % page
+    n = len(toks)
+    slots = jnp.asarray([slot(i) for i in range(n)], jnp.int32)
+    h, caches = m.prefill_step(
+        cfg, params, m.embed(params, jnp.asarray(toks, jnp.int32)),
+        jnp.asarray([n], jnp.int32), caches, bt, jnp.asarray([n], jnp.int32),
+        slots, max_q=32)
+    out = [int(jnp.argmax(m.lm_head(params, h[n - 1])))]
+    for _ in range(n_new - 1):
+        i = len(toks) + len(out) - 1                 # position of the new token
+        y, caches = m.decode_step(
+            cfg, params, m.embed(params, jnp.asarray([out[-1]], jnp.int32)),
+            jnp.asarray([i], jnp.int32), caches, bt, jnp.asarray([i + 1], jnp.int32),
+            jnp.asarray([slot(i)], jnp.int32))
+        out.append(int(jnp.argmax(m.lm_head(params, y[0]))))
+    return out
+
+
+def test_engine_matches_reference(setup):
+    cfg, params = setup
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    prompt = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]     # 10 tokens (2.5 pages)
+    got = eng.run([prompt], 6)[0]
+    want = reference_generate(cfg, params, prompt, 6)
+    assert got == want
+
+
+def test_engine_batched_matches_individual(setup):
+    cfg, params = setup
+    p1 = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
+    p2 = [40, 41, 42, 43, 44]
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    got = eng.run([p1, p2], 5)
+    assert got[0] == reference_generate(cfg, params, p1, 5)
+    assert got[1] == reference_generate(cfg, params, p2, 5)
+
+
+def test_radix_prefix_reuse(setup):
+    cfg, params = setup
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    shared = [5, 9, 2, 33, 17, 4, 8, 21]            # 2 full pages
+    p1 = shared + [60, 3]
+    p2 = shared + [11, 12, 13]
+    out1 = eng.run([p1], 4)[0]
+    pre1 = eng.stats["prefill_tokens"]
+    assert eng.cm.cached_pages >= 2                 # prefix got cached
+    out2 = eng.run([p2], 4)[0]
+    pre2 = eng.stats["prefill_tokens"] - pre1
+    assert eng.stats["cached_tokens"] >= 8          # second prompt reused it
+    assert pre2 == len(p2) - 8                      # only the tail prefilled
+    # reuse must not change results
+    assert out2 == reference_generate(cfg, params, p2, 4)
+    assert out1 == reference_generate(cfg, params, p1, 4)
+
+
+def test_identical_inflight_prompts(setup):
+    """Two identical prompts admitted together (the insert race path)."""
+    cfg, params = setup
+    p = [7, 7, 3, 2, 9, 9, 1, 0, 5]
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    got = eng.run([p, p], 4)
+    want = reference_generate(cfg, params, p, 4)
+    assert got[0] == want and got[1] == want
+    # all pages accounted for after retirement: free + cached == total
+    assert eng.cm.free_pages + eng.cm.cached_pages == 64
+
+
+def test_pages_released_on_finish(setup):
+    cfg, params = setup
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    eng.run([[1, 2, 3, 4, 5, 6], [9, 8, 7, 6, 5]], 6)
+    assert eng.cm.free_pages + eng.cm.cached_pages == 64
