@@ -121,6 +121,15 @@ def main():
     ok &= check("decode_mla", da.decode_mla(qm, knm, krm, slm, 0.042, btm),
                 da.decode_mla_ref(qm, knm, krm, slm, 0.042, btm))
 
+    from sgl_kernel_npu_tpu.ops.attention import mla_prefill as mpre
+    sqm = jnp.asarray([2, 100, 30, 1], jnp.int32)
+    qpre = jnp.asarray(
+        rng.standard_normal((int(sqm.sum()), hq, dn + dr)) * 0.5, jnp.bfloat16)
+    ok &= check("mla_prefill",
+                mpre.mla_prefill_pallas(qpre, knm, krm, sqm, btm, slm, 0.042,
+                                        max_q=128),
+                mpre.mla_prefill_ref(qpre, knm, krm, sqm, btm, slm, 0.042))
+
     # --- remaining Pallas norm/activation kernels ---
     ok &= check("add_gemma_rms_norm",
                 norm.add_gemma_rms_norm(x, w, res)[0],

@@ -200,6 +200,59 @@ def decode_step(
     return x, new_caches
 
 
+def embed(params: dict, ids: jax.Array) -> jax.Array:
+    return params["embed"][ids]
+
+
+def lm_head(params: dict, x: jax.Array) -> jax.Array:
+    return rms_norm_ref(x, params["final_ln"]) @ params["embed"].T
+
+
+def prefill_step(
+    cfg: DeepSeekV3Config,
+    params: dict,
+    hidden: jax.Array,          # [S, H] packed varlen token activations
+    seq_lens: jax.Array,        # [B] new-token counts per request
+    kv_caches: list[dict],
+    block_tables: jax.Array,    # [B, max_pages]
+    context_lens: jax.Array,    # [B] totals INCLUDING the new tokens
+    slot_mapping: jax.Array,    # [S]
+    *,
+    max_q: int | None = None,
+):
+    """Varlen (chunked) prefill over all layers — the decode_step twin built on
+    :func:`ops.attention.mla_prefill.mla_prefill_pallas` (single-chip MoE)."""
+    from sgl_kernel_npu_tpu.ops.attention.mla_prefill import mla_prefill_pallas
+
+    s = hidden.shape[0]
+    bsz = seq_lens.shape[0]
+    ends = jnp.cumsum(seq_lens.astype(jnp.int32))
+    req = jnp.clip(jnp.searchsorted(ends, jnp.arange(s), side="right"), 0, bsz - 1)
+    j = jnp.arange(s) - (ends[req] - seq_lens[req])
+    positions = context_lens[req] - seq_lens[req] + j
+    cos, sin = rope_cos_sin(positions, cfg.qk_rope_dim)
+    x = hidden
+    new_caches = []
+    for li, lw in enumerate(params["layers"]):
+        q_lat, qpe, k_lat, kpe = _mla_qkv(cfg, lw, x, cos, sin)
+        cache = kv_caches[li]
+        cache_n = reshape_and_cache(
+            k_lat[:, None, :].astype(cache["nope"].dtype), cache["nope"], slot_mapping)
+        cache_r = reshape_and_cache_transposed(
+            kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping)
+        new_caches.append({"nope": cache_n, "rope": cache_r})
+        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_n.dtype)
+        attn = mla_prefill_pallas(
+            q, cache_n, cache_r, seq_lens, block_tables, context_lens,
+            cfg.sm_scale, max_q=max_q)
+        x = x + _mla_output(cfg, lw, attn.astype(jnp.float32))
+
+        h2 = rms_norm_ref(x, lw["ln2"])
+        topk_idx, topk_w = _router(cfg, lw, h2)
+        x = x + _dense_moe(cfg, lw, h2, topk_idx, topk_w) + _shared_expert(lw, h2)
+    return x, new_caches
+
+
 def _dense_moe(cfg, lw, x, topk_idx, topk_w):
     """Single-chip MoE via one-hot combine (small shapes / EP=1 fallback)."""
     gate = jnp.einsum("nh,ehi->nei", x, lw["w_gate"])

@@ -62,3 +62,44 @@ def test_decode_gqa_high_performance(rng, hq, hkv, dk, dv):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2, rtol=3e-2
     )
+
+
+def test_mla_prefill_pallas_matches_golden(rng):
+    from sgl_kernel_npu_tpu.ops.attention import mla_prefill as mpre
+
+    h, dn, dr, page, max_pages = 8, 128, 64, 16, 4
+    bsz = 3
+    n_pages = bsz * max_pages
+    kn = jnp.asarray(rng.standard_normal((n_pages, 1, page, dn)) * 0.5, jnp.float32)
+    kr = jnp.asarray(rng.standard_normal((n_pages, 1, dr, page)) * 0.5, jnp.float32)
+    bt = jnp.asarray(rng.permutation(n_pages).reshape(bsz, max_pages), jnp.int32)
+    ctx = jnp.asarray([40, 25, 64], jnp.int32)
+    seq_lens = jnp.asarray([3, 25, 10], jnp.int32)
+    s = int(seq_lens.sum())
+    q = jnp.asarray(rng.standard_normal((s, h, dn + dr)) * 0.5, jnp.float32)
+    scale = 1 / np.sqrt(dn + dr)
+    want = mpre.mla_prefill_ref(q, kn, kr, seq_lens, bt, ctx, scale)
+    got = mpre.mla_prefill_pallas(q, kn, kr, seq_lens, bt, ctx, scale,
+                                  max_q=32, q_chunk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_mla_prefill_lastrow_matches_decode(rng):
+    """Last prefill row of each request == decode_mla at the same context."""
+    from sgl_kernel_npu_tpu.ops.attention import mla_prefill as mpre
+
+    h, dn, dr, page, max_pages = 8, 128, 64, 16, 4
+    bsz = 2
+    n_pages = bsz * max_pages
+    kn = jnp.asarray(rng.standard_normal((n_pages, 1, page, dn)) * 0.5, jnp.float32)
+    kr = jnp.asarray(rng.standard_normal((n_pages, 1, dr, page)) * 0.5, jnp.float32)
+    bt = jnp.asarray(rng.permutation(n_pages).reshape(bsz, max_pages), jnp.int32)
+    ctx = jnp.asarray([40, 25], jnp.int32)
+    seq_lens = jnp.asarray([4, 6], jnp.int32)
+    s = int(seq_lens.sum())
+    q = jnp.asarray(rng.standard_normal((s, h, dn + dr)) * 0.5, jnp.float32)
+    scale = 1 / np.sqrt(dn + dr)
+    out = mpre.mla_prefill_pallas(q, kn, kr, seq_lens, bt, ctx, scale, max_q=8)
+    last = np.asarray(out)[[3, 9]]
+    dec = da.decode_mla(q[jnp.asarray([3, 9])], kn, kr, ctx, scale, bt)
+    np.testing.assert_allclose(last, np.asarray(dec), rtol=2e-2, atol=2e-2)

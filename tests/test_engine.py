@@ -100,3 +100,39 @@ def test_pages_released_on_finish(setup):
                  max_batch=2, max_pages_per_req=16, prefill_chunk=8)
     eng.run([[1, 2, 3, 4, 5, 6], [9, 8, 7, 6, 5]], 6)
     assert eng.cm.free_pages + eng.cm.cached_pages == 64
+
+
+def test_deepseek_engine_matches_reference(rng):
+    """Engine with the DeepSeek adapter == direct prefill+decode chain."""
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as dsm
+    from sgl_kernel_npu_tpu.runtime.engine import deepseek_adapter
+
+    cfg = dsm.DeepSeekV3Config(num_layers=1, page_size=4, vocab_size=61)
+    params = dsm.init_weights(jax.random.key(3), cfg, jnp.float32)
+    prompt = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
+    n_new = 4
+
+    eng = Engine(deepseek_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    got = eng.run([prompt], n_new)[0]
+
+    # reference chain: full prefill then decode token by token
+    caches = dsm.init_kv_cache(cfg, 32, jnp.float32)
+    page = cfg.page_size
+    bt = jnp.arange(1, 17, dtype=jnp.int32).reshape(1, 16)
+    slot = lambda i: int(bt[0, i // page]) * page + i % page
+    n = len(prompt)
+    slots = jnp.asarray([slot(i) for i in range(n)], jnp.int32)
+    h, caches = dsm.prefill_step(
+        cfg, params, dsm.embed(params, jnp.asarray(prompt, jnp.int32)),
+        jnp.asarray([n], jnp.int32), caches, bt, jnp.asarray([n], jnp.int32),
+        slots, max_q=16)
+    want = [int(jnp.argmax(dsm.lm_head(params, h[n - 1])))]
+    for _ in range(n_new - 1):
+        i = n + len(want) - 1
+        y, caches = dsm.decode_step(
+            cfg, params, dsm.embed(params, jnp.asarray([want[-1]], jnp.int32)),
+            jnp.asarray([i], jnp.int32), caches, bt,
+            jnp.asarray([i + 1], jnp.int32), jnp.asarray([slot(i)], jnp.int32))
+        want.append(int(jnp.argmax(dsm.lm_head(params, y[0]))))
+    assert got == want
