@@ -31,6 +31,7 @@ from sgl_kernel_npu_tpu.ops.rope import apply_rope, rope_cos_sin
 
 @dataclasses.dataclass(frozen=True)
 class GptOssConfig:
+    vocab_size: int = 128
     hidden: int = 256
     num_layers: int = 2
     num_heads: int = 8
@@ -65,7 +66,20 @@ def init_weights(key, cfg: GptOssConfig, dtype=jnp.float32) -> dict:
             "w_gate_up": rnd(h, 2 * cfg.intermediate),   # interleaved gate/up
             "w_down": rnd(cfg.intermediate, h),
         })
-    return {"layers": layers}
+    return {
+        "layers": layers,
+        "ln_f": jnp.ones((h,), dtype),
+        "wte": (jax.random.normal(next(it), (cfg.vocab_size, h)) * 0.02).astype(dtype),
+    }
+
+
+def embed(params: dict, ids: jax.Array) -> jax.Array:
+    return params["wte"][ids]
+
+
+def lm_head(params: dict, x: jax.Array) -> jax.Array:
+    """Final norm + tied lm head (the steps return un-normed hidden)."""
+    return rms_norm(x, params["ln_f"]) @ params["wte"].T
 
 
 def init_kv_cache(cfg: GptOssConfig, num_pages: int, dtype=jnp.float32):

@@ -58,6 +58,21 @@ def llama_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
     )
 
 
+def gpt_oss_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
+    from sgl_kernel_npu_tpu.models import gpt_oss as m
+
+    return ModelAdapter(
+        page_size=cfg.page_size,
+        embed=lambda ids: m.embed(params, ids),
+        lm_head=lambda x: m.lm_head(params, x),
+        prefill_step=lambda x, sl, c, bt, ctx, slots: m.prefill_step(
+            cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
+        decode_step=lambda x, pos, c, bt, ctx, slots: m.decode_step(
+            cfg, params, x, pos, c, bt, ctx, slots),
+        init_cache=lambda n: m.init_kv_cache(cfg, n, dtype),
+    )
+
+
 def deepseek_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
     from sgl_kernel_npu_tpu.models import deepseek_v3 as m
 

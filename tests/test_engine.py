@@ -136,3 +136,39 @@ def test_deepseek_engine_matches_reference(rng):
             jnp.asarray([i + 1], jnp.int32), jnp.asarray([slot(i)], jnp.int32))
         want.append(int(jnp.argmax(dsm.lm_head(params, y[0]))))
     assert got == want
+
+
+def test_gpt_oss_engine_matches_reference(rng):
+    """Engine with the GPT-OSS adapter == direct prefill+decode chain."""
+    from sgl_kernel_npu_tpu.models import gpt_oss as gm
+    from sgl_kernel_npu_tpu.runtime.engine import gpt_oss_adapter
+
+    cfg = gm.GptOssConfig(num_layers=2, page_size=4, vocab_size=61,
+                          sliding_window=8)
+    params = gm.init_weights(jax.random.key(5), cfg)
+    prompt = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
+    n_new = 4
+
+    eng = Engine(gpt_oss_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    got = eng.run([prompt], n_new)[0]
+
+    caches = gm.init_kv_cache(cfg, 32)
+    page = cfg.page_size
+    bt = jnp.arange(1, 17, dtype=jnp.int32).reshape(1, 16)
+    slot = lambda i: int(bt[0, i // page]) * page + i % page
+    n = len(prompt)
+    slots = jnp.asarray([slot(i) for i in range(n)], jnp.int32)
+    h, caches = gm.prefill_step(
+        cfg, params, gm.embed(params, jnp.asarray(prompt, jnp.int32)),
+        jnp.asarray([n], jnp.int32), caches, bt, jnp.asarray([n], jnp.int32),
+        slots, max_q=16)
+    want = [int(jnp.argmax(gm.lm_head(params, h[n - 1][None])[0]))]
+    for _ in range(n_new - 1):
+        i = n + len(want) - 1
+        y, caches = gm.decode_step(
+            cfg, params, gm.embed(params, jnp.asarray([want[-1]], jnp.int32)),
+            jnp.asarray([i], jnp.int32), caches, bt,
+            jnp.asarray([i + 1], jnp.int32), jnp.asarray([slot(i)], jnp.int32))
+        want.append(int(jnp.argmax(gm.lm_head(params, y)[0])))
+    assert got == want
