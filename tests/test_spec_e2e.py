@@ -1,0 +1,120 @@
+"""End-to-end speculative decoding: chain drafts + one-shot verify == greedy.
+
+Composes the spec-decode ops (ops/speculative.verify_tree_greedy) with the model
+stack: k draft tokens are scored in ONE varlen prefill call (a chain tree's
+attention mask IS the causal mask, so the paged prefill kernel is the tree
+scorer), verified greedily, and the accepted prefix must reproduce vanilla
+token-by-token greedy decoding — including after a mid-chain rejection.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_npu_tpu.models import llama as m
+from sgl_kernel_npu_tpu.ops import speculative as sp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = m.LlamaConfig(vocab_size=61, num_layers=2, page_size=4)
+    params = m.init_weights(jax.random.key(11), cfg)
+    return cfg, params
+
+
+def _greedy(cfg, params, prompt, n_new):
+    caches = m.init_kv_cache(cfg, 32)
+    bt = jnp.arange(1, 17, dtype=jnp.int32).reshape(1, 16)
+    page = cfg.page_size
+    slot = lambda i: int(bt[0, i // page]) * page + i % page
+    n = len(prompt)
+    slots = jnp.asarray([slot(i) for i in range(n)], jnp.int32)
+    h, caches = m.prefill_step(
+        cfg, params, m.embed(params, jnp.asarray(prompt, jnp.int32)),
+        jnp.asarray([n], jnp.int32), caches, bt, jnp.asarray([n], jnp.int32),
+        slots, max_q=32)
+    out = [int(jnp.argmax(m.lm_head(params, h[n - 1])))]
+    for _ in range(n_new - 1):
+        i = n + len(out) - 1
+        y, caches = m.decode_step(
+            cfg, params, m.embed(params, jnp.asarray([out[-1]], jnp.int32)),
+            jnp.asarray([i], jnp.int32), caches, bt, jnp.asarray([i + 1], jnp.int32),
+            jnp.asarray([slot(i)], jnp.int32))
+        out.append(int(jnp.argmax(m.lm_head(params, y[0]))))
+    return out
+
+
+def _spec_round(cfg, params, caches, bt, prompt_len, root_token, drafts):
+    """Score [root]+drafts in one prefill call, verify, return accepted tokens.
+
+    Returns (accepted tokens INCLUDING the bonus target token, new caches)."""
+    page = cfg.page_size
+    slot = lambda i: int(bt[0, i // page]) * page + i % page
+    cand = [root_token] + list(drafts)
+    d = len(cand)
+    n = prompt_len
+    slots = jnp.asarray([slot(n + j) for j in range(d)], jnp.int32)
+    h, caches = m.prefill_step(
+        cfg, params, m.embed(params, jnp.asarray(cand, jnp.int32)),
+        jnp.asarray([d], jnp.int32), caches, bt, jnp.asarray([n + d], jnp.int32),
+        slots, max_q=8)
+    target = jnp.argmax(m.lm_head(params, h), -1).astype(jnp.int32)[None]  # [1, D]
+
+    # chain tree: next_token[i] = i+1, no siblings
+    nt = jnp.asarray([[*range(1, d), -1]], jnp.int32)
+    ns = jnp.full((1, d), -1, jnp.int32)
+    ridx = jnp.arange(d, dtype=jnp.int32)[None]
+    predicts, accept_index, accept_num = sp.verify_tree_greedy(
+        jnp.asarray([cand], jnp.int32), ridx, nt, ns, target)
+    n_acc = int(accept_num[0])
+    accepted = [cand[int(accept_index[0, i])] for i in range(1, n_acc + 1)]
+    bonus = int(np.asarray(predicts)[int(accept_index[0, n_acc])])
+    return accepted + [bonus], caches, n_acc
+
+
+def _prefill_prompt(cfg, params, prompt):
+    caches = m.init_kv_cache(cfg, 32)
+    bt = jnp.arange(1, 17, dtype=jnp.int32).reshape(1, 16)
+    page = cfg.page_size
+    slot = lambda i: int(bt[0, i // page]) * page + i % page
+    n = len(prompt)
+    slots = jnp.asarray([slot(i) for i in range(n)], jnp.int32)
+    h, caches = m.prefill_step(
+        cfg, params, m.embed(params, jnp.asarray(prompt, jnp.int32)),
+        jnp.asarray([n], jnp.int32), caches, bt, jnp.asarray([n], jnp.int32),
+        slots, max_q=32)
+    t0 = int(jnp.argmax(m.lm_head(params, h[n - 1])))
+    return caches, bt, t0
+
+
+def test_perfect_drafts_all_accepted(setup):
+    """Drafts from the target itself: every draft accepted, output == greedy."""
+    cfg, params = setup
+    prompt = [5, 9, 2, 33, 17, 4]
+    k = 3
+    greedy = _greedy(cfg, params, prompt, k + 2)
+    caches, bt, t0 = _prefill_prompt(cfg, params, prompt)
+    assert t0 == greedy[0]
+    drafts = greedy[1 : 1 + k]                      # oracle drafts
+    got, caches, n_acc = _spec_round(cfg, params, caches, bt, len(prompt), t0, drafts)
+    assert n_acc == k                               # all drafts accepted
+    # spec round emitted drafts + bonus == greedy continuation
+    assert [t0] + got == greedy[: k + 2]
+
+
+def test_rejected_draft_falls_back_to_greedy(setup):
+    """A corrupted draft stops acceptance; the bonus token is the greedy one."""
+    cfg, params = setup
+    prompt = [5, 9, 2, 33, 17, 4]
+    k = 3
+    greedy = _greedy(cfg, params, prompt, k + 2)
+    caches, bt, t0 = _prefill_prompt(cfg, params, prompt)
+    drafts = list(greedy[1 : 1 + k])
+    drafts[1] = (drafts[1] + 7) % cfg.vocab_size    # corrupt the 2nd draft
+    if drafts[1] == greedy[2]:
+        drafts[1] = (drafts[1] + 1) % cfg.vocab_size
+    got, caches, n_acc = _spec_round(cfg, params, caches, bt, len(prompt), t0, drafts)
+    assert n_acc == 1                               # only the 1st draft accepted
+    # accepted prefix + bonus still follows the greedy sequence
+    assert [t0] + got == greedy[:3]
