@@ -1,0 +1,104 @@
+"""Hierarchical (layered) EP dispatch/combine on a (node=2, ici=4) virtual mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sgl_kernel_npu_tpu.parallel import layered
+
+N_NODES, RPN = 2, 4
+R = N_NODES * RPN
+E = 16
+E_LOCAL = E // R
+T, K, H = 16, 4, 32
+
+
+def _mesh():
+    devs = np.array(jax.devices()[:R]).reshape(N_NODES, RPN)
+    return Mesh(devs, ("node", "ici"))
+
+
+def _run(x_all, topk_all, c1=T, c2=N_NODES * T * K, seg=T):
+    """dispatch → per-expert scale → combine, inside one shard_map."""
+
+    def body(x, tk):                             # per-rank views [T, H] / [T, K]
+        d = layered.dispatch_layered(
+            x, tk, node_axis="node", ici_axis="ici", num_nodes=N_NODES,
+            ranks_per_node=RPN, num_experts=E, phase1_capacity=c1,
+            phase2_capacity=c2, seg_capacity=seg)
+        rank = jax.lax.axis_index("node") * RPN + jax.lax.axis_index("ici")
+        eid = rank * E_LOCAL + jnp.arange(E_LOCAL)
+        y = d["recv_x"].astype(jnp.float32) * (eid[:, None, None] + 1.0)
+        out = layered.combine_layered(
+            y, jnp.ones((T, K), jnp.float32) / K, d["handle"],
+            node_axis="node", ici_axis="ici", num_nodes=N_NODES,
+            ranks_per_node=RPN, seg_capacity=seg, num_tokens=T,
+            out_dtype=jnp.float32)
+        return out, d["dcn_rows"], d["recv_count"], d["num_dropped"][None]
+
+    mesh = _mesh()
+    f = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(("node", "ici")), P(("node", "ici"))),
+        out_specs=(P(("node", "ici")),) * 4,
+        check_vma=False,
+    )(body))
+    return f(x_all, topk_all)
+
+
+def test_layered_matches_dense_golden(rng):
+    x_all = jnp.asarray(rng.standard_normal((R * T, H)), jnp.float32)
+    topk_all = jnp.asarray(
+        np.stack([rng.choice(E, size=K, replace=False) for _ in range(R * T)]),
+        jnp.int32)
+    out, dcn_rows, counts, dropped = _run(x_all, topk_all)
+    assert int(jnp.asarray(dropped).sum()) == 0
+    # golden: out[t] = mean_k (e_k + 1) * x[t]
+    scale = (np.asarray(topk_all) + 1.0).mean(axis=1)
+    want = np.asarray(x_all) * scale[:, None]
+    np.testing.assert_allclose(np.asarray(out).reshape(R * T, H), want,
+                               rtol=1e-5, atol=1e-5)
+    # every routed token lands exactly once
+    assert int(jnp.asarray(counts).sum()) == R * T * K
+
+
+def test_layered_dedups_dcn_rows(rng):
+    """Top-k pairs clustered on one node cross DCN once per (token, node)."""
+    x_all = jnp.asarray(rng.standard_normal((R * T, H)), jnp.float32)
+    # each token picks K experts all on ONE node (expert ids 0..E/2-1 = node 0)
+    node_of = rng.integers(0, N_NODES, R * T)
+    picks = np.stack([
+        rng.choice(E // N_NODES, size=K, replace=False) + n * (E // N_NODES)
+        for n in node_of
+    ])
+    topk_all = jnp.asarray(picks, jnp.int32)
+    out, dcn_rows, counts, dropped = _run(x_all, topk_all)
+    assert int(jnp.asarray(dropped).sum()) == 0
+    total_pairs = R * T * K
+    total_dcn = int(jnp.asarray(dcn_rows).sum())
+    assert total_dcn == R * T              # ONE dcn row per token, not K
+    assert total_dcn * K == total_pairs
+    scale = (np.asarray(topk_all) + 1.0).mean(axis=1)
+    want = np.asarray(x_all) * scale[:, None]
+    np.testing.assert_allclose(np.asarray(out).reshape(R * T, H), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_layered_topk_minus_one_drops(rng):
+    """topk = -1 entries are inactive (reference MOE_ENABLE_TOPK_NEG_ONE)."""
+    x_all = jnp.asarray(rng.standard_normal((R * T, H)), jnp.float32)
+    picks = np.stack([rng.choice(E, size=K, replace=False) for _ in range(R * T)])
+    picks[:, -1] = -1                      # last expert slot inactive everywhere
+    topk_all = jnp.asarray(picks, jnp.int32)
+    out, dcn_rows, counts, dropped = _run(x_all, topk_all)
+    assert int(jnp.asarray(dropped).sum()) == 0
+    w = np.where(picks >= 0, 1.0 / K, 0.0)
+    scale = ((picks + 1.0) * w).sum(axis=1)
+    want = np.asarray(x_all) * scale[:, None]
+    np.testing.assert_allclose(np.asarray(out).reshape(R * T, H), want,
+                               rtol=1e-5, atol=1e-5)
+    assert int(jnp.asarray(counts).sum()) == R * T * (K - 1)
