@@ -115,11 +115,52 @@ def gpt_oss_decode():
     return ok
 
 
+def llama_engine_serving():
+    """Fourth family + runtime: the continuous-batching engine serving a tiny
+    Llama on the real chip (radix reuse + chunked Pallas prefill + paged
+    decode) must reproduce the direct prefill+decode chain, also on chip."""
+    from sgl_kernel_npu_tpu.models import llama as m
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+
+    cfg = m.LlamaConfig(vocab_size=61, num_layers=2, head_dim=128, page_size=8)
+    params = m.init_weights(jax.random.key(7), cfg)
+    prompt = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
+    n_new = 4
+
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    got = eng.run([prompt], n_new)[0]
+
+    caches = m.init_kv_cache(cfg, 32)
+    bt = jnp.arange(1, 17, dtype=jnp.int32).reshape(1, 16)
+    page = cfg.page_size
+    slot = lambda i: int(bt[0, i // page]) * page + i % page
+    n = len(prompt)
+    slots = jnp.asarray([slot(i) for i in range(n)], jnp.int32)
+    h, caches = m.prefill_step(
+        cfg, params, m.embed(params, jnp.asarray(prompt, jnp.int32)),
+        jnp.asarray([n], jnp.int32), caches, bt, jnp.asarray([n], jnp.int32),
+        slots, max_q=16)
+    want = [int(jnp.argmax(m.lm_head(params, h[n - 1])))]
+    for _ in range(n_new - 1):
+        i = n + len(want) - 1
+        y, caches = m.decode_step(
+            cfg, params, m.embed(params, jnp.asarray([want[-1]], jnp.int32)),
+            jnp.asarray([i], jnp.int32), caches, bt,
+            jnp.asarray([i + 1], jnp.int32), jnp.asarray([slot(i)], jnp.int32))
+        want.append(int(jnp.argmax(m.lm_head(params, y[0]))))
+    ok = got == want
+    print(f"{'OK ' if ok else 'FAIL'} llama engine serving on chip: "
+          f"engine={got} direct={want}")
+    return ok
+
+
 def main():
     print(f"device: {jax.devices()[0].device_kind}")
     ok = deepseek_decode()
     ok &= qwen3_next_consistency()
     ok &= gpt_oss_decode()
+    ok &= llama_engine_serving()
     print("ALL OK" if ok else "SOME FAILED")
     return 0 if ok else 1
 
