@@ -164,15 +164,29 @@ def dispatch_layered(
     phase1_capacity: int,
     phase2_capacity: int,
     seg_capacity: int,
+    use_int8: bool = False,
 ):
     """Two-tier dispatch (run inside shard_map over (node_axis, ici_axis)).
 
     Returns a dict: ``recv_x [E_local, R*seg, H]`` (ep_core-compatible packed
-    layout), ``recv_count [E_local]``, ``recv_count_matrix [R, E_local]``,
+    layout; int8 when ``use_int8``, with ``recv_scales [E_local, R*seg]``),
+    ``recv_count [E_local]``, ``recv_count_matrix [R, E_local]``,
     ``dcn_rows [N]`` (deduped inter-node rows actually sent — the bandwidth win),
     ``num_dropped``, ``handle``.
+
+    ``use_int8``: per-token dynamic INT8 quant at the source; int8 rows + f32
+    scales ride BOTH hops (the reference's layered INT8 dispatch;
+    QuantProcess, moe_distribute_dispatch_v2.h:994).
     """
+    from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
+
     t, hidden = x.shape
+    if use_int8:
+        xf = x.astype(jnp.float32)
+        tok_scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / INT8_MAX, 1e-12)
+        x = saturate_int8(xf / tok_scale[:, None])
+    else:
+        tok_scale = None
     k = topk_idx.shape[1]
     n_nodes, p = num_nodes, ranks_per_node
     num_ranks = n_nodes * p
@@ -197,6 +211,9 @@ def dispatch_layered(
     recv_x1 = _a2a(send_x, node_axis)               # [N, C1, H] at the proxy
     recv_tk = _a2a(send_tk, node_axis)              # [N, C1, K]
     live_row = (recv_tk >= 0).any(axis=-1)          # [N, C1]
+    if use_int8:
+        send_sc = jnp.where(send_token >= 0, tok_scale[tok], 0.0)[..., None]
+        recv_sc1 = _a2a(send_sc.astype(jnp.float32), node_axis)  # [N, C1, 1]
 
     # ---- phase 2: proxy fan-out over the fast axis ----
     plan2 = _phase2_plan(
@@ -226,6 +243,20 @@ def dispatch_layered(
         .set(recv_x2.reshape(-1, hidden), mode="drop")
         .reshape(e_local, num_ranks * seg_capacity, hidden)
     )
+    recv_scales = None
+    if use_int8:
+        sc2 = (
+            jnp.zeros((p, c2), jnp.float32)
+            .at[dst, plan2["send_slot"]]
+            .set(recv_sc1.reshape(-1)[plan2["row_id"]], mode="drop")
+        )
+        recv_sc2 = _a2a(sc2, ici_axis)              # [P, C2]
+        recv_scales = (
+            jnp.zeros((n_slots,), jnp.float32)
+            .at[recv_meta2.reshape(-1)]
+            .set(recv_sc2.reshape(-1), mode="drop")
+            .reshape(e_local, num_ranks * seg_capacity)
+        )
 
     # per-(dst_p, slot, src_node) counts → receiver count matrix [R, E_local]
     cnt_key = jnp.where(
@@ -261,7 +292,7 @@ def dispatch_layered(
         p2_dst_p=plan2["dst_p"],
         p2_send_slot=plan2["send_slot"],
     )
-    return {
+    out = {
         "recv_x": packed,
         "recv_count": matrix.sum(axis=0),
         "recv_count_matrix": matrix,
@@ -269,6 +300,9 @@ def dispatch_layered(
         "num_dropped": drop1 + plan2["n_dropped"],
         "handle": handle,
     }
+    if use_int8:
+        out["recv_scales"] = recv_scales
+    return out
 
 
 def combine_layered(

@@ -88,6 +88,41 @@ def test_layered_dedups_dcn_rows(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_layered_int8_dispatch(rng):
+    """INT8 rows + traveling scales on both hops dequantize to ~the bf16 result."""
+    x_all = jnp.asarray(rng.standard_normal((R * T, H)), jnp.float32)
+    topk_all = jnp.asarray(
+        np.stack([rng.choice(E, size=K, replace=False) for _ in range(R * T)]),
+        jnp.int32)
+
+    def body(x, tk):
+        d = layered.dispatch_layered(
+            x, tk, node_axis="node", ici_axis="ici", num_nodes=N_NODES,
+            ranks_per_node=RPN, num_experts=E, phase1_capacity=T,
+            phase2_capacity=N_NODES * T * K, seg_capacity=T, use_int8=True)
+        rank = jax.lax.axis_index("node") * RPN + jax.lax.axis_index("ici")
+        eid = rank * E_LOCAL + jnp.arange(E_LOCAL)
+        deq = d["recv_x"].astype(jnp.float32) * d["recv_scales"][..., None]
+        y = deq * (eid[:, None, None] + 1.0)
+        out = layered.combine_layered(
+            y, jnp.ones((T, K), jnp.float32) / K, d["handle"],
+            node_axis="node", ici_axis="ici", num_nodes=N_NODES,
+            ranks_per_node=RPN, seg_capacity=T, num_tokens=T,
+            out_dtype=jnp.float32)
+        return out
+
+    mesh = _mesh()
+    f = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(("node", "ici")), P(("node", "ici"))),
+        out_specs=P(("node", "ici")), check_vma=False)(body))
+    out = np.asarray(f(x_all, topk_all)).reshape(R * T, H)
+    scale = (np.asarray(topk_all) + 1.0).mean(axis=1)
+    want = np.asarray(x_all) * scale[:, None]
+    rel = np.abs(out - want).max() / np.abs(want).max()
+    assert rel < 2e-2                      # int8 per-token quant error bound
+
+
 def test_layered_topk_minus_one_drops(rng):
     """topk = -1 entries are inactive (reference MOE_ENABLE_TOPK_NEG_ONE)."""
     x_all = jnp.asarray(rng.standard_normal((R * T, H)), jnp.float32)
