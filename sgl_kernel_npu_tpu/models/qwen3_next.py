@@ -143,3 +143,248 @@ def decode_step(cfg: Qwen3NextConfig, w: dict, x: jax.Array, conv_pool, ssm_pool
     )
     out = _finish(cfg, w, o[:, 0], z, x)
     return out, conv_pool, ssm_pool
+
+
+# ---------------------------------------------------------------------------
+# Hybrid layer stack (GDN + full-attention layers) — engine-servable
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3NextHybridConfig:
+    """Qwen3-Next-style hybrid: GDN (linear-attention) layers with a full
+    GQA attention layer every ``attn_every`` layers (the real model interleaves
+    1:4).  GDN layers carry (conv, ssm) state pools; attention layers carry
+    paged KV — the engine threads both."""
+
+    vocab_size: int = 128
+    hidden: int = 256
+    num_layers: int = 2
+    attn_every: int = 2            # layer i is attention iff (i + 1) % attn_every == 0
+    # GDN dims
+    num_k_heads: int = 2
+    num_v_heads: int = 4
+    head_k_dim: int = 32
+    head_v_dim: int = 32
+    conv_width: int = 4
+    chunk_size: int = 16
+    # attention dims
+    num_heads: int = 8
+    num_kv_heads: int = 2
+    head_dim: int = 32
+    page_size: int = 16
+    rope_theta: float = 10000.0
+    mlp_intermediate: int = 512
+
+    @property
+    def gdn(self) -> Qwen3NextConfig:
+        return Qwen3NextConfig(
+            hidden=self.hidden, num_k_heads=self.num_k_heads,
+            num_v_heads=self.num_v_heads, head_k_dim=self.head_k_dim,
+            head_v_dim=self.head_v_dim, conv_width=self.conv_width,
+            mlp_intermediate=self.mlp_intermediate, chunk_size=self.chunk_size)
+
+    def is_attn(self, li: int) -> bool:
+        return (li + 1) % self.attn_every == 0
+
+
+def init_hybrid_weights(key, cfg: Qwen3NextHybridConfig, dtype=jnp.float32) -> dict:
+    ks = iter(jax.random.split(key, cfg.num_layers + 2))
+    h, d = cfg.hidden, cfg.head_dim
+
+    def attn_layer(k2):
+        kk = iter(jax.random.split(k2, 8))
+        rnd = lambda *s: (jax.random.normal(next(kk), s) / (s[0] ** 0.5)).astype(dtype)
+        return {
+            "kind": "attn",
+            "ln1": jnp.ones((h,), dtype),
+            "wq": rnd(h, cfg.num_heads * d),
+            "wk": rnd(h, cfg.num_kv_heads * d),
+            "wv": rnd(h, cfg.num_kv_heads * d),
+            "wo": rnd(cfg.num_heads * d, h),
+            "ln2": jnp.ones((h,), dtype),
+            "w_gate_up": rnd(h, 2 * cfg.mlp_intermediate),
+            "w_down": rnd(cfg.mlp_intermediate, h),
+        }
+
+    layers = []
+    for li in range(cfg.num_layers):
+        k2 = next(ks)
+        if cfg.is_attn(li):
+            layers.append(attn_layer(k2))
+        else:
+            w = init_weights(k2, cfg.gdn, dtype)
+            w["kind"] = "gdn"
+            layers.append(w)
+    return {
+        "layers": layers,
+        "ln_f": jnp.ones((h,), dtype),
+        "wte": (jax.random.normal(next(ks), (cfg.vocab_size, h)) * 0.02).astype(dtype),
+    }
+
+
+def hybrid_embed(params, ids):
+    return params["wte"][ids]
+
+
+def hybrid_lm_head(params, x):
+    return rms_norm_ref(x, params["ln_f"]) @ params["wte"].T
+
+
+def init_hybrid_cache(cfg: Qwen3NextHybridConfig, num_pages: int,
+                      state_slots: int, dtype=jnp.float32) -> list:
+    gd = cfg.gdn
+    caches = []
+    for li in range(cfg.num_layers):
+        if cfg.is_attn(li):
+            shape = (num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
+            caches.append({"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)})
+        else:
+            caches.append({
+                "conv": jnp.zeros((state_slots, gd.qkv_dim, gd.conv_width - 1), dtype),
+                "ssm": jnp.zeros(
+                    (state_slots, gd.num_v_heads, gd.head_k_dim, gd.head_v_dim),
+                    jnp.float32),
+            })
+    return caches
+
+
+def _attn_layer_prefill(cfg, lw, x, seq_lens, block_tables, context_lens,
+                        slot_mapping, cos, sin, max_q):
+    from sgl_kernel_npu_tpu.ops.attention.sinks_attention import (
+        attention_sinks_prefill_pallas)
+    from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
+
+    s = x.shape[0]
+    d = cfg.head_dim
+    hidden_n = rms_norm_ref(x, lw["ln1"])
+    from sgl_kernel_npu_tpu.ops.rope import apply_rope
+    q = apply_rope((hidden_n @ lw["wq"]).reshape(s, cfg.num_heads, d), cos, sin)
+    k = apply_rope((hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d), cos, sin)
+    v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
+    k_cache = reshape_and_cache(k, lw["_kc"], slot_mapping)
+    v_cache = reshape_and_cache(v, lw["_vc"], slot_mapping)
+    attn = attention_sinks_prefill_pallas(
+        q.reshape(s, cfg.num_heads * d), k_cache, v_cache, None,
+        seq_lens, block_tables, context_lens, 1.0 / (d ** 0.5), 0,
+        cfg.num_heads, cfg.num_kv_heads, max_q=max_q)
+    x = x + attn.reshape(s, -1) @ lw["wo"]
+    h2 = rms_norm_ref(x, lw["ln2"])
+    gu = h2 @ lw["w_gate_up"]
+    g, u = jnp.split(gu, 2, axis=-1)
+    return x + (g * jax.nn.sigmoid(g) * u) @ lw["w_down"], k_cache, v_cache
+
+
+def hybrid_prefill_step(
+    cfg: Qwen3NextHybridConfig,
+    params: dict,
+    x: jax.Array,            # [S, hidden] ONE request's chunk (B must be 1)
+    seq_lens: jax.Array,     # [1]
+    caches: list,
+    block_tables: jax.Array, # [1, max_pages]
+    context_lens: jax.Array, # [1]
+    slot_mapping: jax.Array, # [S]
+    state_idx: jax.Array,    # [1] GDN state-pool slot
+    *,
+    max_q: int | None = None,
+):
+    """Chunked varlen prefill with GDN state resume (one request per call: GDN
+    recurrence is per-request; attention layers are varlen-general)."""
+    from sgl_kernel_npu_tpu.ops.rope import rope_cos_sin
+
+    gd = cfg.gdn
+    s = x.shape[0]
+    n = seq_lens[0]
+    mask = jnp.arange(s) < n
+    positions = context_lens[0] - n + jnp.arange(s)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, base=cfg.rope_theta)
+    slot0 = state_idx[0]
+    new_caches = []
+    for li, lw in enumerate(params["layers"]):
+        cache = caches[li]
+        if cfg.is_attn(li):
+            lw = dict(lw, _kc=cache["k"], _vc=cache["v"])
+            x, kc, vc = _attn_layer_prefill(
+                cfg, lw, x, seq_lens, block_tables, context_lens, slot_mapping,
+                cos, sin, max_q or s)
+            new_caches.append({"k": kc, "v": vc})
+            continue
+        # --- GDN layer with state resume ---
+        qkv, z, b, a = _project(gd, lw, x)
+        qkv = jnp.where(mask[:, None], qkv, 0.0)          # pads must not touch state
+        qkv_seq = qkv[None].swapaxes(1, 2)                # [1, D, S]
+        conv_init = cache["conv"][slot0][None].astype(jnp.float32)
+        conv_out, _ = causal_conv1d_fn(
+            qkv_seq, lw["conv_w"], lw["conv_b"], initial_states=conv_init,
+            return_final_states=True, activation="silu")
+        # final conv window = last W-1 REAL inputs (right pads excluded)
+        cat = jnp.concatenate([conv_init, qkv_seq.astype(jnp.float32)], axis=-1)
+        new_conv = jax.lax.dynamic_slice_in_dim(
+            cat, n, gd.conv_width - 1, axis=2)[0]
+        qkv_t = conv_out.swapaxes(1, 2).reshape(s, -1)
+        q, k, v = _split_heads(gd, qkv_t)
+        g, beta = fused_gdn_gating(
+            lw["A_log"], a[None], b[None], lw["dt_bias"])  # [1, S, HV]
+        g = jnp.where(mask[None, :, None], g, 0.0)         # pad: decay 1
+        beta = jnp.where(mask[None, :, None], beta, 0.0)   # pad: no update
+        o, final = chunk_gated_delta_rule(
+            q[None], k[None], v[None], g, beta,
+            chunk_size=gd.chunk_size,
+            initial_state=cache["ssm"][slot0][None],
+            use_qk_l2norm_in_kernel=True)
+        x = _finish(gd, lw, o[0], z, x)
+        new_caches.append({
+            "conv": cache["conv"].at[slot0].set(new_conv.astype(cache["conv"].dtype)),
+            "ssm": cache["ssm"].at[slot0].set(final[0]),
+        })
+    return x, new_caches
+
+
+def hybrid_decode_step(
+    cfg: Qwen3NextHybridConfig,
+    params: dict,
+    x: jax.Array,            # [B, hidden]
+    positions: jax.Array,    # [B]
+    caches: list,
+    block_tables: jax.Array, # [B, max_pages]
+    context_lens: jax.Array, # [B]
+    slot_mapping: jax.Array, # [B]
+    state_idx: jax.Array,    # [B] GDN pool slots
+):
+    from sgl_kernel_npu_tpu.ops.attention.decode_attention import decode_gqa
+    from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
+    from sgl_kernel_npu_tpu.ops.rope import apply_rope, rope_cos_sin
+
+    gd = cfg.gdn
+    bsz = x.shape[0]
+    d = cfg.head_dim
+    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    new_caches = []
+    for li, lw in enumerate(params["layers"]):
+        cache = caches[li]
+        if cfg.is_attn(li):
+            hidden_n = rms_norm_ref(x, lw["ln1"])
+            q = apply_rope((hidden_n @ lw["wq"]).reshape(bsz, cfg.num_heads, d), cos, sin)
+            k = apply_rope((hidden_n @ lw["wk"]).reshape(bsz, cfg.num_kv_heads, d), cos, sin)
+            v = (hidden_n @ lw["wv"]).reshape(bsz, cfg.num_kv_heads, d)
+            kc = reshape_and_cache(k, cache["k"], slot_mapping)
+            vc = reshape_and_cache(v, cache["v"], slot_mapping)
+            attn = decode_gqa(q, kc, vc, context_lens, 1.0 / (d ** 0.5), block_tables)
+            x = x + attn.reshape(bsz, -1) @ lw["wo"]
+            h2 = rms_norm_ref(x, lw["ln2"])
+            gu = h2 @ lw["w_gate_up"]
+            g, u = jnp.split(gu, 2, axis=-1)
+            x = x + (g * jax.nn.sigmoid(g) * u) @ lw["w_down"]
+            new_caches.append({"k": kc, "v": vc})
+            continue
+        qkv, z, b, a = _project(gd, lw, x)
+        qkv_tok, conv_pool = causal_conv1d_update(
+            qkv, cache["conv"], lw["conv_w"], lw["conv_b"], activation="silu",
+            conv_state_indices=state_idx)
+        q, k, v = _split_heads(gd, qkv_tok)
+        o, ssm_pool = fused_sigmoid_gating_delta_rule_update(
+            lw["A_log"], a[:, None, :], lw["dt_bias"],
+            q[:, None], k[:, None], v[:, None], b[:, None, :],
+            cache["ssm"], state_idx, use_qk_l2norm_in_kernel=True)
+        x = _finish(gd, lw, o[:, 0], z, x)
+        new_caches.append({"conv": conv_pool, "ssm": ssm_pool})
+    return x, new_caches

@@ -33,14 +33,19 @@ from sgl_kernel_npu_tpu.runtime.cache_manager import RadixCacheManager
 
 @dataclasses.dataclass
 class ModelAdapter:
-    """Static-shape callables the engine drives (all jit-able)."""
+    """Static-shape callables the engine drives (all jit-able).
+
+    ``state_idx`` threads recurrent state-pool slots (GDN/Mamba hybrids); pure
+    paged-KV adapters ignore it.  ``init_cache`` receives ``state_slots`` =
+    max concurrent requests (+1 headroom) for pool sizing.
+    """
 
     page_size: int
     embed: Callable            # ids [N] → hidden [N, H]
     lm_head: Callable          # hidden [N, H] → logits [N, V]
-    prefill_step: Callable     # (x, seq_lens, caches, bt, ctx, slots) → (h, caches)
-    decode_step: Callable      # (x, pos, caches, bt, ctx, slots) → (h, caches)
-    init_cache: Callable       # (num_pages) → caches
+    prefill_step: Callable     # (x, seq_lens, caches, bt, ctx, slots, state_idx) → (h, caches)
+    decode_step: Callable      # (x, pos, caches, bt, ctx, slots, state_idx) → (h, caches)
+    init_cache: Callable       # (num_pages, state_slots) → caches
 
 
 def llama_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
@@ -50,11 +55,11 @@ def llama_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         page_size=cfg.page_size,
         embed=lambda ids: m.embed(params, ids),
         lm_head=lambda x: m.lm_head(params, x),
-        prefill_step=lambda x, sl, c, bt, ctx, slots: m.prefill_step(
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si: m.prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
-        decode_step=lambda x, pos, c, bt, ctx, slots: m.decode_step(
+        decode_step=lambda x, pos, c, bt, ctx, slots, si: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots),
-        init_cache=lambda n: m.init_kv_cache(cfg, n, dtype),
+        init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
     )
 
 
@@ -65,11 +70,11 @@ def gpt_oss_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         page_size=cfg.page_size,
         embed=lambda ids: m.embed(params, ids),
         lm_head=lambda x: m.lm_head(params, x),
-        prefill_step=lambda x, sl, c, bt, ctx, slots: m.prefill_step(
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si: m.prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
-        decode_step=lambda x, pos, c, bt, ctx, slots: m.decode_step(
+        decode_step=lambda x, pos, c, bt, ctx, slots, si: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots),
-        init_cache=lambda n: m.init_kv_cache(cfg, n, dtype),
+        init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
     )
 
 
@@ -80,11 +85,27 @@ def deepseek_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         page_size=cfg.page_size,
         embed=lambda ids: m.embed(params, ids),
         lm_head=lambda x: m.lm_head(params, x),
-        prefill_step=lambda x, sl, c, bt, ctx, slots: m.prefill_step(
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si: m.prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
-        decode_step=lambda x, pos, c, bt, ctx, slots: m.decode_step(
+        decode_step=lambda x, pos, c, bt, ctx, slots, si: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots),
-        init_cache=lambda n: m.init_kv_cache(cfg, n, dtype),
+        init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
+    )
+
+
+def qwen3_hybrid_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
+    """Qwen3-Next hybrid: GDN state pools + paged KV, both engine-threaded."""
+    from sgl_kernel_npu_tpu.models import qwen3_next as m
+
+    return ModelAdapter(
+        page_size=cfg.page_size,
+        embed=lambda ids: m.hybrid_embed(params, ids),
+        lm_head=lambda x: m.hybrid_lm_head(params, x),
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si: m.hybrid_prefill_step(
+            cfg, params, x, sl, c, bt, ctx, slots, si, max_q=x.shape[0]),
+        decode_step=lambda x, pos, c, bt, ctx, slots, si: m.hybrid_decode_step(
+            cfg, params, x, pos, c, bt, ctx, slots, si),
+        init_cache=lambda n, s_: m.init_hybrid_cache(cfg, n, s_, dtype),
     )
 
 
@@ -95,6 +116,7 @@ class _Request:
     max_new_tokens: int
     pages: list = dataclasses.field(default_factory=list)   # block table (physical)
     pos: int = 0                  # tokens whose KV is in the cache
+    state_slot: int = -1          # recurrent state-pool slot (hybrid models)
     admit_matched: int = 0        # tokens held via the admit-time match
     inserted_span: int = 0        # tokens held via the post-prefill insert
     out_tokens: list = dataclasses.field(default_factory=list)
@@ -119,7 +141,8 @@ class Engine:
         self.a = adapter
         self.page = adapter.page_size
         self.cm = RadixCacheManager(num_pages, self.page)
-        self.caches = adapter.init_cache(num_pages)
+        self.caches = adapter.init_cache(num_pages, max_batch + 1)
+        self._free_state_slots = list(range(max_batch))
         self.max_batch = max_batch
         self.max_pages_per_req = max_pages_per_req
         self.prefill_chunk = prefill_chunk
@@ -166,6 +189,7 @@ class Engine:
             r.admit_matched = matched
             r.pages = list(int(p) for p in pages)
             r.pos = matched
+            r.state_slot = self._free_state_slots.pop()
             self.stats["cached_tokens"] += matched
             self.running.append(r)
 
@@ -180,16 +204,16 @@ class Engine:
     def _slot(self, r: _Request, i: int) -> int:
         return r.pages[i // self.page] * self.page + i % self.page
 
-    def _prefill_call(self, ids, seq_len, caches, bt, ctx, slots):
+    def _prefill_call(self, ids, seq_len, caches, bt, ctx, slots, state_idx):
         x = self.a.embed(ids)
         h, caches = self.a.prefill_step(
-            x, seq_len[None], caches, bt[None], ctx[None], slots)
+            x, seq_len[None], caches, bt[None], ctx[None], slots, state_idx)
         logits = self.a.lm_head(h[seq_len - 1][None])
         return jnp.argmax(logits, -1)[0], caches
 
-    def _decode_call(self, ids, pos, caches, bt, ctx, slots):
+    def _decode_call(self, ids, pos, caches, bt, ctx, slots, state_idx):
         x = self.a.embed(ids)
-        h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots)
+        h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots, state_idx)
         return jnp.argmax(self.a.lm_head(h), -1), caches
 
     def _prefill(self, r: _Request) -> None:
@@ -205,7 +229,8 @@ class Engine:
         bt[: len(r.pages)] = r.pages
         tok, self.caches = self._jit_prefill(
             jnp.asarray(ids), jnp.int32(chunk), self.caches,
-            jnp.asarray(bt), jnp.int32(r.pos + chunk), jnp.asarray(slots))
+            jnp.asarray(bt), jnp.int32(r.pos + chunk), jnp.asarray(slots),
+            jnp.asarray([r.state_slot], jnp.int32))
         r.pos += chunk
         self.stats["prefill_tokens"] += chunk
         if r.pos == r.prompt_len:
@@ -237,6 +262,7 @@ class Engine:
         pos = np.zeros((b,), np.int32)
         ctx = np.ones((b,), np.int32)
         slots = np.full((b,), -1, np.int32)
+        state_idx = np.full((b,), -1, np.int32)   # -1 = dead row (pools skip)
         bt = np.zeros((b, self.max_pages_per_req), np.int32)
         for i, r in enumerate(live):
             seq_i = r.prompt_len + len(r.out_tokens)   # includes the new token
@@ -245,10 +271,11 @@ class Engine:
             pos[i] = seq_i - 1
             ctx[i] = seq_i
             slots[i] = self._slot(r, seq_i - 1)
+            state_idx[i] = r.state_slot
             bt[i, : len(r.pages)] = r.pages
         toks, self.caches = self._jit_decode(
             jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
-            jnp.asarray(ctx), jnp.asarray(slots))
+            jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx))
         toks = np.asarray(toks)
         for i, r in enumerate(live):
             r.out_tokens.append(int(toks[i]))
@@ -266,4 +293,6 @@ class Engine:
             if len(r.pages) > shared:
                 self.cm.free(np.asarray(r.pages[shared:], np.int32))
             self.finished[r.rid] = list(r.out_tokens)
+            if r.state_slot >= 0:
+                self._free_state_slots.append(r.state_slot)
             self.running.remove(r)
