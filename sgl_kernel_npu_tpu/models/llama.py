@@ -96,6 +96,36 @@ def _mlp(lw, x):
     return (jax.nn.silu(g) * (x @ lw["w_up"])) @ lw["w_down"]
 
 
+def init_lora(key, cfg: LlamaConfig, num_adapters: int, rank: int,
+              dtype=jnp.float32) -> dict:
+    """Per-layer LoRA on the q and o projections.  Adapter 0 is all-zeros (the
+    "no adapter" row); per-adapter scaling is folded into the B matrices."""
+    ks = iter(jax.random.split(key, cfg.num_layers * 4))
+    h, hq = cfg.hidden, cfg.num_heads * cfg.head_dim
+
+    def rnd(*shape):
+        w = jax.random.normal(next(ks), shape) * 0.1
+        return w.at[0].set(0.0).astype(dtype)      # adapter 0 = identity
+
+    return {
+        "layers": [
+            {
+                "qA": rnd(num_adapters, rank, h),
+                "qB": rnd(num_adapters, hq, rank),
+                "oA": rnd(num_adapters, rank, hq),
+                "oB": rnd(num_adapters, h, rank),
+            }
+            for _ in range(cfg.num_layers)
+        ]
+    }
+
+
+def _lora_delta(x, a, b, idx):
+    from sgl_kernel_npu_tpu.ops.lora import bgmv_expand, bgmv_shrink
+
+    return bgmv_expand(bgmv_shrink(x, a, idx), b, idx)
+
+
 def decode_step(
     cfg: LlamaConfig,
     params: dict,
@@ -105,6 +135,9 @@ def decode_step(
     block_tables: jax.Array, # [B, max_pages]
     context_lens: jax.Array, # [B] lengths INCLUDING the new token
     slot_mapping: jax.Array, # [B]
+    *,
+    lora: dict | None = None,
+    lora_idx: jax.Array | None = None,  # [B] adapter id per request (0 = none)
 ):
     """One decode step over the stack; returns (hidden, new_caches)."""
     b = x.shape[0]
@@ -115,13 +148,21 @@ def decode_step(
     for li, lw in enumerate(params["layers"]):
         k_cache, v_cache = caches[li]
         hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
-        q = apply_rope((hidden_n @ lw["wq"]).reshape(b, cfg.num_heads, d), cos, sin)
+        qp = hidden_n @ lw["wq"]
+        if lora is not None:
+            la = lora["layers"][li]
+            qp = qp + _lora_delta(hidden_n, la["qA"], la["qB"], lora_idx)
+        q = apply_rope(qp.reshape(b, cfg.num_heads, d), cos, sin)
         k = apply_rope((hidden_n @ lw["wk"]).reshape(b, cfg.num_kv_heads, d), cos, sin)
         v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
         k_cache = reshape_and_cache(k, k_cache, slot_mapping)
         v_cache = reshape_and_cache(v, v_cache, slot_mapping)
         attn = decode_gqa(q, k_cache, v_cache, context_lens, scale, block_tables)
-        x = x + attn.reshape(b, -1) @ lw["wo"]
+        attn = attn.reshape(b, -1)
+        op = attn @ lw["wo"]
+        if lora is not None:
+            op = op + _lora_delta(attn, la["oA"], la["oB"], lora_idx)
+        x = x + op
         x = x + _mlp(lw, rms_norm(x, lw["ln2"], cfg.rms_eps))
         new_caches.append((k_cache, v_cache))
     return rms_norm(x, params["ln_f"], cfg.rms_eps), new_caches
@@ -139,6 +180,8 @@ def prefill_step(
     *,
     max_q: int | None = None,
     use_pallas: bool = True,
+    lora: dict | None = None,
+    lora_idx: jax.Array | None = None,  # [S] adapter id per TOKEN (0 = none)
 ):
     """Varlen (chunked) prefill; rows are each request's last ``seq_lens[b]``
     tokens.  KV lands in the paged cache first; attention reads it back."""
@@ -157,7 +200,11 @@ def prefill_step(
     for li, lw in enumerate(params["layers"]):
         k_cache, v_cache = caches[li]
         hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
-        q = apply_rope((hidden_n @ lw["wq"]).reshape(s, cfg.num_heads, d), cos, sin)
+        qp = hidden_n @ lw["wq"]
+        if lora is not None:
+            la = lora["layers"][li]
+            qp = qp + _lora_delta(hidden_n, la["qA"], la["qB"], lora_idx)
+        q = apply_rope(qp.reshape(s, cfg.num_heads, d), cos, sin)
         k = apply_rope((hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d), cos, sin)
         v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
         k_cache = reshape_and_cache(k, k_cache, slot_mapping)
@@ -166,8 +213,11 @@ def prefill_step(
             q.reshape(s, cfg.num_heads * d), k_cache, v_cache, None,
             seq_lens, block_tables, context_lens, scale, 0,
             cfg.num_heads, cfg.num_kv_heads, **kw,
-        )
-        x = x + attn.reshape(s, -1) @ lw["wo"]
+        ).reshape(s, -1)
+        op = attn @ lw["wo"]
+        if lora is not None:
+            op = op + _lora_delta(attn, la["oA"], la["oB"], lora_idx)
+        x = x + op
         x = x + _mlp(lw, rms_norm(x, lw["ln2"], cfg.rms_eps))
         new_caches.append((k_cache, v_cache))
     return rms_norm(x, params["ln_f"], cfg.rms_eps), new_caches

@@ -43,22 +43,25 @@ class ModelAdapter:
     page_size: int
     embed: Callable            # ids [N] → hidden [N, H]
     lm_head: Callable          # hidden [N, H] → logits [N, V]
-    prefill_step: Callable     # (x, seq_lens, caches, bt, ctx, slots, state_idx) → (h, caches)
-    decode_step: Callable      # (x, pos, caches, bt, ctx, slots, state_idx) → (h, caches)
+    prefill_step: Callable     # (x, seq_lens, caches, bt, ctx, slots, state_idx, lora_idx) → (h, caches)
+    decode_step: Callable      # (x, pos, caches, bt, ctx, slots, state_idx, lora_idx) → (h, caches)
     init_cache: Callable       # (num_pages, state_slots) → caches
 
 
-def llama_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
+def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None) -> ModelAdapter:
+    """``lora``: optional multi-adapter weights (models.llama.init_lora);
+    requests select adapters via ``Engine.add_request(lora_id=…)``."""
     from sgl_kernel_npu_tpu.models import llama as m
 
     return ModelAdapter(
         page_size=cfg.page_size,
         embed=lambda ids: m.embed(params, ids),
         lm_head=lambda x: m.lm_head(params, x),
-        prefill_step=lambda x, sl, c, bt, ctx, slots, si: m.prefill_step(
-            cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
-        decode_step=lambda x, pos, c, bt, ctx, slots, si: m.decode_step(
-            cfg, params, x, pos, c, bt, ctx, slots),
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.prefill_step(
+            cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0],
+            lora=lora, lora_idx=li),
+        decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
+            cfg, params, x, pos, c, bt, ctx, slots, lora=lora, lora_idx=li),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
     )
 
@@ -70,9 +73,9 @@ def gpt_oss_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         page_size=cfg.page_size,
         embed=lambda ids: m.embed(params, ids),
         lm_head=lambda x: m.lm_head(params, x),
-        prefill_step=lambda x, sl, c, bt, ctx, slots, si: m.prefill_step(
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
-        decode_step=lambda x, pos, c, bt, ctx, slots, si: m.decode_step(
+        decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
     )
@@ -85,9 +88,9 @@ def deepseek_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         page_size=cfg.page_size,
         embed=lambda ids: m.embed(params, ids),
         lm_head=lambda x: m.lm_head(params, x),
-        prefill_step=lambda x, sl, c, bt, ctx, slots, si: m.prefill_step(
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
-        decode_step=lambda x, pos, c, bt, ctx, slots, si: m.decode_step(
+        decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
     )
@@ -101,9 +104,9 @@ def qwen3_hybrid_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         page_size=cfg.page_size,
         embed=lambda ids: m.hybrid_embed(params, ids),
         lm_head=lambda x: m.hybrid_lm_head(params, x),
-        prefill_step=lambda x, sl, c, bt, ctx, slots, si: m.hybrid_prefill_step(
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.hybrid_prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, si, max_q=x.shape[0]),
-        decode_step=lambda x, pos, c, bt, ctx, slots, si: m.hybrid_decode_step(
+        decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.hybrid_decode_step(
             cfg, params, x, pos, c, bt, ctx, slots, si),
         init_cache=lambda n, s_: m.init_hybrid_cache(cfg, n, s_, dtype),
     )
@@ -117,6 +120,7 @@ class _Request:
     pages: list = dataclasses.field(default_factory=list)   # block table (physical)
     pos: int = 0                  # tokens whose KV is in the cache
     state_slot: int = -1          # recurrent state-pool slot (hybrid models)
+    lora_id: int = 0              # LoRA adapter id (0 = none)
     admit_matched: int = 0        # tokens held via the admit-time match
     inserted_span: int = 0        # tokens held via the post-prefill insert
     out_tokens: list = dataclasses.field(default_factory=list)
@@ -157,10 +161,11 @@ class Engine:
 
     # ---------------- public API ----------------
 
-    def add_request(self, prompt, max_new_tokens: int) -> int:
+    def add_request(self, prompt, max_new_tokens: int, lora_id: int = 0) -> int:
         rid = self._next_rid
         self._next_rid += 1
-        self.waiting.append(_Request(rid, np.asarray(prompt, np.int32), max_new_tokens))
+        self.waiting.append(_Request(rid, np.asarray(prompt, np.int32),
+                                     max_new_tokens, lora_id=lora_id))
         return rid
 
     def run(self, prompts, max_new_tokens: int) -> list[list[int]]:
@@ -204,16 +209,17 @@ class Engine:
     def _slot(self, r: _Request, i: int) -> int:
         return r.pages[i // self.page] * self.page + i % self.page
 
-    def _prefill_call(self, ids, seq_len, caches, bt, ctx, slots, state_idx):
+    def _prefill_call(self, ids, seq_len, caches, bt, ctx, slots, state_idx, lora_idx):
         x = self.a.embed(ids)
         h, caches = self.a.prefill_step(
-            x, seq_len[None], caches, bt[None], ctx[None], slots, state_idx)
+            x, seq_len[None], caches, bt[None], ctx[None], slots, state_idx, lora_idx)
         logits = self.a.lm_head(h[seq_len - 1][None])
         return jnp.argmax(logits, -1)[0], caches
 
-    def _decode_call(self, ids, pos, caches, bt, ctx, slots, state_idx):
+    def _decode_call(self, ids, pos, caches, bt, ctx, slots, state_idx, lora_idx):
         x = self.a.embed(ids)
-        h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots, state_idx)
+        h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots, state_idx,
+                                       lora_idx)
         return jnp.argmax(self.a.lm_head(h), -1), caches
 
     def _prefill(self, r: _Request) -> None:
@@ -230,7 +236,8 @@ class Engine:
         tok, self.caches = self._jit_prefill(
             jnp.asarray(ids), jnp.int32(chunk), self.caches,
             jnp.asarray(bt), jnp.int32(r.pos + chunk), jnp.asarray(slots),
-            jnp.asarray([r.state_slot], jnp.int32))
+            jnp.asarray([r.state_slot], jnp.int32),
+            jnp.full((s,), r.lora_id, jnp.int32))
         r.pos += chunk
         self.stats["prefill_tokens"] += chunk
         if r.pos == r.prompt_len:
@@ -263,6 +270,7 @@ class Engine:
         ctx = np.ones((b,), np.int32)
         slots = np.full((b,), -1, np.int32)
         state_idx = np.full((b,), -1, np.int32)   # -1 = dead row (pools skip)
+        lora_idx = np.zeros((b,), np.int32)
         bt = np.zeros((b, self.max_pages_per_req), np.int32)
         for i, r in enumerate(live):
             seq_i = r.prompt_len + len(r.out_tokens)   # includes the new token
@@ -272,10 +280,12 @@ class Engine:
             ctx[i] = seq_i
             slots[i] = self._slot(r, seq_i - 1)
             state_idx[i] = r.state_slot
+            lora_idx[i] = r.lora_id
             bt[i, : len(r.pages)] = r.pages
         toks, self.caches = self._jit_decode(
             jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
-            jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx))
+            jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
+            jnp.asarray(lora_idx))
         toks = np.asarray(toks)
         for i, r in enumerate(live):
             r.out_tokens.append(int(toks[i]))
