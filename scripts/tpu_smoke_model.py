@@ -152,7 +152,17 @@ def llama_engine_serving():
     ok = got == want
     print(f"{'OK ' if ok else 'FAIL'} llama engine serving on chip: "
           f"engine={got} direct={want}")
-    return ok
+
+    # speculative decoding in the engine loop (draft == target: all accepted)
+    spec = Engine(llama_adapter(cfg, params), num_pages=64,
+                  max_batch=2, max_pages_per_req=16, prefill_chunk=8,
+                  spec_k=2, draft_adapter=llama_adapter(cfg, params))
+    got_s = spec.run([prompt], n_new)[0]
+    ok_s = got_s == want and spec.stats["spec_rounds"] < n_new
+    print(f"{'OK ' if ok_s else 'FAIL'} llama engine spec decode on chip: "
+          f"engine={got_s} rounds={spec.stats['spec_rounds']} "
+          f"accepted={spec.stats['spec_accepted']}")
+    return ok and ok_s
 
 
 def main():

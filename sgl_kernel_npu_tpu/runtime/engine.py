@@ -141,7 +141,8 @@ class Engine:
 
     def __init__(self, adapter: ModelAdapter, num_pages: int, *,
                  max_batch: int = 8, max_pages_per_req: int = 16,
-                 prefill_chunk: int = 64):
+                 prefill_chunk: int = 64, mixed: bool = True,
+                 spec_k: int = 0, draft_adapter: ModelAdapter | None = None):
         self.a = adapter
         self.page = adapter.page_size
         self.cm = RadixCacheManager(num_pages, self.page)
@@ -150,14 +151,37 @@ class Engine:
         self.max_batch = max_batch
         self.max_pages_per_req = max_pages_per_req
         self.prefill_chunk = prefill_chunk
+        self.mixed = mixed
         self.waiting: deque[_Request] = deque()
         self.running: list[_Request] = []
         self.finished: dict[int, list[int]] = {}
-        self.stats = {"prefill_tokens": 0, "decode_steps": 0, "cached_tokens": 0}
+        self.stats = {"prefill_tokens": 0, "decode_steps": 0, "cached_tokens": 0,
+                      "spec_rounds": 0, "spec_accepted": 0}
         self._next_rid = 0
         # caches are donated: the engine's KV pool updates in place
         self._jit_prefill = jax.jit(self._prefill_call, donate_argnums=(2,))
         self._jit_decode = jax.jit(self._decode_call, donate_argnums=(2,))
+        # --- speculative decoding (EAGLE-chain style; paged-KV adapters) ---
+        # The draft model shares the target's page geometry, so one block table
+        # and slot mapping drive both KV pools.  Rejected tokens need no
+        # rollback: their stale cache rows sit beyond every later context
+        # length until the position is re-written (reference csrc/build_tree +
+        # sample/verify_tree_greedy.py supply only the ops; the loop is ours).
+        self.spec_k = spec_k
+        self.draft = draft_adapter
+        if draft_adapter is not None:
+            if spec_k <= 0:
+                raise ValueError("spec_k must be > 0 with a draft_adapter")
+            if draft_adapter.page_size != adapter.page_size:
+                raise ValueError("draft/target page_size mismatch")
+            self.draft_caches = draft_adapter.init_cache(num_pages, max_batch + 1)
+            self._jit_draft_prefill = jax.jit(
+                self._draft_prefill_call, donate_argnums=(2,))
+            self._jit_draft_decode = jax.jit(
+                self._draft_decode_call, donate_argnums=(2,))
+            self._jit_verify = jax.jit(self._verify_call, donate_argnums=(2,))
+            from sgl_kernel_npu_tpu.ops import speculative as _sp
+            self._jit_verify_tree = jax.jit(_sp.verify_tree_greedy)
 
     # ---------------- public API ----------------
 
@@ -175,12 +199,24 @@ class Engine:
         return [self.finished[r] for r in rids]
 
     def step(self) -> None:
+        """One scheduling tick.
+
+        ``mixed=True`` (default) interleaves: every step advances ALL
+        decode-phase requests by one token AND prefills one chunk of one
+        prompt — decoding requests never stall behind a long admission
+        (chunked-prefill mixed batching; the two jitted calls pipeline on
+        device via donated-cache dataflow).  ``mixed=False`` restores
+        prefill-priority serial scheduling."""
         self._admit()
+        dec = [r for r in self.running if r.pos >= r.prompt_len]
         pre = [r for r in self.running if r.pos < r.prompt_len]
+        if dec and (self.mixed or not pre):
+            if self.draft is not None:
+                self._spec_decode(dec)
+            else:
+                self._decode(dec)
         if pre:
             self._prefill(pre[0])
-        elif self.running:
-            self._decode()
         self._retire()
 
     # ---------------- internals ----------------
@@ -222,6 +258,30 @@ class Engine:
                                        lora_idx)
         return jnp.argmax(self.a.lm_head(h), -1), caches
 
+    def _draft_prefill_call(self, ids, seq_len, caches, bt, ctx, slots,
+                            state_idx, lora_idx):
+        x = self.draft.embed(ids)
+        _, caches = self.draft.prefill_step(
+            x, seq_len[None], caches, bt[None], ctx[None], slots, state_idx,
+            lora_idx)
+        return caches
+
+    def _draft_decode_call(self, ids, pos, caches, bt, ctx, slots, state_idx,
+                           lora_idx):
+        x = self.draft.embed(ids)
+        h, caches = self.draft.decode_step(x, pos, caches, bt, ctx, slots,
+                                           state_idx, lora_idx)
+        return jnp.argmax(self.draft.lm_head(h), -1).astype(jnp.int32), caches
+
+    def _verify_call(self, ids, seq_lens, caches, bt, ctx, slots, state_idx,
+                     lora_idx):
+        """Score all requests' [root]+drafts rows in ONE packed varlen prefill
+        (a chain tree's attention mask IS the causal mask)."""
+        x = self.a.embed(ids)
+        h, caches = self.a.prefill_step(x, seq_lens, caches, bt, ctx, slots,
+                                        state_idx, lora_idx)
+        return jnp.argmax(self.a.lm_head(h), -1).astype(jnp.int32), caches
+
     def _prefill(self, r: _Request) -> None:
         chunk = min(self.prefill_chunk, r.prompt_len - r.pos)
         self._ensure_pages(r, r.pos + chunk)
@@ -238,6 +298,13 @@ class Engine:
             jnp.asarray(bt), jnp.int32(r.pos + chunk), jnp.asarray(slots),
             jnp.asarray([r.state_slot], jnp.int32),
             jnp.full((s,), r.lora_id, jnp.int32))
+        if self.draft is not None:
+            # mirror the chunk into the draft model's KV pool (same pages)
+            self.draft_caches = self._jit_draft_prefill(
+                jnp.asarray(ids), jnp.int32(chunk), self.draft_caches,
+                jnp.asarray(bt), jnp.int32(r.pos + chunk), jnp.asarray(slots),
+                jnp.asarray([r.state_slot], jnp.int32),
+                jnp.full((s,), r.lora_id, jnp.int32))
         r.pos += chunk
         self.stats["prefill_tokens"] += chunk
         if r.pos == r.prompt_len:
@@ -262,9 +329,8 @@ class Engine:
         r.inserted_span = span
         r.admit_matched = 0
 
-    def _decode(self) -> None:
+    def _decode(self, live: list[_Request]) -> None:
         b = self.max_batch                             # static batch width
-        live = self.running
         ids = np.zeros((b,), np.int32)
         pos = np.zeros((b,), np.int32)
         ctx = np.ones((b,), np.int32)
@@ -291,6 +357,101 @@ class Engine:
             r.out_tokens.append(int(toks[i]))
             if len(r.out_tokens) >= r.max_new_tokens:
                 r.done = True
+        self.stats["decode_steps"] += 1
+
+    def _spec_decode(self, live: list[_Request]) -> None:
+        """One speculative round: k chained draft tokens per request (batched
+        draft decode steps), then ONE packed varlen verify on the target, then
+        greedy tree acceptance — emits 1..k+1 tokens per request.
+
+        Position bookkeeping (L = tokens known for a request): the draft chain
+        feeds tokens at positions L-1..L+k-2 (writing draft KV as it goes); the
+        verify rows are [last_token, d1..dk] at positions L-1..L+k-1.  After
+        accepting n drafts + the bonus token, both pools are KV-correct through
+        position L+n-1 and the next round starts exactly there — rejected
+        tokens' stale rows are never read (masked by context length) and are
+        overwritten when their position is reached again."""
+        b, k = self.max_batch, self.spec_k
+        n = len(live)
+        Ls = np.zeros((n,), np.int64)
+        bt = np.zeros((b, self.max_pages_per_req), np.int32)
+        for i, r in enumerate(live):
+            Ls[i] = r.prompt_len + len(r.out_tokens)
+            self._ensure_pages(r, int(Ls[i]) + k)
+            bt[i, : len(r.pages)] = r.pages
+        bt_j = jnp.asarray(bt)
+        lora = np.zeros((b,), np.int32)
+        for i, r in enumerate(live):
+            lora[i] = r.lora_id
+        # --- draft chain: k batched decode steps ---
+        cur = np.zeros((b,), np.int32)
+        for i, r in enumerate(live):
+            cur[i] = r.token_at(int(Ls[i]) - 1)
+        drafts = np.zeros((n, k), np.int32)
+        # k+1 steps: the extra one feeds d_k so draft KV covers position
+        # L+k-1 — needed when ALL k drafts are accepted (no gap next round)
+        for j in range(k + 1):
+            pos = np.zeros((b,), np.int32)
+            ctx = np.ones((b,), np.int32)
+            slots = np.full((b,), -1, np.int32)
+            state_idx = np.full((b,), -1, np.int32)
+            for i, r in enumerate(live):
+                p = int(Ls[i]) - 1 + j
+                pos[i], ctx[i], slots[i] = p, p + 1, self._slot(r, p)
+                state_idx[i] = r.state_slot
+            toks, self.draft_caches = self._jit_draft_decode(
+                jnp.asarray(cur), jnp.asarray(pos), self.draft_caches, bt_j,
+                jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
+                jnp.asarray(lora))
+            cur = np.asarray(toks)
+            if j < k:
+                drafts[:, j] = cur[:n]
+        # --- one packed varlen verify on the target ---
+        d = k + 1
+        ids = np.zeros((b * d,), np.int32)
+        seq_lens = np.zeros((b,), np.int32)
+        ctx = np.ones((b,), np.int32)
+        slots = np.full((b * d,), -1, np.int32)
+        cand = np.zeros((b, d), np.int32)
+        for i, r in enumerate(live):
+            cand[i, 0] = r.token_at(int(Ls[i]) - 1)
+            cand[i, 1:] = drafts[i]
+            ids[i * d : (i + 1) * d] = cand[i]
+            seq_lens[i] = d
+            ctx[i] = int(Ls[i]) + k
+            for j in range(d):
+                slots[i * d + j] = self._slot(r, int(Ls[i]) - 1 + j)
+        state_idx = np.full((b,), -1, np.int32)
+        target, self.caches = self._jit_verify(
+            jnp.asarray(ids), jnp.asarray(seq_lens), self.caches, bt_j,
+            jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
+            jnp.asarray(np.repeat(lora, d)))
+        target = np.asarray(target).reshape(b, d)
+        # --- greedy chain-tree acceptance (the verify_tree_greedy op) ---
+        ridx = np.tile(np.arange(d, dtype=np.int32), (b, 1)) + (
+            np.arange(b, dtype=np.int32)[:, None] * d)
+        nt = np.tile(np.asarray([*range(1, d), -1], np.int32), (b, 1))
+        ns = np.full((b, d), -1, np.int32)
+        cand_b = np.zeros((b, d), np.int32)
+        cand_b[:n] = cand[:n]
+        predicts, accept_index, accept_num = self._jit_verify_tree(
+            jnp.asarray(cand_b), jnp.asarray(ridx), jnp.asarray(nt),
+            jnp.asarray(ns), jnp.asarray(target))
+        predicts = np.asarray(predicts)
+        accept_index = np.asarray(accept_index)
+        accept_num = np.asarray(accept_num)
+        for i, r in enumerate(live):
+            n_acc = int(accept_num[i])
+            new = [int(cand[i, int(accept_index[i, t]) - i * d])
+                   for t in range(1, n_acc + 1)]
+            new.append(int(predicts[int(accept_index[i, n_acc])]))  # bonus
+            for t in new:
+                if len(r.out_tokens) < r.max_new_tokens:
+                    r.out_tokens.append(t)
+            if len(r.out_tokens) >= r.max_new_tokens:
+                r.done = True
+            self.stats["spec_accepted"] += n_acc
+        self.stats["spec_rounds"] += 1
         self.stats["decode_steps"] += 1
 
     def _retire(self) -> None:

@@ -94,6 +94,34 @@ def test_identical_inflight_prompts(setup):
     assert eng.cm.free_pages + eng.cm.cached_pages == 64
 
 
+def test_mixed_prefill_decode_scheduling(setup):
+    """A request admitted mid-decode must not stall the decoding one, and
+    interleaved (mixed) scheduling must produce identical tokens."""
+    cfg, params = setup
+    p1 = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
+    p2 = [40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51]
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=4)
+    r1 = eng.add_request(p1, 8)
+    # drive r1 through prefill (3 chunks of 4) into decode
+    while not eng.finished.get(r1) and len(
+            [r for r in eng.running if r.pos >= r.prompt_len]) == 0:
+        eng.step()
+    decoded_before = len(eng.running[0].out_tokens)
+    r2 = eng.add_request(p2, 5)
+    # one mixed step: r2 prefills its first chunk AND r1 decodes a token
+    eng.step()
+    r1_req = next(r for r in eng.running if r.rid == r1)
+    r2_req = next(r for r in eng.running if r.rid == r2)
+    assert len(r1_req.out_tokens) == decoded_before + 1
+    assert 0 < r2_req.pos < r2_req.prompt_len
+    while eng.waiting or eng.running:
+        eng.step()
+    assert eng.finished[r1] == reference_generate(cfg, params, p1, 8)
+    assert eng.finished[r2] == reference_generate(cfg, params, p2, 5)
+    assert eng.cm.free_pages + eng.cm.cached_pages == 64
+
+
 def test_pages_released_on_finish(setup):
     cfg, params = setup
     eng = Engine(llama_adapter(cfg, params), num_pages=64,

@@ -103,6 +103,49 @@ def test_perfect_drafts_all_accepted(setup):
     assert [t0] + got == greedy[: k + 2]
 
 
+def test_engine_spec_decode_oracle_draft(setup):
+    """Engine spec mode with draft == target: every round accepts all k drafts,
+    output identical to the non-speculative engine, far fewer target steps."""
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+
+    cfg, params = setup
+    prompt = [5, 9, 2, 33, 17, 4, 8, 21]
+    n_new = 9
+    plain = Engine(llama_adapter(cfg, params), num_pages=64,
+                   max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    want = plain.run([prompt], n_new)[0]
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8,
+                 spec_k=3, draft_adapter=llama_adapter(cfg, params))
+    got = eng.run([prompt], n_new)[0]
+    assert got == want
+    assert eng.stats["spec_rounds"] > 0
+    # oracle drafts: k accepted per round → rounds ≈ n_new/(k+1), not n_new
+    assert eng.stats["spec_rounds"] <= -(-n_new // 4) + 1
+    assert eng.stats["spec_accepted"] >= 3 * (eng.stats["spec_rounds"] - 1)
+
+
+def test_engine_spec_decode_weak_draft_still_greedy(setup):
+    """A draft with DIFFERENT weights must not change the emitted tokens:
+    acceptance only shortcuts positions where draft argmax == target argmax."""
+    from sgl_kernel_npu_tpu.models import llama as m
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+
+    cfg, params = setup
+    draft_params = m.init_weights(jax.random.key(99), cfg)
+    p1 = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
+    p2 = [40, 41, 42, 43, 44]
+    plain = Engine(llama_adapter(cfg, params), num_pages=64,
+                   max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    want = plain.run([p1, p2], 7)
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8,
+                 spec_k=2, draft_adapter=llama_adapter(cfg, draft_params))
+    got = eng.run([p1, p2], 7)
+    assert got == want
+    assert eng.cm.free_pages + eng.cm.cached_pages == 64
+
+
 def test_rejected_draft_falls_back_to_greedy(setup):
     """A corrupted draft stops acceptance; the bonus token is the greedy one."""
     cfg, params = setup
