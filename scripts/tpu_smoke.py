@@ -172,6 +172,23 @@ def main():
                 qv.astype(jnp.float32) * qs[:, None],
                 q_ref * s_ref[:, None], 1e-3)
 
+    # differentiable MLA flash attention (train path): fwd + custom_vjp bwd
+    from sgl_kernel_npu_tpu.ops.attention import mla_train as mt
+
+    b_, s_, h_, dl_, dr_ = 1, 256, 16, 512, 64
+    mk = lambda *sh: jnp.asarray(rng.standard_normal(sh) * 0.3, jnp.bfloat16)
+    ql, qp2, kl, kp2 = mk(b_, s_, h_, dl_), mk(b_, s_, h_, dr_), mk(b_, s_, dl_), mk(b_, s_, dr_)
+    ok &= check("mla_flash_train_fwd",
+                mt.mla_flash_train(ql, qp2, kl, kp2, 0.042),
+                mt.mla_train_ref(ql, qp2, kl, kp2, 0.042), 3e-2)
+    loss_k = lambda *a: jnp.sum(jnp.sin(mt.mla_flash_train(*a, 0.042).astype(jnp.float32)))
+    loss_r = lambda *a: jnp.sum(jnp.sin(mt.mla_train_ref(*a, 0.042).astype(jnp.float32)))
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(ql, qp2, kl, kp2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(ql, qp2, kl, kp2)
+    for nm, a, b2 in zip(("dq_lat", "dq_pe", "dk_lat", "dk_pe"), gk, gr):
+        ok &= check(f"mla_flash_train_{nm}", a.astype(jnp.float32),
+                    b2.astype(jnp.float32), tol=5e-2)
+
     print("ALL OK" if ok else "SOME FAILED")
     return 0 if ok else 1
 

@@ -276,8 +276,12 @@ def quantize_moe_weights(cfg: DeepSeekV3Config, params: dict, tn: int | None = N
 # training: differentiable forward with dp × ep sharding
 # ---------------------------------------------------------------------------
 
-def _train_attention(cfg, lw, x, cos, sin):
-    """Dense causal MLA attention over the whole (short) sequence, [B,S,H]."""
+def _train_attention(cfg, lw, x, cos, sin, *, flash=False):
+    """Dense causal MLA attention over the whole sequence, [B,S,H].
+
+    ``flash=True`` routes through the Pallas flash kernel + hand-written
+    backward (ops/attention/mla_train.mla_flash_train) — O(S) memory both
+    ways instead of the [B,H,S,S] score matrix."""
     b, s, h = x.shape
     flat = x.reshape(b * s, h)
     q_lat, qpe, k_lat, kpe = _mla_qkv(cfg, lw, flat, cos, sin)
@@ -285,13 +289,18 @@ def _train_attention(cfg, lw, x, cos, sin):
     qpe = qpe.reshape(b, s, cfg.num_heads, -1)
     k_lat = k_lat.reshape(b, s, -1)
     kpe = kpe.reshape(b, s, -1)
-    scores = jnp.einsum("bqhl,bkl->bhqk", q_lat, k_lat)
-    scores += jnp.einsum("bqhr,bkr->bhqk", qpe, kpe)
-    scores *= cfg.sm_scale
-    causal = jnp.tril(jnp.ones((s, s), bool))
-    scores = jnp.where(causal[None, None], scores, -1e30)
-    p = jax.nn.softmax(scores, axis=-1)
-    attn = jnp.einsum("bhqk,bkl->bqhl", p, k_lat)
+    if flash:
+        from sgl_kernel_npu_tpu.ops.attention.mla_train import mla_flash_train
+
+        attn = mla_flash_train(q_lat, qpe, k_lat, kpe, cfg.sm_scale)
+    else:
+        scores = jnp.einsum("bqhl,bkl->bhqk", q_lat, k_lat)
+        scores += jnp.einsum("bqhr,bkr->bhqk", qpe, kpe)
+        scores *= cfg.sm_scale
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        scores = jnp.where(causal[None, None], scores, -1e30)
+        p = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhqk,bkl->bqhl", p, k_lat)
     return _mla_output(cfg, lw, attn.reshape(b * s, cfg.num_heads, -1)).reshape(b, s, h)
 
 
@@ -336,15 +345,17 @@ def _ep_moe_train(cfg, lw, x_flat, topk_idx, topk_w, *, mesh, ep_axis="ep", dp_a
     )(x_flat, topk_idx, topk_w, lw["w_gate"], lw["w_up"], lw["w_down"])
 
 
-def train_forward(cfg: DeepSeekV3Config, params: dict, tokens: jax.Array, *, mesh: Mesh | None):
-    """Causal LM loss; tokens [B, S].  mesh=None → single device (no EP)."""
+def train_forward(cfg: DeepSeekV3Config, params: dict, tokens: jax.Array, *,
+                  mesh: Mesh | None, flash: bool = False):
+    """Causal LM loss; tokens [B, S].  mesh=None → single device (no EP).
+    ``flash``: Pallas flash attention + custom_vjp (O(S) memory)."""
     b, s = tokens.shape
     x = params["embed"][tokens]
     cos, sin = rope_cos_sin(jnp.arange(s), cfg.qk_rope_dim)
     cos = jnp.tile(cos, (b, 1))
     sin = jnp.tile(sin, (b, 1))
     for lw in params["layers"]:
-        x = x + _train_attention(cfg, lw, x, cos, sin)
+        x = x + _train_attention(cfg, lw, x, cos, sin, flash=flash)
         h2 = rms_norm_ref(x.reshape(b * s, -1), lw["ln2"])
         topk_idx, topk_w = _router(cfg, lw, h2)
         if mesh is not None:
@@ -361,11 +372,12 @@ def train_forward(cfg: DeepSeekV3Config, params: dict, tokens: jax.Array, *, mes
     return jnp.sum(nll * mask) / jnp.sum(mask)
 
 
-def make_train_step(cfg: DeepSeekV3Config, mesh: Mesh | None, lr: float = 1e-3):
+def make_train_step(cfg: DeepSeekV3Config, mesh: Mesh | None, lr: float = 1e-3,
+                    flash: bool = False):
     """SGD training step; shardings: batch dp×ep, experts ep, dense replicated."""
 
     def step(params, tokens):
-        loss, grads = jax.value_and_grad(functools.partial(train_forward, cfg, mesh=mesh))(
+        loss, grads = jax.value_and_grad(functools.partial(train_forward, cfg, mesh=mesh, flash=flash))(
             params, tokens
         )
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)

@@ -427,8 +427,13 @@ class Buffer:
         *,
         gmm_tiles: tuple[int, int, int] | None = None,
         pack_tn: int | None = None,
+        chunks: int = 1,
     ):
         """Fused dispatch→GMM1→SwiGLU→requant→GMM2→combine (reference buffer.py:852).
+
+        ``chunks > 1`` pipelines independent token slices so each slice's
+        all_to_all overlaps the previous slice's GEMMs (comm/compute overlap,
+        see fused_moe.fused_deep_moe_rank).
 
         Weights are global arrays sharded on the expert dim: ``w1 [E, H, 2I]`` int8
         packed (see parallel/fused_moe.py), ``w2 [E, I, H]`` int8, scales float32.
@@ -457,6 +462,7 @@ class Buffer:
                 seg_capacity=seg,
                 gmm_tiles=gmm_tiles,
                 pack_tn=pack_tn,
+                chunks=chunks,
             )
             return combined, gs[None], dropped[None]
 

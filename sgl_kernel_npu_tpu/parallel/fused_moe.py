@@ -47,6 +47,7 @@ def fused_deep_moe_rank(
     seg_capacity: int,
     gmm_tiles: tuple[int, int, int] | None = None,
     pack_tn: int | None = None,
+    chunks: int = 1,
 ):
     """Per-rank fused MoE body (run inside shard_map).
 
@@ -54,8 +55,41 @@ def fused_deep_moe_rank(
     ``pack_gmm1_weights`` — the gate/up column-block layout is tied to it, so
     GMM1 always tiles N at ``pack_tn`` regardless of the auto-selector.
 
+    ``chunks > 1`` splits the token batch into independent slices whose
+    dispatch all_to_alls carry no data dependence on each other's GEMMs —
+    XLA's latency-hiding scheduler then overlaps chunk ``c+1``'s collective
+    with chunk ``c``'s GMM pipeline.  This is the TPU equivalent of the
+    reference's callback-preload comm/compute overlap (CATLASS
+    ``MmadAtlasA2PreloadAsyncWithCallback``, fused_deep_moe.h:60-120) without
+    a monolithic kernel.  Capacities are divided per chunk, so extreme
+    routing skew *between* chunks can drop tokens the unchunked path would
+    keep — size capacities for the per-chunk worst case when using this.
+
     Returns ``(combined [T, H] bf16, recv_count [E_local], num_dropped [])``.
     """
+    if chunks > 1:
+        t = x.shape[0]
+        if t % chunks:
+            raise ValueError(f"token count {t} not divisible by chunks={chunks}")
+        tc = t // chunks
+        outs, counts, drops = [], [], []
+        for c in range(chunks):
+            sl = slice(c * tc, (c + 1) * tc)
+            o, gs, nd = fused_deep_moe_rank(
+                x[sl], topk_idx[sl], topk_weights[sl],
+                w1, w1_scale, w2, w2_scale,
+                axis_name=axis_name, num_experts=num_experts,
+                num_ranks=num_ranks,
+                pair_capacity=-(-pair_capacity // chunks),
+                seg_capacity=-(-seg_capacity // chunks),
+                gmm_tiles=gmm_tiles, pack_tn=pack_tn, chunks=1,
+            )
+            outs.append(o)
+            counts.append(gs)
+            drops.append(nd)
+        return (jnp.concatenate(outs, axis=0),
+                sum(counts[1:], counts[0]),
+                sum(drops[1:], drops[0]))
     t, hidden = x.shape
     e_local = num_experts // num_ranks
     if gmm_tiles is None:

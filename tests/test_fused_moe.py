@@ -91,6 +91,32 @@ def test_model_decode_with_ep_buffer(mesh8, rng):
     assert rel < 0.05, rel  # int8 MoE vs fp32 dense budget
 
 
+def test_fused_deep_moe_chunk_pipelined_matches(mesh8, rng):
+    """chunks=2 (comm/compute-overlap pipeline) must reproduce chunks=1
+    bit-for-bit when capacities are ample (no chunk-skew drops)."""
+    n = 8 * T
+    x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(E, K, replace=False) for _ in range(n)]), jnp.int32
+    )
+    w = jnp.asarray(rng.random((n, K)), jnp.float32)
+    wg = (rng.standard_normal((E, H, I)) * 0.05).astype(np.float32)
+    wu = (rng.standard_normal((E, H, I)) * 0.05).astype(np.float32)
+    wd = (rng.standard_normal((E, I, H)) * 0.05).astype(np.float32)
+    w1, s1, w2, s2 = quantize_expert_weights(
+        jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd), tn=TN)
+    buf = Buffer(mesh8, "ep", num_experts=E, config=EPConfig(
+        num_max_dispatch_tokens_per_rank=T))
+    base, count0, drop0 = buf.fused_deep_moe(
+        x, idx, w, w1, s1, w2, s2, gmm_tiles=(64, 128, TN), pack_tn=TN)
+    piped, count1, drop1 = buf.fused_deep_moe(
+        x, idx, w, w1, s1, w2, s2, gmm_tiles=(64, 128, TN), pack_tn=TN, chunks=2)
+    assert int(np.asarray(drop0).sum()) == 0 and int(np.asarray(drop1).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(count0), np.asarray(count1))
+    np.testing.assert_allclose(
+        np.asarray(piped, np.float32), np.asarray(base, np.float32), atol=1e-5)
+
+
 def test_fused_deep_moe_default_pack_quant_epilogue(mesh8, rng):
     """Default packing → full-width tn → single GmmDeqSwigluQuant-style kernel."""
     from sgl_kernel_npu_tpu.ops.grouped_matmul import moe_pack_tn
