@@ -1,0 +1,203 @@
+"""Full DeepSeek-V3 decode LAYER step on one chip — the flagship composite.
+
+Per-rank production shapes (DeepSeek-V3 at TP8×EP32-equivalent slice): batch
+128 decode tokens, hidden 7168, 16 local q-heads (128/TP8), latent 512 + rope
+64, seq 1024 paged KV, 8 local experts (256/EP32), top-8 routing, W8A8 MoE
+(GMM1 fused dequant+SwiGLU+requant → GMM2 dequant), MLA preprocess prologue.
+
+One jitted function = one decode layer; comm excluded (one chip — the EP
+all-to-all cost is measured separately, PERF.md §window a2a).  Scan-marginal
+timing (bench.py method).
+
+All big arrays are generated ON DEVICE (jax.random) — host-generated numpy
+would push ~560 MB through the axon tunnel at ~1 MB/s.
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import _bench_scanned
+from sgl_kernel_npu_tpu.ops import grouped_matmul as gm
+from sgl_kernel_npu_tpu.ops.attention import mla_preprocess as mp
+from sgl_kernel_npu_tpu.ops.attention.decode_attention import decode_mla
+from sgl_kernel_npu_tpu.ops.rope import rope_cos_sin
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "full"   # full | noattn | nomoe
+    t0 = time.time()
+    b, hidden, heads = 128, 7168, 16
+    lat, rope = 512, 64
+    e_local, topk, inter = 8, 8, 2048
+    seq, page = 1024, 128
+    max_pages = seq // page
+    n_pages = b * max_pages + 1
+
+    keys = iter(list(jax.random.split(jax.random.key(0), 40)))
+
+    @jax.jit
+    def make_all():
+        ki = lambda *s: jax.random.randint(next(keys), s, -100, 100, jnp.int8)
+        kf = lambda *s, sc=0.05: jax.random.normal(next(keys), s, jnp.float32) * sc
+
+        w = mp.MlaPreprocessWeights(
+            gamma1=kf(hidden) + 1, beta1=kf(hidden), qscale1=jnp.float32(0.01),
+            qoffset1=jnp.float32(0), wdqkv=ki(lat + rope + 1536, hidden),
+            descale1=kf(lat + rope + 1536) / 50,
+            bias1=jnp.zeros((lat + rope + 1536,), jnp.int32),
+            gamma2=kf(1536) + 1, beta2=kf(1536), qscale2=jnp.float32(0.01),
+            qoffset2=jnp.float32(0), wuq=ki(heads * 192, 1536),
+            descale2=kf(heads * 192) / 50, bias2=jnp.zeros((heads * 192,), jnp.int32),
+            gamma3=kf(lat) + 1,
+            wuk=jax.random.normal(next(keys), (heads, 128, lat), jnp.bfloat16) * 0.05,
+        )
+        kv_nope = jax.random.normal(next(keys), (n_pages, 1, page, lat), jnp.bfloat16) * 0.5
+        kv_rope = jax.random.normal(next(keys), (n_pages, 1, rope, page), jnp.bfloat16) * 0.5
+
+        # MoE weights (per-rank slice): GMM1 K=hidden → 2*inter, GMM2 K=inter → hidden
+        wg = kf(e_local, hidden, inter, sc=0.02)
+        wu = kf(e_local, hidden, inter, sc=0.02)
+        sg = jnp.abs(wg).max(axis=1) / 127.0
+        su = jnp.abs(wu).max(axis=1) / 127.0
+        wgq = jnp.clip(jnp.round(wg / sg[:, None, :]), -128, 127).astype(jnp.int8)
+        wuq = jnp.clip(jnp.round(wu / su[:, None, :]), -128, 127).astype(jnp.int8)
+        n_full = 2 * inter
+        w1 = gm.pack_gmm1_weights(wgq, wuq, n_full)
+        s1 = gm.pack_gmm1_scales(sg, su, n_full)
+        w2 = ki(e_local, inter, hidden)
+        s2 = kf(e_local, hidden, sc=0.0005)
+        router = kf(hidden, e_local, sc=0.02)
+        wo = jax.random.normal(next(keys), (heads * 128, hidden), jnp.bfloat16) * 0.01
+        wvu = jax.random.normal(next(keys), (heads, lat, 128), jnp.bfloat16) * 0.04
+        return w, kv_nope, kv_rope, w1, s1, w2, s2, router, wo, wvu
+
+    operands = make_all()
+    jax.block_until_ready(operands)
+    w = operands[0]
+    print(f"[{time.time()-t0:6.1f}s] weights generated on device", flush=True)
+
+    rng = np.random.default_rng(0)
+    bt = jnp.asarray(
+        rng.permutation(n_pages - 1)[: b * max_pages].reshape(b, max_pages) + 1, jnp.int32)
+    seq_lens = jnp.full((b,), seq, jnp.int32)
+    slots = jnp.asarray((np.asarray(bt)[:, -1]) * page + 5, jnp.int32)
+    pos = jnp.asarray(rng.integers(0, seq, b), jnp.int32)
+    cos_sin = rope_cos_sin(pos, rope)
+    rows = b * topk
+
+    # all big arrays ride as jit operands: closure captures embed as MLIR
+    # constants and the remote-compile endpoint rejects them above ~100 MB
+    def layer(h_in, w, kvn, kvr, w1, s1, w2, s2, router, wo, wvu):
+        if mode == "noattn":
+            x = h_in.astype(jnp.float32)
+        else:
+            # 1. fused MLA prologue (writes paged cache, makes absorbed q)
+            q_nope, q_pe, kvn, kvr = mp.mla_preprocess(
+                h_in, w, cos_sin, kvn, kvr, slots)
+            q = jnp.concatenate(
+                [q_nope.astype(jnp.bfloat16), q_pe.astype(jnp.bfloat16)], -1)
+            # 2. paged MLA decode attention (flat DMA pipeline)
+            attn = decode_mla(q, kvn, kvr, seq_lens, 0.042, bt)
+            # 3. V up-proj + output proj
+            o = jnp.einsum("nhl,hlv->nhv", attn.astype(jnp.float32),
+                           wvu.astype(jnp.float32))
+            x = h_in.astype(jnp.float32) + o.reshape(b, -1) @ wo.astype(jnp.float32)
+        if mode == "nomoe":
+            return x.astype(h_in.dtype), kvn, kvr
+        # 4. quantize per TOKEN (b rows), then route int8 rows — quantizing
+        # after the topk-repeat would run the quant passes and the sort
+        # gather on 8x the rows in f32 (4x the bytes of int8)
+        sx_tok = jnp.maximum(jnp.abs(x).max(-1) / 127.0, 1e-12)
+        xq_tok = jnp.clip(jnp.round(x / sx_tok[:, None]), -128, 127).astype(jnp.int8)
+        logits = x @ router
+        topw, topi = jax.lax.top_k(logits, topk)
+        topw = jax.nn.softmax(topw, axis=-1)
+        flat_e = topi.reshape(-1)
+        # counting sort instead of argsort: with E_local=8 distinct keys a
+        # one-hot cumsum ranks every row in O(rows·E) vector ops — TPU sorts
+        # are ~50-stage bitonic networks and dominate the MoE glue otherwise
+        oh = (flat_e[:, None] == jnp.arange(e_local)[None, :]).astype(jnp.int32)
+        gsizes = oh.sum(0)
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(gsizes)[:-1]])
+        pos_in_e = jnp.take_along_axis(
+            jnp.cumsum(oh, 0) - 1, flat_e[:, None], 1)[:, 0]
+        dest = offsets[flat_e] + pos_in_e             # pair row → sorted slot
+        src = jnp.zeros((rows,), jnp.int32).at[dest].set(
+            jnp.arange(rows, dtype=jnp.int32))       # sorted slot → pair row
+        tok_of_row = src // topk
+        xq = xq_tok[tok_of_row]                       # int8 gather [rows, H]
+        sx = sx_tok[tok_of_row]
+        # 5. fused W8A8 GMM1 (dequant+SwiGLU+requant) + GMM2
+        if mode == "nogmm":                           # glue-only ablation
+            y = xq.astype(jnp.float32) * sx[:, None]
+        else:
+            h1, hs = gm.grouped_matmul(
+                xq, w1, gsizes, sx, s1, epilogue="dequant_swiglu_quant")
+            y = gm.grouped_matmul(
+                h1, w2, gsizes, hs, s2, epilogue="dequant", out_dtype=jnp.float32)
+        # 6. combine via inverse GATHER + dense k-sum (scatter-add serializes
+        # on TPU; a gather back to (token, k) order then a [b, k, H] reduce is
+        # pure streaming traffic)
+        y_tk = y[dest].reshape(b, topk, hidden)
+        out = (y_tk * topw[..., None]).sum(1)
+        return (x + out).astype(h_in.dtype), kvn, kvr
+
+    h0 = jax.random.normal(jax.random.key(9), (b, hidden), jnp.bfloat16) * 0.5
+    out = jax.jit(layer)(h0, *operands)
+    jax.block_until_ready(out)
+    print(f"[{time.time()-t0:6.1f}s] single-layer compile+run done", flush=True)
+
+    # scan-marginal timing with the KV caches as CARRY: a serving engine
+    # donates its cache (in-place update); leaving the caches as loop
+    # invariants would force XLA to copy all 150 MB every iteration
+    kvn0, kvr0 = operands[1], operands[2]
+    rest = operands[:1] + operands[3:]
+
+    def make(niter):
+        @jax.jit
+        def run(hs, kvn, kvr, rest):
+            def step(carry, h):
+                acc, kn, kr = carry
+                o, kn, kr = layer(h, rest[0], kn, kr, *rest[1:])
+                return (acc + jnp.sum(o.astype(jnp.float32)), kn, kr), None
+
+            (acc, _, _), _ = jax.lax.scan(step, (jnp.float32(0), kvn, kvr), hs)
+            return acc
+        return run
+
+    def timed(niter, hs):
+        run = make(niter)
+        float(run(hs, kvn0, kvr0, rest))
+        times = []
+        for _ in range(10):
+            s0 = time.perf_counter()
+            float(run(hs, kvn0, kvr0, rest))
+            times.append(time.perf_counter() - s0)
+        return min(times)
+
+    n1, n2 = 4, 20
+    hs_small = jax.random.normal(jax.random.key(1), (n1, b, hidden), jnp.bfloat16) * 0.5
+    hs_big = jax.random.normal(jax.random.key(2), (n2, b, hidden), jnp.bfloat16) * 0.5
+    t = max((timed(n2, hs_big) - timed(n1, hs_small)) / (n2 - n1), 1e-9)
+    print(f"[{time.time()-t0:6.1f}s] scan timing done", flush=True)
+    # weight-read floor: all weights once + KV read
+    w1_, w2_, wo_, wvu_ = operands[3], operands[5], operands[8], operands[9]
+    wbytes = (w.wdqkv.size + w.wuq.size + w1_.size + w2_.size
+              + w.wuk.size * 2 + wo_.size * 2 + wvu_.size * 2)
+    kv_bytes = b * seq * (lat + rope) * 2
+    floor = (wbytes + kv_bytes) / 819e9
+    print(f"DeepSeek-V3 decode layer, B={b}: {t*1e6:8.1f} us "
+          f"({b/t/1e3:.0f} ktok/s/chip/layer)")
+    print(f"weight+KV read floor: {floor*1e6:8.1f} us  -> {floor/t*100:.0f}% of floor-speed")
+
+
+if __name__ == "__main__":
+    main()

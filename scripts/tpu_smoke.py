@@ -172,6 +172,24 @@ def main():
                 qv.astype(jnp.float32) * qs[:, None],
                 q_ref * s_ref[:, None], 1e-3)
 
+    # packed two-heads-per-128-lane sinks decode vs golden
+    from sgl_kernel_npu_tpu.ops.attention import sinks_attention as sa2
+
+    sp, hqp, hkvp, dp, pgp, mpp = 8, 16, 4, 64, 16, 4
+    npg = sp * mpp
+    qp_ = jnp.asarray(rng.standard_normal((sp, hqp * dp)) * 0.5, jnp.bfloat16)
+    kp_ = jnp.asarray(rng.standard_normal((npg, hkvp, pgp, dp)) * 0.5, jnp.bfloat16)
+    vp_ = jnp.asarray(rng.standard_normal((npg, hkvp, pgp, dp)) * 0.5, jnp.bfloat16)
+    snk = jnp.asarray(rng.standard_normal(hqp), jnp.float32)
+    btp = jnp.asarray(rng.permutation(npg).reshape(sp, mpp), jnp.int32)
+    ctxp = jnp.asarray(rng.integers(1, mpp * pgp, sp), jnp.int32)
+    ok &= check("attention_sinks_packed",
+                sa2.attention_sinks_packed(
+                    qp_, sa2.pack_kv_sinks(kp_), sa2.pack_kv_sinks(vp_), snk,
+                    btp, ctxp, 0.125, 24, hqp, hkvp),
+                sa2.attention_sinks_ref(
+                    qp_, kp_, vp_, snk, btp, ctxp, 0.125, 24, hqp, hkvp))
+
     # differentiable MLA flash attention (train path): fwd + custom_vjp bwd
     from sgl_kernel_npu_tpu.ops.attention import mla_train as mt
 

@@ -194,6 +194,8 @@ def decode_step(
                 h2.astype(jnp.bfloat16), topk_idx, topk_w, w1, s1, w2, s2
             )
             moe_out = moe_out.astype(x.dtype)
+        elif moe_weights_q is not None:
+            moe_out = _gmm_moe(cfg, moe_weights_q[li], h2, topk_idx, topk_w)
         else:
             moe_out = _dense_moe(cfg, lw, h2, topk_idx, topk_w)
         x = x + moe_out + _shared_expert(lw, h2)
@@ -262,6 +264,43 @@ def _dense_moe(cfg, lw, x, topk_idx, topk_w):
     onehot = jax.nn.one_hot(topk_idx, cfg.num_experts, dtype=x.dtype)  # [N, K, E]
     w = (topk_w[..., None] * onehot).sum(axis=1)          # [N, E]
     return jnp.einsum("ne,neh->nh", w, y)
+
+
+def _gmm_moe(cfg, wq: tuple, x, topk_idx, topk_w):
+    """Single-chip W8A8 grouped MoE (all experts local): per-TOKEN quant →
+    expert-sorted int8 gather → fused GMM1 (dequant+SwiGLU+requant) → GMM2 →
+    weighted scatter-combine.  Quantizing before the top-k repeat runs the
+    quant pass once per token (not per pair) and gathers int8, not f32 —
+    measured 1.5x on the full-layer composite (scripts/bench_layer.py)."""
+    from sgl_kernel_npu_tpu.ops import grouped_matmul as gmod
+
+    w1, s1, w2, s2 = wq
+    n, hidden = x.shape
+    k = topk_idx.shape[1]
+    rows = n * k
+    xf = x.astype(jnp.float32)
+    sx_tok = jnp.maximum(jnp.abs(xf).max(-1) / 127.0, 1e-12)
+    xq_tok = jnp.clip(jnp.round(xf / sx_tok[:, None]), -128, 127).astype(jnp.int8)
+    flat_e = topk_idx.reshape(-1)
+    # counting sort (E distinct keys): TPU argsort is a ~50-stage bitonic
+    # network and dominated the MoE glue (scripts/bench_layer.py ablation)
+    oh = (flat_e[:, None] == jnp.arange(cfg.num_experts)[None, :]).astype(jnp.int32)
+    gsizes = oh.sum(0)
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(gsizes)[:-1]])
+    pos_in_e = jnp.take_along_axis(jnp.cumsum(oh, 0) - 1, flat_e[:, None], 1)[:, 0]
+    dest = offsets[flat_e] + pos_in_e                 # pair row → sorted slot
+    src = jnp.zeros((rows,), jnp.int32).at[dest].set(
+        jnp.arange(rows, dtype=jnp.int32))           # sorted slot → pair row
+    tok_of_row = src // k
+    h1, hs = gmod.grouped_matmul(
+        xq_tok[tok_of_row], w1, gsizes, sx_tok[tok_of_row], s1,
+        epilogue="dequant_swiglu_quant")
+    y = gmod.grouped_matmul(
+        h1, w2, gsizes, hs, s2, epilogue="dequant", out_dtype=jnp.float32)
+    # combine via inverse gather + dense k-sum (scatter-add serializes on TPU)
+    y_tk = y[dest].reshape(n, k, hidden)
+    out = (y_tk * topk_w[..., None].astype(jnp.float32)).sum(1)
+    return out.astype(x.dtype)
 
 
 def quantize_moe_weights(cfg: DeepSeekV3Config, params: dict, tn: int | None = None):

@@ -210,6 +210,172 @@ def attention_sinks(
     return out[:, :, :group].reshape(s, q_head_num * dv)
 
 
+def pack_kv_sinks(cache):
+    """[P, Hkv, pg, d] → [P, Hkv/2, pg, 2d]: two heads share one 128-lane row.
+
+    XLA's HBM layout pads the minor dim to 128 lanes, so a d=64 cache wastes
+    half its HBM footprint AND half its read bandwidth.  Packing head pairs
+    side-by-side restores full-lane reads (see PERF.md, sinks decode)."""
+    p, h, pg, d = cache.shape
+    assert h % 2 == 0, "packed layout needs an even kv-head count"
+    return cache.reshape(p, h // 2, 2, pg, d).swapaxes(2, 3).reshape(
+        p, h // 2, pg, 2 * d)
+
+
+def _sinks_packed_kernel(
+    bt_ref, ctx_ref, q_ref, sink_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+    *, scale, page_size, window, max_pages, hkv2,
+):
+    """Packed twin of :func:`_sinks_kernel`: KV blocks are [hkv/2, page, 2d]
+    (head pair per 128-lane row) and q rows are zero-interleaved — rows
+    [0, gp) carry head 2j in lanes [0, d) (zeros elsewhere), rows [gp, 2gp)
+    carry head 2j+1 in lanes [d, 2d).  One dot then yields both heads' scores
+    (the zero half annihilates the other head), and the PV dot's valid output
+    lanes are [0, d) for the top rows and [d, 2d) for the bottom rows."""
+    i = pl.program_id(0)
+    p = pl.program_id(1)
+    n_pages = pl.num_programs(1)
+    ctx = ctx_ref[i]
+    g2 = q_ref.shape[2]                              # 2 * gp
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    lo = ctx - window if window > 0 else 0
+    lo_page, hi_page = _decode_page_bounds(
+        ctx, window=window, page_size=page_size, max_pages=max_pages)
+    page = jnp.minimum(lo_page + p, hi_page)         # must match the index maps
+    page_start = page * page_size
+    has_work = jnp.logical_and(
+        lo_page + p <= hi_page,
+        (page_start < ctx) & (page_start + page_size > lo),
+    )
+
+    @pl.when(has_work)
+    def _step():
+        for j in range(hkv2):                        # static unroll (half of hkv)
+            rows = pl.ds(j * g2, g2)
+            qk = jax.lax.dot_general(
+                q_ref[0, j], k_ref[0, j], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            pos = page_start + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+            mask = pos < ctx
+            if window > 0:
+                mask &= pos >= lo
+            qk = jnp.where(mask, qk, NEG_INF)
+            m_prev = m_ref[rows, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            probs = jnp.exp(qk - m_new)
+            l_ref[rows, :1] = l_ref[rows, :1] * alpha + jnp.sum(
+                probs, axis=-1, keepdims=True)
+            m_ref[rows, :1] = m_new
+            acc_ref[rows, :] = acc_ref[rows, :] * alpha + jax.lax.dot_general(
+                probs.astype(v_ref.dtype), v_ref[0, j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(p == n_pages - 1)
+    def _finish():
+        for j in range(hkv2):                        # static unroll
+            rows = pl.ds(j * g2, g2)
+            sink = sink_ref[j, 0].astype(jnp.float32)[:, None]
+            m_fin = jnp.maximum(m_ref[rows, :1], sink)
+            l_fin = l_ref[rows, :1] * jnp.exp(m_ref[rows, :1] - m_fin) + jnp.exp(
+                sink - m_fin)
+            o_ref[0, j] = (acc_ref[rows, :] * jnp.exp(m_ref[rows, :1] - m_fin)
+                           / l_fin).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window_size", "q_head_num", "k_head_num", "interpret"),
+)
+def attention_sinks_packed(
+    query, k_packed, v_packed, sinks, block_tables, context_lens, scale,
+    sliding_window_size: int, q_head_num: int, k_head_num: int, *, interpret=None,
+):
+    """Paged sinks decode over the PACKED cache (``pack_kv_sinks`` layout).
+
+    Same semantics as :func:`attention_sinks`, but KV rides 128-lane-full
+    blocks — half the HBM traffic at d=64 (GPT-OSS shapes)."""
+    if interpret is None:
+        interpret = interpret_default()
+    s = query.shape[0]
+    d = query.shape[-1] // q_head_num
+    n_pages, hkv2, page_size, d2 = k_packed.shape
+    assert d2 == 2 * d and 2 * hkv2 == k_head_num
+    dv = v_packed.shape[-1] // 2
+    group = q_head_num // k_head_num
+    group_p = max(8, -(-group // 8) * 8)
+    qg = query.reshape(s, k_head_num, group, d)
+    sk = sinks.reshape(k_head_num, group)
+    if group_p != group:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
+        sk = jnp.pad(sk, ((0, 0), (0, group_p - group)))
+    # zero-interleaved packed queries: [s, hkv/2, 2*gp, 2d]
+    qa, qb = qg[:, 0::2], qg[:, 1::2]
+    q2 = jnp.concatenate([
+        jnp.concatenate([qa, jnp.zeros_like(qa)], -1),
+        jnp.concatenate([jnp.zeros_like(qb), qb], -1),
+    ], axis=2)
+    sk2 = jnp.concatenate([sk[0::2], sk[1::2]], axis=-1)[:, None, :]  # [hkv2,1,2gp]
+    max_pages = block_tables.shape[1]
+    if sliding_window_size > 0:
+        n_pg = min(max_pages, -(-sliding_window_size // page_size) + 1)
+    else:
+        n_pg = max_pages
+
+    def _kv_page(i, p, bt, cl):
+        lo_page, hi_page = _decode_page_bounds(
+            cl[i], window=sliding_window_size, page_size=page_size,
+            max_pages=max_pages)
+        return bt[i, jnp.minimum(lo_page + p, hi_page)]
+
+    g2 = 2 * group_p
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s, n_pg),
+        in_specs=[
+            pl.BlockSpec((1, hkv2, g2, d2), lambda i, p, bt, cl: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hkv2, 1, g2), lambda i, p, bt, cl: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv2, page_size, d2),
+                         lambda i, p, bt, cl: (_kv_page(i, p, bt, cl), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv2, page_size, 2 * dv),
+                         lambda i, p, bt, cl: (_kv_page(i, p, bt, cl), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hkv2, g2, 2 * dv),
+                               lambda i, p, bt, cl: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((hkv2 * g2, 2 * dv), jnp.float32),
+            pltpu.VMEM((hkv2 * g2, 128), jnp.float32),
+            pltpu.VMEM((hkv2 * g2, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_sinks_packed_kernel, scale=scale, page_size=page_size,
+                          window=sliding_window_size, max_pages=max_pages,
+                          hkv2=hkv2),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, hkv2, g2, 2 * dv), query.dtype),
+        interpret=interpret,
+    )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
+      q2, sk2, k_packed, v_packed)
+    # de-interleave: top rows lanes [0,dv) = head 2j, bottom rows [dv,2dv) = 2j+1
+    oa = out[:, :, :group_p, :dv]
+    ob = out[:, :, group_p:, dv:]
+    o = jnp.stack([oa, ob], axis=2).reshape(s, k_head_num, group_p, dv)
+    return o[:, :, :group].reshape(s, q_head_num * dv)
+
+
 def _prefill_page_bounds(seq_len, ctx, qc, *, cq, window, page_size, max_pages):
     """[lo_page, hi_page] of KV pages visible to q-chunk ``qc`` of a request.
 

@@ -91,6 +91,35 @@ def test_model_decode_with_ep_buffer(mesh8, rng):
     assert rel < 0.05, rel  # int8 MoE vs fp32 dense budget
 
 
+def test_model_decode_single_chip_gmm_moe(rng):
+    """decode_step with quantized weights but NO ep_buffer: the single-chip
+    W8A8 grouped path (_gmm_moe) ≈ the fp32 dense path."""
+    import jax
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+
+    cfg = m.DeepSeekV3Config(
+        vocab_size=64, hidden=128, num_layers=1, num_heads=8, kv_lora_rank=128,
+        qk_rope_dim=64, qk_nope_dim=64, q_lora_rank=128, v_head_dim=64,
+        num_experts=16, topk=4, moe_intermediate=128, page_size=16,
+    )
+    params = m.init_weights(jax.random.key(1), cfg)
+    n, max_pages = 16, 2
+    caches = m.init_kv_cache(cfg, n * max_pages + 1, jnp.float32)
+    hidden = jnp.asarray(rng.standard_normal((n, cfg.hidden)) * 0.3, jnp.float32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    bt = jnp.arange(1, 1 + n * max_pages, dtype=jnp.int32).reshape(n, max_pages)
+    sl = jnp.full((n,), 5, jnp.int32)
+    slots = jnp.arange(n, dtype=jnp.int32) * cfg.page_size + 4
+
+    dense_out, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots)
+    moe_q = m.quantize_moe_weights(cfg, params)
+    gmm_out, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots,
+                               moe_weights_q=moe_q)
+    d, g = np.asarray(dense_out), np.asarray(gmm_out)
+    rel = np.abs(d - g).mean() / (np.abs(d).mean() + 1e-9)
+    assert rel < 0.05, rel  # int8 MoE vs fp32 dense budget
+
+
 def test_fused_deep_moe_chunk_pipelined_matches(mesh8, rng):
     """chunks=2 (comm/compute-overlap pipeline) must reproduce chunks=1
     bit-for-bit when capacities are ample (no chunk-skew drops)."""

@@ -26,6 +26,31 @@ def test_attention_sinks_decode(rng, window):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("window", [0, 24])
+def test_attention_sinks_packed_decode(rng, window):
+    """Packed two-heads-per-row kernel == unpacked kernel == golden."""
+    s, hq, hkv, d, dv, page, max_pages = 3, 8, 2, 64, 64, 16, 4
+    q, k, v, sinks, bt = _setup(rng, s, hq, hkv, d, dv, page, max_pages)
+    ctx = jnp.asarray([5, 33, 64], jnp.int32)
+    scale = 1 / np.sqrt(d)
+    got = sa.attention_sinks_packed(
+        q, sa.pack_kv_sinks(k), sa.pack_kv_sinks(v), sinks, bt, ctx, scale,
+        window, hq, hkv)
+    want = sa.attention_sinks_ref(q, k, v, sinks, bt, ctx, scale, window, hq, hkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_pack_kv_roundtrip(rng):
+    """pack_kv_sinks interleaves head pairs into lanes losslessly."""
+    k = jnp.asarray(rng.standard_normal((5, 4, 16, 64)), jnp.float32)
+    p = sa.pack_kv_sinks(k)
+    assert p.shape == (5, 2, 16, 128)
+    np.testing.assert_array_equal(np.asarray(p[:, 0, :, :64]), np.asarray(k[:, 0]))
+    np.testing.assert_array_equal(np.asarray(p[:, 0, :, 64:]), np.asarray(k[:, 1]))
+    np.testing.assert_array_equal(np.asarray(p[:, 1, :, :64]), np.asarray(k[:, 2]))
+    np.testing.assert_array_equal(np.asarray(p[:, 1, :, 64:]), np.asarray(k[:, 3]))
+
+
 def test_sink_matters(rng):
     """Large sink logit must shrink outputs (it eats softmax mass)."""
     s, hq, hkv, d, dv, page, max_pages = 2, 4, 1, 32, 32, 16, 2
