@@ -21,7 +21,9 @@ import jax.numpy as jnp
 from sgl_kernel_npu_tpu.ops.activation import swiglu_oai
 from sgl_kernel_npu_tpu.ops.attention.sinks_attention import (
     attention_sinks,
+    attention_sinks_packed,
     attention_sinks_prefill,
+    attention_sinks_prefill_packed,
     attention_sinks_prefill_pallas,
 )
 from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
@@ -43,6 +45,8 @@ class GptOssConfig:
     rope_theta: float = 10000.0
     alpha: float = 1.702
     limit: float = 7.0
+    packed_kv: bool = False        # two heads per 128-lane KV row (d<128: ~1.5x
+                                   # decode bandwidth; needs even num_kv_heads)
 
 
 def init_weights(key, cfg: GptOssConfig, dtype=jnp.float32) -> dict:
@@ -83,11 +87,24 @@ def lm_head(params: dict, x: jax.Array) -> jax.Array:
 
 
 def init_kv_cache(cfg: GptOssConfig, num_pages: int, dtype=jnp.float32):
-    shape = (num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
+    if cfg.packed_kv:
+        assert cfg.num_kv_heads % 2 == 0
+        shape = (num_pages, cfg.num_kv_heads // 2, cfg.page_size, 2 * cfg.head_dim)
+    else:
+        shape = (num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
     return [
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(cfg.num_layers)
     ]
+
+
+def _cache_rows(cfg: GptOssConfig, kv: jax.Array) -> jax.Array:
+    """Per-token KV rows in the cache layout: packed pairs heads into lanes
+    ([N, hkv, d] → [N, hkv/2, 2d] — the pack_kv_sinks order)."""
+    if cfg.packed_kv:
+        n = kv.shape[0]
+        return kv.reshape(n, cfg.num_kv_heads // 2, 2 * cfg.head_dim)
+    return kv
 
 
 def decode_step(
@@ -114,10 +131,11 @@ def decode_step(
         v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
-        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        k_cache = reshape_and_cache(_cache_rows(cfg, k), k_cache, slot_mapping)
+        v_cache = reshape_and_cache(_cache_rows(cfg, v), v_cache, slot_mapping)
         window = cfg.sliding_window if li % 2 == 0 else 0  # GPT-OSS alternation
-        attn = attention_sinks(
+        attend_d = attention_sinks_packed if cfg.packed_kv else attention_sinks
+        attn = attend_d(
             q.reshape(b, cfg.num_heads * d), k_cache, v_cache, lw["sinks"],
             block_tables, context_lens, scale, window,
             cfg.num_heads, cfg.num_kv_heads,
@@ -155,7 +173,11 @@ def prefill_step(
     j = jnp.arange(s) - (ends[req] - seq_lens[req])
     positions = context_lens[req] - seq_lens[req] + j
     cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
-    attend = attention_sinks_prefill_pallas if use_pallas else attention_sinks_prefill
+    if cfg.packed_kv:
+        assert use_pallas, "packed_kv prefill runs the Pallas kernel"
+        attend = attention_sinks_prefill_packed
+    else:
+        attend = attention_sinks_prefill_pallas if use_pallas else attention_sinks_prefill
     kw = {"max_q": max_q} if use_pallas else {}
     new_caches = []
     scale = 1.0 / math.sqrt(d)
@@ -167,8 +189,8 @@ def prefill_step(
         v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
-        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        k_cache = reshape_and_cache(_cache_rows(cfg, k), k_cache, slot_mapping)
+        v_cache = reshape_and_cache(_cache_rows(cfg, v), v_cache, slot_mapping)
         window = cfg.sliding_window if li % 2 == 0 else 0
         attn = attend(
             q.reshape(s, cfg.num_heads * d), k_cache, v_cache, lw["sinks"],

@@ -376,6 +376,54 @@ def attention_sinks_packed(
     return o[:, :, :group].reshape(s, q_head_num * dv)
 
 
+def _pack_queries(query, hq, hkv, d):
+    """[S, hq·d] → ([S, hkv/2, 2g, 2d] zero-interleaved, helper dims).
+
+    Rows [0, g) carry head 2j in lanes [0, d), rows [g, 2g) carry head 2j+1 in
+    lanes [d, 2d): one dot against a packed KV row then yields both heads'
+    scores (the zero half annihilates the other head)."""
+    s = query.shape[0]
+    g = hq // hkv
+    qg = query.reshape(s, hkv, g, d)
+    qa, qb = qg[:, 0::2], qg[:, 1::2]
+    q2 = jnp.concatenate([
+        jnp.concatenate([qa, jnp.zeros_like(qa)], -1),
+        jnp.concatenate([jnp.zeros_like(qb), qb], -1),
+    ], axis=2)
+    return q2, g
+
+
+def _unpack_outputs(out2, s, hkv, g, dv):
+    """Inverse of the zero-interleave: [S, hkv/2, 2g, 2dv] → [S, hq·dv]."""
+    oa = out2[:, :, :g, :dv]
+    ob = out2[:, :, g:, dv:]
+    return jnp.stack([oa, ob], axis=2).reshape(s, hkv * g * dv)
+
+
+def attention_sinks_prefill_packed(
+    query, k_packed, v_packed, sinks, seq_lens, block_tables, context_lens,
+    scale, sliding_window_size: int, q_head_num: int, k_head_num: int, **kw,
+):
+    """Varlen prefill over the PACKED cache (``pack_kv_sinks`` layout).
+
+    The packed cache IS a GQA problem with ``hkv/2`` kv-heads of dim ``2d``;
+    zero-interleaved queries (group ``2g``) make the existing prefill kernel
+    compute both heads of each pair from one 128-lane-full KV block — no new
+    kernel, half the HBM traffic at d=64."""
+    s = query.shape[0]
+    d = query.shape[-1] // q_head_num
+    hkv2 = k_head_num // 2
+    q2, g = _pack_queries(query, q_head_num, k_head_num, d)
+    if sinks is not None:
+        sk = sinks.reshape(k_head_num, g)
+        sinks = jnp.concatenate([sk[0::2], sk[1::2]], axis=-1).reshape(-1)
+    out2 = attention_sinks_prefill_pallas(
+        q2.reshape(s, -1), k_packed, v_packed, sinks, seq_lens, block_tables,
+        context_lens, scale, sliding_window_size, hkv2 * 2 * g, hkv2, **kw)
+    dv = v_packed.shape[-1] // 2
+    return _unpack_outputs(out2.reshape(s, hkv2, 2 * g, 2 * dv), s, k_head_num, g, dv)
+
+
 def _prefill_page_bounds(seq_len, ctx, qc, *, cq, window, page_size, max_pages):
     """[lo_page, hi_page] of KV pages visible to q-chunk ``qc`` of a request.
 

@@ -106,6 +106,42 @@ def test_prefill_agrees_with_decode_chain(rng):
         np.asarray(cache_pre[0][0]), np.asarray(caches[0][0]), rtol=1e-5, atol=1e-6)
 
 
+def test_packed_kv_matches_unpacked(rng):
+    """packed_kv=True (two heads per 128-lane KV row) reproduces the unpacked
+    model through a prefill + multi-step decode chain."""
+    base = m.GptOssConfig(num_layers=2, num_kv_heads=2, head_dim=32)
+    packed = dataclasses_replace(base, packed_kv=True)
+    params = m.init_weights(jax.random.key(5), base)
+    n, n_dec, max_pages = 6, 3, 2
+    bt = jnp.arange(1, 1 + max_pages, dtype=jnp.int32).reshape(1, max_pages)
+    x = jnp.asarray(rng.standard_normal((n + n_dec, base.hidden)) * 0.5, jnp.float32)
+    slot = lambda t: bt[:, t // base.page_size] * base.page_size + t % base.page_size
+
+    outs = {}
+    for name, cfg in (("unpacked", base), ("packed", packed)):
+        caches = m.init_kv_cache(cfg, max_pages + 1)
+        pre, caches = m.prefill_step(
+            cfg, params, x[:n], jnp.asarray([n], jnp.int32), caches, bt,
+            jnp.asarray([n], jnp.int32),
+            bt[0, jnp.arange(n) // cfg.page_size] * cfg.page_size
+            + jnp.arange(n) % cfg.page_size,
+            max_q=8)
+        ys = [pre]
+        for t in range(n, n + n_dec):
+            y, caches = m.decode_step(
+                cfg, params, x[t][None], jnp.asarray([t], jnp.int32), caches, bt,
+                jnp.asarray([t + 1], jnp.int32), slot(t))
+            ys.append(y)
+        outs[name] = np.concatenate([np.asarray(a) for a in ys], axis=0)
+    np.testing.assert_allclose(outs["packed"], outs["unpacked"], rtol=2e-4, atol=2e-4)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
 def test_two_steps_progress(rng):
     """Two chained decode steps stay finite and the caches advance."""
     cfg = m.GptOssConfig(num_layers=2)

@@ -40,6 +40,31 @@ def test_attention_sinks_packed_decode(rng, window):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("window", [0, 24])
+@pytest.mark.parametrize("use_sinks", [True, False])
+def test_attention_sinks_prefill_packed(rng, window, use_sinks):
+    """Packed prefill wrapper (virtual-GQA reuse of the kernel) == golden."""
+    hq, hkv, d, dv, page, max_pages = 8, 4, 32, 32, 16, 4
+    bsz = 3
+    n_pages = bsz * max_pages
+    k = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n_pages, hkv, page, dv)) * 0.5, jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(hq), jnp.float32) if use_sinks else None
+    bt = jnp.asarray(rng.permutation(n_pages).reshape(bsz, max_pages), jnp.int32)
+    ctx = jnp.asarray([40, 25, 64], jnp.int32)
+    seq_lens = jnp.asarray([3, 25, 10], jnp.int32)
+    s = int(seq_lens.sum())
+    q = jnp.asarray(rng.standard_normal((s, hq * d)) * 0.5, jnp.float32)
+    scale = 1 / np.sqrt(d)
+    got = sa.attention_sinks_prefill_packed(
+        q, sa.pack_kv_sinks(k), sa.pack_kv_sinks(v), sinks, seq_lens, bt, ctx,
+        scale, window, hq, hkv, max_q=32)
+    golden_sinks = sinks if sinks is not None else jnp.full((hq,), -1e30)
+    want = sa.attention_sinks_prefill(
+        q, k, v, golden_sinks, seq_lens, bt, ctx, scale, window, hq, hkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
 def test_pack_kv_roundtrip(rng):
     """pack_kv_sinks interleaves head pairs into lanes losslessly."""
     k = jnp.asarray(rng.standard_normal((5, 4, 16, 64)), jnp.float32)
