@@ -21,6 +21,21 @@ K = 4   # topk
 E = 16  # experts
 
 
+def test_ep16_scaling_subprocess():
+    """EP sizes beyond the 8-device fixture (reference supports EP 2-160):
+    run the protocol on a 16-rank virtual mesh in a subprocess (device count
+    is fixed at process start)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    script = pathlib.Path(__file__).resolve().parents[1] / "scripts" / "ep_scale_check.py"
+    r = subprocess.run([sys.executable, str(script), "16"],
+                       capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "EP=16" in r.stdout and "OK" in r.stdout
+
+
 def _make_inputs(rng, num_ranks, drop_prob=0.0):
     n = num_ranks * T
     x = rng.standard_normal((n, H)).astype(np.float32)
