@@ -388,3 +388,34 @@ def hybrid_decode_step(
         x = _finish(gd, lw, o[:, 0], z, x)
         new_caches.append({"conv": conv_pool, "ssm": ssm_pool})
     return x, new_caches
+
+
+def hybrid_state_snapshot(cfg: Qwen3NextHybridConfig, caches: list,
+                          state_idx: jax.Array):
+    """Copy the GDN (conv, ssm) pool rows of ``state_idx`` [B] — the tiny
+    recurrent state a speculative round must be able to roll back (paged-KV
+    layers need no rollback: stale rows sit beyond every later context)."""
+    snap = []
+    for li in range(cfg.num_layers):
+        if not cfg.is_attn(li):
+            c = caches[li]
+            snap.append((c["conv"][state_idx], c["ssm"][state_idx]))
+    return snap
+
+
+def hybrid_state_restore(cfg: Qwen3NextHybridConfig, caches: list, snap: list,
+                         state_idx: jax.Array):
+    """Write a :func:`hybrid_state_snapshot` back into the pools."""
+    out = []
+    it = iter(snap)
+    for li in range(cfg.num_layers):
+        c = caches[li]
+        if cfg.is_attn(li):
+            out.append(c)
+        else:
+            conv_r, ssm_r = next(it)
+            out.append({
+                "conv": c["conv"].at[state_idx].set(conv_r),
+                "ssm": c["ssm"].at[state_idx].set(ssm_r),
+            })
+    return out

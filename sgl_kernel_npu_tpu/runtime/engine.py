@@ -46,6 +46,13 @@ class ModelAdapter:
     prefill_step: Callable     # (x, seq_lens, caches, bt, ctx, slots, state_idx, lora_idx) → (h, caches)
     decode_step: Callable      # (x, pos, caches, bt, ctx, slots, state_idx, lora_idx) → (h, caches)
     init_cache: Callable       # (num_pages, state_slots) → caches
+    # recurrent-state rollback hooks (hybrid/GDN models; None for paged-KV):
+    # snapshot_state(caches, state_idx [B]) → snap;
+    # restore_state(caches, snap, state_idx) → caches
+    snapshot_state: Callable | None = None
+    restore_state: Callable | None = None
+    # True if prefill_step handles only ONE request per call (GDN recurrence)
+    prefill_single: bool = False
 
 
 def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None) -> ModelAdapter:
@@ -109,6 +116,9 @@ def qwen3_hybrid_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.hybrid_decode_step(
             cfg, params, x, pos, c, bt, ctx, slots, si),
         init_cache=lambda n, s_: m.init_hybrid_cache(cfg, n, s_, dtype),
+        snapshot_state=lambda c, si: m.hybrid_state_snapshot(cfg, c, si),
+        restore_state=lambda c, snap, si: m.hybrid_state_restore(cfg, c, snap, si),
+        prefill_single=True,
     )
 
 
@@ -179,7 +189,17 @@ class Engine:
                 self._draft_prefill_call, donate_argnums=(2,))
             self._jit_draft_decode = jax.jit(
                 self._draft_decode_call, donate_argnums=(2,))
+            if draft_adapter.snapshot_state is not None:
+                raise ValueError("draft adapters must be paged-KV (no "
+                                 "recurrent state): stale draft state cannot "
+                                 "be rolled back across rounds")
             self._jit_verify = jax.jit(self._verify_call, donate_argnums=(2,))
+            if adapter.snapshot_state is not None:
+                self._jit_snapshot = jax.jit(adapter.snapshot_state)
+                self._jit_restore = jax.jit(adapter.restore_state,
+                                            donate_argnums=(0,))
+                self._jit_verify_one = jax.jit(self._verify_one_call,
+                                               donate_argnums=(2,))
             from sgl_kernel_npu_tpu.ops import speculative as _sp
             self._jit_verify_tree = jax.jit(_sp.verify_tree_greedy)
 
@@ -280,6 +300,16 @@ class Engine:
         x = self.a.embed(ids)
         h, caches = self.a.prefill_step(x, seq_lens, caches, bt, ctx, slots,
                                         state_idx, lora_idx)
+        return jnp.argmax(self.a.lm_head(h), -1).astype(jnp.int32), caches
+
+    def _verify_one_call(self, ids, seq_len, caches, bt, ctx, slots, state_idx,
+                         lora_idx):
+        """Single-request verify / catch-up prefill (hybrid adapters: GDN
+        recurrence is per-request); returns every row's argmax."""
+        x = self.a.embed(ids)
+        h, caches = self.a.prefill_step(
+            x, seq_len[None], caches, bt[None], ctx[None], slots, state_idx,
+            lora_idx)
         return jnp.argmax(self.a.lm_head(h), -1).astype(jnp.int32), caches
 
     def _prefill(self, r: _Request) -> None:
@@ -406,27 +436,46 @@ class Engine:
             cur = np.asarray(toks)
             if j < k:
                 drafts[:, j] = cur[:n]
-        # --- one packed varlen verify on the target ---
+        # --- verify on the target ---
         d = k + 1
-        ids = np.zeros((b * d,), np.int32)
-        seq_lens = np.zeros((b,), np.int32)
-        ctx = np.ones((b,), np.int32)
-        slots = np.full((b * d,), -1, np.int32)
         cand = np.zeros((b, d), np.int32)
+        vslots = np.full((b, d), -1, np.int32)
         for i, r in enumerate(live):
             cand[i, 0] = r.token_at(int(Ls[i]) - 1)
             cand[i, 1:] = drafts[i]
-            ids[i * d : (i + 1) * d] = cand[i]
-            seq_lens[i] = d
-            ctx[i] = int(Ls[i]) + k
             for j in range(d):
-                slots[i * d + j] = self._slot(r, int(Ls[i]) - 1 + j)
-        state_idx = np.full((b,), -1, np.int32)
-        target, self.caches = self._jit_verify(
-            jnp.asarray(ids), jnp.asarray(seq_lens), self.caches, bt_j,
-            jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
-            jnp.asarray(np.repeat(lora, d)))
-        target = np.asarray(target).reshape(b, d)
+                vslots[i, j] = self._slot(r, int(Ls[i]) - 1 + j)
+        snaps = []
+        if self.a.snapshot_state is None:
+            # one packed varlen prefill scores every request's chain at once
+            ids = np.zeros((b * d,), np.int32)
+            seq_lens = np.zeros((b,), np.int32)
+            ctx = np.ones((b,), np.int32)
+            for i in range(n):
+                ids[i * d : (i + 1) * d] = cand[i]
+                seq_lens[i] = d
+                ctx[i] = int(Ls[i]) + k
+            state_idx = np.full((b,), -1, np.int32)
+            target, self.caches = self._jit_verify(
+                jnp.asarray(ids), jnp.asarray(seq_lens), self.caches, bt_j,
+                jnp.asarray(ctx), jnp.asarray(vslots.reshape(-1)),
+                jnp.asarray(state_idx), jnp.asarray(np.repeat(lora, d)))
+            target = np.asarray(target).reshape(b, d)
+        else:
+            # hybrid (recurrent-state) adapters: per-request verify with a
+            # state snapshot first — the verify prefill advances the GDN
+            # pools through REJECTED tokens, so acceptance is followed by
+            # restore + a catch-up prefill of only the accepted rows
+            target = np.zeros((b, d), np.int32)
+            for i, r in enumerate(live):
+                si = jnp.asarray([r.state_slot], jnp.int32)
+                snaps.append(self._jit_snapshot(self.caches, si))
+                toks, self.caches = self._jit_verify_one(
+                    jnp.asarray(cand[i]), jnp.int32(d), self.caches,
+                    jnp.asarray(bt[i]), jnp.int32(int(Ls[i]) + k),
+                    jnp.asarray(vslots[i]), si,
+                    jnp.full((d,), r.lora_id, jnp.int32))
+                target[i] = np.asarray(toks)
         # --- greedy chain-tree acceptance (the verify_tree_greedy op) ---
         ridx = np.tile(np.arange(d, dtype=np.int32), (b, 1)) + (
             np.arange(b, dtype=np.int32)[:, None] * d)
@@ -451,6 +500,21 @@ class Engine:
             if len(r.out_tokens) >= r.max_new_tokens:
                 r.done = True
             self.stats["spec_accepted"] += n_acc
+            if snaps:
+                # roll the GDN pools back to before the round, then advance
+                # them through exactly the accepted rows ([last, d1..d_nacc])
+                m = n_acc + 1
+                si = jnp.asarray([r.state_slot], jnp.int32)
+                self.caches = self._jit_restore(self.caches, snaps[i], si)
+                cu_ids = np.zeros((d,), np.int32)
+                cu_ids[:m] = cand[i, :m]
+                cu_slots = np.full((d,), -1, np.int32)
+                cu_slots[:m] = vslots[i, :m]
+                _, self.caches = self._jit_verify_one(
+                    jnp.asarray(cu_ids), jnp.int32(m), self.caches,
+                    jnp.asarray(bt[i]), jnp.int32(int(Ls[i]) - 1 + m),
+                    jnp.asarray(cu_slots), si,
+                    jnp.full((d,), r.lora_id, jnp.int32))
         self.stats["spec_rounds"] += 1
         self.stats["decode_steps"] += 1
 

@@ -118,3 +118,28 @@ def test_hybrid_engine_serving(setup):
                 jnp.asarray([i + 1], jnp.int32), sl, si)
             want.append(int(jnp.argmax(m.hybrid_lm_head(params, y[0]))))
     assert got == want
+
+
+def test_hybrid_engine_spec_decode(setup):
+    """Speculative decoding with a HYBRID target (GDN state rollback via
+    snapshot + catch-up replay) must emit exactly the plain-engine tokens,
+    with any draft."""
+    from sgl_kernel_npu_tpu.models import llama as lm
+    from sgl_kernel_npu_tpu.runtime.engine import (
+        Engine, llama_adapter, qwen3_hybrid_adapter)
+
+    cfg, params = setup
+    dcfg = lm.LlamaConfig(vocab_size=61, num_layers=1, page_size=cfg.page_size)
+    dparams = lm.init_weights(jax.random.key(3), dcfg)
+    prompt = [5, 9, 2, 33, 17, 4, 8, 21]
+    n_new = 6
+    with jax.default_matmul_precision("float32"):
+        plain = Engine(qwen3_hybrid_adapter(cfg, params), num_pages=64,
+                       max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+        want = plain.run([prompt], n_new)[0]
+        eng = Engine(qwen3_hybrid_adapter(cfg, params), num_pages=64,
+                     max_batch=2, max_pages_per_req=16, prefill_chunk=8,
+                     spec_k=2, draft_adapter=llama_adapter(dcfg, dparams))
+        got = eng.run([prompt], n_new)[0]
+    assert got == want
+    assert eng.stats["spec_rounds"] > 0
