@@ -88,7 +88,12 @@ def gpt_oss_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
     )
 
 
-def deepseek_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
+def deepseek_adapter(cfg, params, dtype=jnp.float32, *,
+                     moe_weights_q=None, ep_buffer=None) -> ModelAdapter:
+    """``moe_weights_q`` (models.deepseek_v3.quantize_moe_weights) switches
+    decode to the W8A8 grouped MoE; adding ``ep_buffer`` (a mesh-bound
+    parallel.Buffer) runs it expert-parallel through fused_deep_moe — the
+    engine then serves with EP-sharded expert weights."""
     from sgl_kernel_npu_tpu.models import deepseek_v3 as m
 
     return ModelAdapter(
@@ -98,7 +103,8 @@ def deepseek_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
-            cfg, params, x, pos, c, bt, ctx, slots),
+            cfg, params, x, pos, c, bt, ctx, slots,
+            moe_weights_q=moe_weights_q, ep_buffer=ep_buffer),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
     )
 

@@ -166,6 +166,38 @@ def test_deepseek_engine_matches_reference(rng):
     assert got == want
 
 
+def test_deepseek_engine_ep_sharded_serving(rng, mesh8):
+    """Continuous-batching engine with EP-SHARDED expert weights: the decode
+    MoE runs through Buffer.fused_deep_moe (dispatch → W8A8 GMMs → combine
+    over the 8-rank mesh) and must emit the same tokens as the single-chip
+    W8A8 grouped path (identical math; only collective reordering differs)."""
+    from sgl_kernel_npu_tpu.config import EPConfig
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as dsm
+    from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+    from sgl_kernel_npu_tpu.runtime.engine import deepseek_adapter
+
+    cfg = dsm.DeepSeekV3Config(num_layers=1, page_size=4, vocab_size=61,
+                               num_experts=16, topk=4)
+    params = dsm.init_weights(jax.random.key(3), cfg, jnp.float32)
+    moe_q = dsm.quantize_moe_weights(cfg, params)
+    prompts = [[5, 9, 2, 33, 17, 4, 8, 21, 60, 3], [40, 41, 42, 43, 44]]
+    n_new = 4
+
+    single = Engine(deepseek_adapter(cfg, params, moe_weights_q=moe_q),
+                    num_pages=128, max_batch=8, max_pages_per_req=16,
+                    prefill_chunk=8)
+    want = single.run(prompts, n_new)
+
+    buf = Buffer(mesh8, "ep", num_experts=cfg.num_experts,
+                 config=EPConfig(num_max_dispatch_tokens_per_rank=8))
+    ep = Engine(deepseek_adapter(cfg, params, moe_weights_q=moe_q,
+                                 ep_buffer=buf),
+                num_pages=128, max_batch=8, max_pages_per_req=16,
+                prefill_chunk=8)
+    got = ep.run(prompts, n_new)
+    assert got == want
+
+
 def test_gpt_oss_engine_matches_reference(rng):
     """Engine with the GPT-OSS adapter == direct prefill+decode chain."""
     from sgl_kernel_npu_tpu.models import gpt_oss as gm
