@@ -56,6 +56,11 @@ class DeepSeekV3Config:
     moe_intermediate: int = 128  # per expert (2048 at full scale)
     rope_base: float = 10000.0
     page_size: int = 16
+    # DeepSeek-V3.2 sparse attention (DSA): 0 = dense; >0 = lightning-indexer
+    # top-k sparse decode attention over that many selected keys
+    sparse_count: int = 0
+    idx_heads: int = 4           # 64 at full scale
+    idx_dim: int = 64            # 128 at full scale
 
     @property
     def qk_dim(self):
@@ -93,6 +98,10 @@ def init_weights(key: jax.Array, cfg: DeepSeekV3Config, dtype=jnp.float32) -> di
             "ws_gate": rnd(h, cfg.num_shared_experts * cfg.moe_intermediate),
             "ws_up": rnd(h, cfg.num_shared_experts * cfg.moe_intermediate),
             "ws_down": rnd(cfg.num_shared_experts * cfg.moe_intermediate, h),
+            # lightning-indexer projections (used when cfg.sparse_count > 0)
+            "w_qidx": rnd(h, cfg.idx_heads * cfg.idx_dim),
+            "w_kidx": rnd(h, cfg.idx_dim),
+            "w_widx": rnd(h, cfg.idx_heads, scale=0.2),
         }
 
     return {
@@ -149,13 +158,17 @@ def _shared_expert(lw: dict, x: jax.Array):
 # ---------------------------------------------------------------------------
 
 def init_kv_cache(cfg: DeepSeekV3Config, num_pages: int, dtype=jnp.bfloat16):
-    return [
-        {
+    def layer_cache():
+        c = {
             "nope": jnp.zeros((num_pages, 1, cfg.page_size, cfg.kv_lora_rank), dtype),
             "rope": jnp.zeros((num_pages, 1, cfg.qk_rope_dim, cfg.page_size), dtype),
         }
-        for _ in range(cfg.num_layers)
-    ]
+        if cfg.sparse_count > 0:
+            # index-key cache for the lightning indexer (DSA)
+            c["kidx"] = jnp.zeros((num_pages, 1, cfg.page_size, cfg.idx_dim), dtype)
+        return c
+
+    return [layer_cache() for _ in range(cfg.num_layers)]
 
 
 def decode_step(
@@ -181,9 +194,35 @@ def decode_step(
         cache_r = reshape_and_cache_transposed(
             kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping
         )
-        new_caches.append({"nope": cache_n, "rope": cache_r})
+        nc = {"nope": cache_n, "rope": cache_r}
         q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_n.dtype)
-        attn = decode_mla(q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table)
+        if cfg.sparse_count > 0:
+            # DSA: lightning indexer scores every cached key cheaply (idx_dim
+            # wide), attention then reads only the top sparse_count latents
+            from sgl_kernel_npu_tpu.ops.attention.decode_attention import (
+                decode_mla_sparse)
+            from sgl_kernel_npu_tpu.ops.attention.lightning_indexer import (
+                lightning_indexer)
+
+            n = x.shape[0]
+            h1 = rms_norm_ref(x, lw["ln1"])
+            qidx = (h1 @ lw["w_qidx"]).reshape(n, cfg.idx_heads, cfg.idx_dim)
+            widx = h1 @ lw["w_widx"]
+            kidx = h1 @ lw["w_kidx"]
+            cache_i = reshape_and_cache(
+                kidx[:, None, :].astype(cache["kidx"].dtype), cache["kidx"],
+                slot_mapping)
+            nc["kidx"] = cache_i
+            sel = lightning_indexer(
+                qidx[:, None].astype(cache_i.dtype), cache_i,
+                widx[:, None], None, seq_lens, block_table,
+                sparse_count=cfg.sparse_count)
+            attn = decode_mla_sparse(
+                q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table,
+                sel.reshape(n, cfg.sparse_count))
+        else:
+            attn = decode_mla(q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table)
+        new_caches.append(nc)
         x = x + _mla_output(cfg, lw, attn.astype(jnp.float32))
 
         h2 = rms_norm_ref(x, lw["ln2"])
@@ -242,7 +281,15 @@ def prefill_step(
             k_lat[:, None, :].astype(cache["nope"].dtype), cache["nope"], slot_mapping)
         cache_r = reshape_and_cache_transposed(
             kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping)
-        new_caches.append({"nope": cache_n, "rope": cache_r})
+        nc = {"nope": cache_n, "rope": cache_r}
+        if cfg.sparse_count > 0:
+            # DSA: prefill attention stays dense, but the index keys must be
+            # cached so later decode steps can score the prompt tokens
+            h1 = rms_norm_ref(x, lw["ln1"])
+            nc["kidx"] = reshape_and_cache(
+                (h1 @ lw["w_kidx"])[:, None, :].astype(cache["kidx"].dtype),
+                cache["kidx"], slot_mapping)
+        new_caches.append(nc)
         q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_n.dtype)
         attn = mla_prefill_pallas(
             q, cache_n, cache_r, seq_lens, block_tables, context_lens,

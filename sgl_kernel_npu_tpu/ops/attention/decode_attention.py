@@ -627,3 +627,39 @@ def decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *, int
         interpret=interpret,
     )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), qg, k_buffer, v_buffer)
     return out[:, :, : hq // hkv].reshape(b, hq, dv)
+
+
+def decode_mla_sparse(
+    q,                    # [B, Hq, Lkv + Lrope]
+    k_nope_buffer,        # [pages, 1, page, Lkv]
+    k_rope_buffer,        # [pages, 1, Lrope, page] (transposed layout)
+    kv_seq_lens,          # [B]
+    sm_scale,
+    block_table,          # [B, max_pages]
+    topk_index,           # [B, K] token positions from the lightning indexer (−1 = pad)
+):
+    """Sparse MLA decode attention over indexer-selected positions
+    (DeepSeek-V3.2 DSA: the lightning indexer picks ``K`` keys per query, so
+    attention reads O(K), not O(seq) — reference ships the indexer
+    (csrc/lightning_indexer); the sparse consumer lives in SGLang, rebuilt
+    here).  Gathers the selected latents then runs one dense masked softmax;
+    at K ≪ seq this is the KV-traffic win (K·(Lkv+Lrope) bytes/token)."""
+    b, hq, _ = q.shape
+    _, _, page_size, d_nope = k_nope_buffer.shape
+    idx = topk_index.astype(jnp.int32)
+    live = (idx >= 0) & (idx < kv_seq_lens[:, None].astype(jnp.int32))
+    safe = jnp.where(live, idx, 0)
+    rows = jnp.arange(b)[:, None]
+    phys = block_table[rows, safe // page_size]                 # [B, K]
+    slot = safe % page_size
+    kn = k_nope_buffer[phys, 0, slot, :]                        # [B, K, Lkv]
+    kr = k_rope_buffer[phys, 0, :, slot]                        # [B, K, Lrope]
+    q_nope, q_pe = q[..., :d_nope], q[..., d_nope:]
+    qk = jnp.einsum("bhd,bkd->bhk", q_nope.astype(jnp.float32),
+                    kn.astype(jnp.float32))
+    qk += jnp.einsum("bhd,bkd->bhk", q_pe.astype(jnp.float32),
+                     kr.astype(jnp.float32))
+    qk = jnp.where(live[:, None, :], qk * sm_scale, NEG_INF)
+    p = jax.nn.softmax(qk, axis=-1)
+    out = jnp.einsum("bhk,bkd->bhd", p, kn.astype(jnp.float32))
+    return out.astype(q.dtype)
