@@ -61,6 +61,11 @@ class DeepSeekV3Config:
     sparse_count: int = 0
     idx_heads: int = 4           # 64 at full scale
     idx_dim: int = 64            # 128 at full scale
+    # "page": top pages by page-max score through the dense Pallas kernel with
+    #   a pruned block table (TPU-shaped — contiguous DMAs, ~roofline reads);
+    # "token": exact reference semantics (token top-k gather — slow on TPU,
+    #   XLA lowers token gathers to scalar dynamic reads)
+    sparse_granularity: str = "page"
 
     @property
     def qk_dim(self):
@@ -213,13 +218,26 @@ def decode_step(
                 kidx[:, None, :].astype(cache["kidx"].dtype), cache["kidx"],
                 slot_mapping)
             nc["kidx"] = cache_i
-            sel = lightning_indexer(
-                qidx[:, None].astype(cache_i.dtype), cache_i,
-                widx[:, None], None, seq_lens, block_table,
-                sparse_count=cfg.sparse_count)
-            attn = decode_mla_sparse(
-                q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table,
-                sel.reshape(n, cfg.sparse_count))
+            if cfg.sparse_granularity == "page":
+                from sgl_kernel_npu_tpu.ops.attention.decode_attention import (
+                    decode_mla_block_sparse)
+                from sgl_kernel_npu_tpu.ops.attention.lightning_indexer import (
+                    lightning_indexer_scores_decode)
+
+                scores = lightning_indexer_scores_decode(
+                    qidx.astype(cache_i.dtype), cache_i, widx, seq_lens,
+                    block_table)
+                attn = decode_mla_block_sparse(
+                    q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table,
+                    scores, -(-cfg.sparse_count // cfg.page_size))
+            else:
+                sel = lightning_indexer(
+                    qidx[:, None].astype(cache_i.dtype), cache_i,
+                    widx[:, None], None, seq_lens, block_table,
+                    sparse_count=cfg.sparse_count)
+                attn = decode_mla_sparse(
+                    q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table,
+                    sel.reshape(n, cfg.sparse_count))
         else:
             attn = decode_mla(q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table)
         new_caches.append(nc)

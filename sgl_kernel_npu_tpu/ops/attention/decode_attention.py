@@ -663,3 +663,47 @@ def decode_mla_sparse(
     p = jax.nn.softmax(qk, axis=-1)
     out = jnp.einsum("bhk,bkd->bhd", p, kn.astype(jnp.float32))
     return out.astype(q.dtype)
+
+
+def decode_mla_block_sparse(
+    q,                    # [B, Hq, Lkv + Lrope]
+    k_nope_buffer,
+    k_rope_buffer,
+    kv_seq_lens,          # [B]
+    sm_scale,
+    block_table,          # [B, max_pages]
+    token_scores,         # [B, max_len] indexer scores (−inf beyond ctx is fine)
+    num_sel_pages: int,
+):
+    """Block-sparse MLA decode: top pages by (page-max of token scores), then
+    the regular Pallas paged kernel over a PRUNED block table.
+
+    The TPU-shaped answer to DSA sparse attention: token-granular gathers are
+    catastrophically slow on TPU (measured ~60 GB/s effective — XLA lowers
+    them to scalar dynamic gathers), but a page-granular selection keeps every
+    DMA a contiguous [page, 512] block, so the selected KV reads at the dense
+    kernel's 97%-of-roofline bandwidth.  The current token's (partial) page is
+    always included; invalid pages sort to the tail and are masked by the
+    pruned sequence length.  Softmax covers every token of every selected
+    page — block-sparse semantics, the standard page-top-k relaxation of the
+    reference's token-top-k indexer.
+    """
+    b = q.shape[0]
+    page = k_nope_buffer.shape[2]
+    max_pages = block_table.shape[1]
+    sl = kv_seq_lens.astype(jnp.int32)
+    ps = token_scores.reshape(b, max_pages, page)
+    # page score = max over its valid tokens
+    pos = jnp.arange(max_pages * page, dtype=jnp.int32).reshape(max_pages, page)
+    valid = pos[None] < sl[:, None, None]
+    pscore = jnp.max(jnp.where(valid, ps.astype(jnp.float32), -jnp.inf), axis=-1)
+    last_page = (sl - 1) // page
+    pscore = pscore.at[jnp.arange(b), last_page].set(jnp.inf)  # always keep
+    k_eff = min(num_sel_pages, max_pages)
+    _, sel_pages = jax.lax.top_k(pscore, k_eff)                # [B, k_eff]
+    sel_pages = jnp.sort(sel_pages, axis=-1)                   # fulls→partial→invalid
+    rows = jnp.arange(b)[:, None]
+    bt_sel = block_table[rows, sel_pages]
+    vp = jnp.clip(sl[:, None] - sel_pages * page, 0, page)     # valid tokens/page
+    seq_sel = jnp.sum(vp, axis=-1).astype(jnp.int32)
+    return decode_mla(q, k_nope_buffer, k_rope_buffer, seq_sel, sm_scale, bt_sel)

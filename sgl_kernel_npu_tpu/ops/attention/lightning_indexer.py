@@ -98,3 +98,26 @@ def lightning_indexer(
     col = jnp.arange(sparse_count, dtype=jnp.int32)[None, :]
     idx = jnp.where((col < valid_count[:, None]) & tok_valid[:, None], idx, -1)
     return idx.reshape(out_shape)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def lightning_indexer_scores_decode(
+    query: jax.Array,                 # [B, N1, D] one decode token per request
+    key: jax.Array,                   # [blocks, 1, block_size, D] paged
+    weights: jax.Array,               # [B, N1]
+    actual_seq_lengths_key: jax.Array,  # [B]
+    block_table: jax.Array,           # [B, max_blocks]
+):
+    """Masked indexer scores for decode (one query token per request):
+    [B, max_len] with −inf beyond each request's causal range.  Feed to
+    ``decode_attention.decode_mla_block_sparse`` (page-top-k DSA)."""
+    b, n1, d = query.shape
+    max_len = int(block_table.shape[1] * key.shape[2])
+    k_lin = _gather_pages(key, block_table, max_len)[:, 0]     # [B, S2max, D]
+    scores = jnp.einsum(
+        "bnd,bsd->bns", query.astype(jnp.float32), k_lin.astype(jnp.float32))
+    scores = jnp.maximum(scores, 0.0) * weights.astype(jnp.float32)[:, :, None]
+    scores = jnp.sum(scores, axis=1)                           # [B, S2max]
+    pos = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    mask = pos < actual_seq_lengths_key.astype(jnp.int32)[:, None]
+    return jnp.where(mask, scores, NEG_INF)

@@ -63,11 +63,17 @@ def test_sparse_restricts_to_selected(rng):
         np.testing.assert_allclose(got[i], p_ @ ks, atol=2e-4)
 
 
-def test_model_sparse_full_count_equals_dense(rng):
+import pytest
+
+
+@pytest.mark.parametrize("gran", ["page", "token"])
+def test_model_sparse_full_count_equals_dense(rng, gran):
     """DeepSeek decode_step with sparse_count ≥ seq reproduces the dense model
-    (indexer selects everything; softmax is order-invariant)."""
+    (indexer selects everything; softmax is order-invariant) — both the exact
+    token-top-k path and the TPU page-top-k path."""
     dense_cfg = m.DeepSeekV3Config(num_layers=1, page_size=16, vocab_size=61)
-    sparse_cfg = dataclasses.replace(dense_cfg, sparse_count=32)
+    sparse_cfg = dataclasses.replace(dense_cfg, sparse_count=32,
+                                     sparse_granularity=gran)
     params = m.init_weights(jax.random.key(2), dense_cfg, jnp.float32)
     b, max_pages = 4, 2
     hidden = jnp.asarray(rng.standard_normal((b, dense_cfg.hidden)) * 0.3, jnp.float32)
@@ -96,7 +102,7 @@ def test_model_sparse_small_count_runs_and_differs(rng):
     """A tight sparse budget must change the attention result (it truly
     restricts) while staying finite."""
     cfg = m.DeepSeekV3Config(num_layers=1, page_size=16, vocab_size=61,
-                             sparse_count=4)
+                             sparse_count=4, sparse_granularity="token")
     dense = dataclasses.replace(cfg, sparse_count=0)
     params = m.init_weights(jax.random.key(2), cfg, jnp.float32)
     b, max_pages = 2, 2
@@ -118,3 +124,37 @@ def test_model_sparse_small_count_runs_and_differs(rng):
         outs[name] = np.asarray(out)
     assert np.isfinite(outs["sparse"]).all()
     assert np.abs(outs["sparse"] - outs["dense"]).max() > 1e-5
+
+
+def test_block_sparse_full_pages_equals_dense(rng):
+    """decode_mla_block_sparse selecting every page == dense decode."""
+    from sgl_kernel_npu_tpu.ops.attention.decode_attention import (
+        decode_mla_block_sparse)
+
+    b, seq, page, max_pages, lat, rope, hq = 3, 43, 16, 4, 64, 32, 4
+    kn, kr, bt, _ = _paged_setup(rng, b, seq, page, max_pages, lat, rope)
+    sl = jnp.asarray([43, 17, 64], jnp.int32)      # incl. a partial last page
+    q = jnp.asarray(rng.standard_normal((b, hq, lat + rope)) * 0.5, jnp.float32)
+    scores = jnp.asarray(rng.standard_normal((b, max_pages * page)), jnp.float32)
+    got = decode_mla_block_sparse(q, kn, kr, sl, 0.1, bt, scores, max_pages)
+    want = decode_mla_ref(q, kn, kr, sl, 0.1, bt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_block_sparse_restricts_to_top_pages(rng):
+    """With 2 of 4 pages selected, output == dense attention over a block
+    table containing only those pages."""
+    from sgl_kernel_npu_tpu.ops.attention.decode_attention import (
+        decode_mla_block_sparse)
+
+    b, seq, page, max_pages, lat, rope, hq = 2, 64, 16, 4, 64, 32, 4
+    kn, kr, bt, sl = _paged_setup(rng, b, seq, page, max_pages, lat, rope)
+    q = jnp.asarray(rng.standard_normal((b, hq, lat + rope)) * 0.5, jnp.float32)
+    # score page 1 high; last page (3) is always kept
+    scores = jnp.tile(
+        jnp.repeat(jnp.asarray([0.0, 5.0, 0.0, 1.0]), page)[None], (b, 1))
+    got = decode_mla_block_sparse(q, kn, kr, sl, 0.1, bt, scores, 2)
+    bt_sel = bt[:, jnp.asarray([1, 3])]
+    want = decode_mla_ref(q, kn, kr, jnp.full((b,), 2 * page, jnp.int32),
+                          0.1, bt_sel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
