@@ -19,6 +19,8 @@ from sgl_kernel_npu_tpu.ops.attention.mla_train import mla_flash_train, mla_trai
 
 def main():
     b, s, h, dl, dr = 1, 2048, 16, 512, 64
+    cq = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    ck = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     sc = 0.042
     mk = jax.jit(lambda key, shape: jax.random.normal(key, shape, jnp.bfloat16) * 0.3,
                  static_argnums=1)
@@ -31,7 +33,7 @@ def main():
     qs_big = mk(jax.random.key(4), (n2, b, s, h, dl))
 
     def fwd_flash(ql, kl_, kp_, qp_):
-        return mla_flash_train(ql, qp_, kl_, kp_, sc)
+        return mla_flash_train(ql, qp_, kl_, kp_, sc, q_chunk=cq, k_chunk=ck)
 
     def fwd_ref(ql, kl_, kp_, qp_):
         return mla_train_ref(ql, qp_, kl_, kp_, sc)
@@ -51,6 +53,7 @@ def main():
     t_bwd_k = _bench_scanned(grad_of(fwd_flash), qs_small, qs_big, ops)
     t_bwd_r = _bench_scanned(grad_of(fwd_ref), qs_small, qs_big, ops)
     flops = 2 * 2 * b * h * s * s // 2 * (dl + dr)   # causal qk + pv
+    print(f"cq={cq} ck={ck}", flush=True)
     print(f"fwd: flash {t_fwd_k*1e6:8.1f} us ({flops/t_fwd_k/1e12:5.1f} TF)  "
           f"xla {t_fwd_r*1e6:8.1f} us  -> {t_fwd_r/t_fwd_k:.2f}x")
     print(f"fwd+bwd: flash {t_bwd_k*1e6:8.1f} us  xla {t_bwd_r*1e6:8.1f} us  "

@@ -317,7 +317,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def mla_flash_train(q_lat, q_pe, k_lat, k_pe, sm_scale, *,
-                    q_chunk: int = 64, k_chunk: int = 128, interpret=None):
+                    q_chunk: int = 64, k_chunk: int = 256, interpret=None):
     """Differentiable dense causal MLA flash attention.
 
     q_lat [B,S,H,L] ‖ q_pe [B,S,H,R] attend to k_lat [B,S,L] + k_pe [B,S,R]
