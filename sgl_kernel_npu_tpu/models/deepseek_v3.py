@@ -499,3 +499,82 @@ def make_train_step(cfg: DeepSeekV3Config, mesh: Mesh | None, lr: float = 1e-3,
         return jax.tree_util.tree_map_with_path(leaf_spec, params)
 
     return jax.jit(step), pspec
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel serving: head-sharded attention via shard_map
+# ---------------------------------------------------------------------------
+
+def _tp_layer_specs(axis: str):
+    """PartitionSpecs for one layer's weights under head-TP: per-head matrices
+    shard on the head dim, everything else replicates.  The reference only
+    plumbs TP hooks through its dispatch op (tp_world_size etc.,
+    moe_distribute_dispatch_v2_def.cpp:54-56); here TP attention actually
+    runs — MLA's latent KV is head-shared, so the cache replicates and ONLY
+    the q/out projections shard (the MLA TP advantage)."""
+    p = P()
+    return {
+        "ln1": p, "wdqkv": p, "q_ln": p,
+        "wuq": P(None, axis),       # [q_lora, H·qk_dim] → heads on dim 1
+        "wuk": P(axis),             # [H, nope, lat]
+        "kv_ln": p,
+        "wvu": P(axis),             # [H, lat, v]
+        "wo": P(axis, None),        # [H·v, hidden] → heads on dim 0
+    }
+
+
+def tp_attention_block(cfg: DeepSeekV3Config, lw: dict, x, cos, sin, cache,
+                       block_table, seq_lens, slot_mapping, *, mesh, axis="tp"):
+    """One MLA attention block with heads sharded over ``axis``.
+
+    Every rank redundantly computes the (head-free) latent KV and writes the
+    same cache pages; attention + output projection run on H/ntp local heads
+    and the output psums.  Returns (attn_out [N, hidden], new nope/rope caches).
+    """
+    ntp = mesh.shape[axis]
+    local_cfg = dataclasses.replace(cfg, num_heads=cfg.num_heads // ntp)
+    keys = _tp_layer_specs(axis)
+    lw_attn = {k: lw[k] for k in keys}
+
+    def body(xs, lww, cos_, sin_, cn, cr, bt, sl, slots):
+        q_lat, qpe, k_lat, kpe = _mla_qkv(local_cfg, lww, xs, cos_, sin_)
+        cn2 = reshape_and_cache(
+            k_lat[:, None, :].astype(cn.dtype), cn, slots)
+        cr2 = reshape_and_cache_transposed(
+            kpe[:, None, :].astype(cr.dtype), cr, slots)
+        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cn2.dtype)
+        attn = decode_mla(q, cn2, cr2, sl, cfg.sm_scale, bt)
+        o = _mla_output(local_cfg, lww, attn.astype(jnp.float32))
+        return jax.lax.psum(o, axis), cn2, cr2
+
+    in_specs = (P(), {k: keys[k] for k in lw_attn}, P(), P(), P(), P(), P(), P(), P())
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )(x, lw_attn, cos, sin, cache["nope"], cache["rope"], block_table,
+      seq_lens, slot_mapping)
+
+
+def decode_step_tp(
+    cfg: DeepSeekV3Config,
+    params: dict,
+    hidden, positions, kv_caches, block_table, seq_lens, slot_mapping,
+    *, mesh, axis: str = "tp",
+):
+    """decode_step with head-TP attention (MoE/shared experts replicated;
+    combine with EP via a tp×ep mesh and Buffer for the full 2D layout)."""
+    cos, sin = rope_cos_sin(positions, cfg.qk_rope_dim)
+    x = hidden
+    new_caches = []
+    for li, lw in enumerate(params["layers"]):
+        o, cn, cr = tp_attention_block(
+            cfg, lw, x, cos, sin, kv_caches[li], block_table, seq_lens,
+            slot_mapping, mesh=mesh, axis=axis)
+        new_caches.append({"nope": cn, "rope": cr})
+        x = x + o
+        h2 = rms_norm_ref(x, lw["ln2"])
+        topk_idx, topk_w = _router(cfg, lw, h2)
+        x = x + _dense_moe(cfg, lw, h2, topk_idx, topk_w) + _shared_expert(lw, h2)
+    return x, new_caches

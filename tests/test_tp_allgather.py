@@ -56,3 +56,32 @@ def test_tp_allgather_roundtrip(mesh_tp_ep, rng):
         for k in range(K):
             golden[t] += wn[t, k] * (idxn[t, k] + 1.0) * xn[t]
     np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-4, atol=1e-4)
+
+
+def test_tp_attention_serving_matches_single(rng, mesh8):
+    """Head-TP decode (shard_map over 8 ranks) == single-device decode_step."""
+    import dataclasses
+
+    import jax
+    from jax.sharding import Mesh
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+
+    cfg = m.DeepSeekV3Config(num_layers=1, page_size=16, vocab_size=61,
+                             num_heads=8)
+    params = m.init_weights(jax.random.key(4), cfg, jnp.float32)
+    b, max_pages = 4, 2
+    caches = m.init_kv_cache(cfg, b * max_pages + 1, jnp.float32)
+    hidden = jnp.asarray(rng.standard_normal((b, cfg.hidden)) * 0.3, jnp.float32)
+    bt = jnp.arange(1, 1 + b * max_pages, dtype=jnp.int32).reshape(b, max_pages)
+    pos = jnp.full((b,), 5, jnp.int32)
+    sl = jnp.full((b,), 6, jnp.int32)
+    slots = bt[:, 0] * cfg.page_size + 5
+
+    want, cw = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots)
+    tp_mesh = Mesh(np.array(jax.devices()[:8]), ("tp",))
+    got, cg = m.decode_step_tp(cfg, params, hidden, pos, caches, bt, sl, slots,
+                               mesh=tp_mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(cg[0]["nope"]), np.asarray(cw[0]["nope"]), atol=1e-5)
