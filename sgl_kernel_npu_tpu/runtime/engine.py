@@ -53,6 +53,11 @@ class ModelAdapter:
     restore_state: Callable | None = None
     # True if prefill_step handles only ONE request per call (GDN recurrence)
     prefill_single: bool = False
+    # host-offload hooks (L2 KV tier): gather_pages(caches, ids [n]) → one
+    # array [n, ...] holding every layer's KV for those pages;
+    # scatter_pages(caches, ids, payload) → caches
+    gather_pages: Callable | None = None
+    scatter_pages: Callable | None = None
 
 
 def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None) -> ModelAdapter:
@@ -70,6 +75,8 @@ def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None) -> M
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots, lora=lora, lora_idx=li),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
+        gather_pages=m.gather_kv_pages,
+        scatter_pages=m.scatter_kv_pages,
     )
 
 
@@ -158,7 +165,8 @@ class Engine:
     def __init__(self, adapter: ModelAdapter, num_pages: int, *,
                  max_batch: int = 8, max_pages_per_req: int = 16,
                  prefill_chunk: int = 64, mixed: bool = True,
-                 spec_k: int = 0, draft_adapter: ModelAdapter | None = None):
+                 spec_k: int = 0, draft_adapter: ModelAdapter | None = None,
+                 host_pool_pages: int = 0):
         self.a = adapter
         self.page = adapter.page_size
         self.cm = RadixCacheManager(num_pages, self.page)
@@ -172,7 +180,26 @@ class Engine:
         self.running: list[_Request] = []
         self.finished: dict[int, list[int]] = {}
         self.stats = {"prefill_tokens": 0, "decode_steps": 0, "cached_tokens": 0,
-                      "spec_rounds": 0, "spec_accepted": 0}
+                      "spec_rounds": 0, "spec_accepted": 0,
+                      "host_offloaded_pages": 0, "host_restored_tokens": 0}
+        # --- L2 host KV tier (hierarchical cache) ---
+        # finished prompts' pages offload (device→host) into a SECOND radix
+        # cache indexing a page-major host pool (the reference's
+        # transfer_kv_dim_exchange layout); admission checks host after device
+        # and restores the longer prefix.  The same C++ radix core runs both
+        # tiers.
+        self.host_cm = None
+        if host_pool_pages > 0:
+            if adapter.gather_pages is None:
+                raise ValueError("adapter lacks gather/scatter_pages hooks")
+            if draft_adapter is not None:
+                raise ValueError("host KV tier + speculative decoding is not "
+                                 "supported (the draft pool is not offloaded)")
+            self.host_cm = RadixCacheManager(host_pool_pages, self.page)
+            self.host_pool = None            # numpy, shaped on first offload
+            self._jit_gather = jax.jit(adapter.gather_pages)
+            self._jit_scatter = jax.jit(adapter.scatter_pages,
+                                        donate_argnums=(0,))
         self._next_rid = 0
         # caches are donated: the engine's KV pool updates in place
         self._jit_prefill = jax.jit(self._prefill_call, donate_argnums=(2,))
@@ -253,12 +280,80 @@ class Engine:
             # match only up to prompt_len-1: the last prompt token always
             # re-prefills so there is a live row to take logits from
             matched, pages = self.cm.match(r.prompt[: r.prompt_len - 1])
+            pages = list(int(p) for p in pages)
+            if self.host_cm is not None and matched < r.prompt_len - 1:
+                matched, pages = self._host_restore(r, matched, pages)
             r.admit_matched = matched
-            r.pages = list(int(p) for p in pages)
+            r.pages = pages
             r.pos = matched
             r.state_slot = self._free_state_slots.pop()
             self.stats["cached_tokens"] += matched
             self.running.append(r)
+
+    def _host_restore(self, r: _Request, matched: int, pages: list):
+        """Extend a device-radix miss from the host tier: upload the host
+        pool's longer prefix into freshly-allocated device pages and register
+        it in the device radix (so refcounting and sharing work as if it had
+        been prefetched)."""
+        hm, hpages = self.host_cm.match(r.prompt[: r.prompt_len - 1])
+        try:
+            if hm <= matched or self.host_pool is None:
+                return matched, pages
+            s_pg, n_pg = matched // self.page, hm // self.page
+            new_dev = self.cm.alloc(n_pg - s_pg)
+            if len(new_dev) < n_pg - s_pg:
+                self.cm.free(np.asarray(new_dev, np.int32))
+                return matched, pages
+            payload = self.host_pool[np.asarray(hpages)[s_pg:n_pg]]
+            self.caches = self._jit_scatter(
+                self.caches, jnp.asarray(new_dev, jnp.int32),
+                jnp.asarray(payload))
+            allp = pages + [int(p) for p in new_dev]
+            _, dup = self.cm.insert(r.prompt[:hm], np.asarray(allp, np.int32),
+                                    ref=0)
+            m2, canon = self.cm.match(r.prompt[:hm])   # the long-term hold
+            if matched:
+                self.cm.release(r.prompt[:matched])    # swap the short hold
+            if len(dup) > s_pg:
+                self.cm.free(np.asarray(dup[s_pg:], np.int32))
+            self.stats["host_restored_tokens"] += m2 - matched
+            return m2, [int(p) for p in canon]
+        finally:
+            if hm:
+                self.host_cm.release(r.prompt[:hm])
+
+    def _host_offload(self, r: _Request) -> None:
+        """Copy a finished prompt's cached span into the host pool (device →
+        page-major host, the transfer_kv_dim_exchange layout) and index it in
+        the host radix (ref=0: the L2 tier is best-effort, LRU-evictable)."""
+        span = r.inserted_span
+        if not span:
+            return
+        npg = span // self.page
+        have, hpages = self.host_cm.match(r.prompt[:span])
+        try:
+            h_pg = have // self.page
+            if h_pg >= npg:
+                return
+            got = self.host_cm.alloc(npg - h_pg)
+            if len(got) < npg - h_pg:
+                self.host_cm.free(np.asarray(got, np.int32))
+                return
+            payload = np.asarray(self._jit_gather(
+                self.caches, jnp.asarray(r.pages[h_pg:npg], jnp.int32)))
+            if self.host_pool is None:
+                self.host_pool = np.zeros(
+                    (self.host_cm.num_pages,) + payload.shape[1:], payload.dtype)
+            self.host_pool[got] = payload
+            allp = [int(p) for p in hpages] + [int(p) for p in got]
+            _, dup = self.host_cm.insert(r.prompt[:span],
+                                         np.asarray(allp, np.int32), ref=0)
+            if len(dup) > h_pg:
+                self.host_cm.free(np.asarray(dup[h_pg:], np.int32))
+            self.stats["host_offloaded_pages"] += npg - h_pg
+        finally:
+            if have:
+                self.host_cm.release(r.prompt[:have])
 
     def _ensure_pages(self, r: _Request, upto_tokens: int) -> None:
         need = -(-upto_tokens // self.page) - len(r.pages)
@@ -526,6 +621,8 @@ class Engine:
 
     def _retire(self) -> None:
         for r in [x for x in self.running if x.done]:
+            if self.host_cm is not None:
+                self._host_offload(r)
             if r.inserted_span:
                 self.cm.release(r.prompt[: r.inserted_span])
             elif r.admit_matched:

@@ -94,6 +94,36 @@ def test_identical_inflight_prompts(setup):
     assert eng.cm.free_pages + eng.cm.cached_pages == 64
 
 
+def test_host_kv_tier_offload_and_restore(setup):
+    """L2 host tier: a finished prompt's KV offloads to the page-major host
+    pool; after the device radix evicts it, re-admission restores the prefix
+    from host instead of recomputing — same tokens, fewer prefill tokens."""
+    cfg, params = setup
+    page = cfg.page_size
+    eng = Engine(llama_adapter(cfg, params), num_pages=16,
+                 max_batch=2, max_pages_per_req=8, prefill_chunk=8,
+                 host_pool_pages=64)
+    pa = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]          # 2 full pages cached
+    out1 = eng.run([pa], 4)[0]
+    assert eng.stats["host_offloaded_pages"] == 2
+    # flood the tiny device pool with other prompts → LRU evicts pa's pages
+    # (checking match() mid-flood would bump pa's recency — check only once)
+    for base in range(0, 55, 9):
+        eng.run([[(base + i) % 61 for i in range(12)],
+                 [(base + 30 + i) % 61 for i in range(12)]], 2)
+    dev_matched, _ = eng.cm.match(np.asarray(pa[:8], np.int32))
+    if dev_matched:
+        eng.cm.release(np.asarray(pa[:dev_matched], np.int32))
+    assert dev_matched == 0, "device radix should have evicted the prefix"
+    pre_before = eng.stats["prefill_tokens"]
+    out2 = eng.run([pa], 4)[0]
+    assert out2 == out1
+    assert eng.stats["host_restored_tokens"] == 8
+    # only the tail (10 - 8 restored) prefilled
+    assert eng.stats["prefill_tokens"] - pre_before == len(pa) - 8
+    assert eng.cm.free_pages + eng.cm.cached_pages == 16
+
+
 def test_mixed_prefill_decode_scheduling(setup):
     """A request admitted mid-decode must not stall the decoding one, and
     interleaved (mixed) scheduling must produce identical tokens."""
