@@ -222,20 +222,3 @@ def prefill_step(
         new_caches.append((k_cache, v_cache))
     return rms_norm(x, params["ln_f"], cfg.rms_eps), new_caches
 
-
-def gather_kv_pages(caches: list, page_ids: jax.Array) -> jax.Array:
-    """All layers' KV for ``page_ids`` as one array [n, L, 2, kvh, page, d]
-    (page-major — the reference's transfer_kv_dim_exchange layout: one host
-    row holds every layer of a token page contiguously)."""
-    per_layer = [jnp.stack([k[page_ids], v[page_ids]], axis=1)
-                 for k, v in caches]                       # [n, 2, kvh, pg, d]
-    return jnp.stack(per_layer, axis=1)                    # [n, L, 2, ...]
-
-
-def scatter_kv_pages(caches: list, page_ids: jax.Array, payload: jax.Array) -> list:
-    """Inverse of :func:`gather_kv_pages`."""
-    out = []
-    for li, (k, v) in enumerate(caches):
-        out.append((k.at[page_ids].set(payload[:, li, 0].astype(k.dtype)),
-                    v.at[page_ids].set(payload[:, li, 1].astype(v.dtype))))
-    return out

@@ -60,6 +60,17 @@ class ModelAdapter:
     scatter_pages: Callable | None = None
 
 
+def paged_gather_pages(caches, page_ids):
+    """Generic host-offload gather for any cache pytree whose leaves lead with
+    a page dimension (llama/gpt_oss tuples, deepseek nope/rope/kidx dicts)."""
+    return jax.tree.map(lambda a: a[page_ids], caches)
+
+
+def paged_scatter_pages(caches, page_ids, payload):
+    return jax.tree.map(
+        lambda a, p: a.at[page_ids].set(p.astype(a.dtype)), caches, payload)
+
+
 def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None) -> ModelAdapter:
     """``lora``: optional multi-adapter weights (models.llama.init_lora);
     requests select adapters via ``Engine.add_request(lora_id=…)``."""
@@ -75,8 +86,8 @@ def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None) -> M
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots, lora=lora, lora_idx=li),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
-        gather_pages=m.gather_kv_pages,
-        scatter_pages=m.scatter_kv_pages,
+        gather_pages=paged_gather_pages,
+        scatter_pages=paged_scatter_pages,
     )
 
 
@@ -92,6 +103,8 @@ def gpt_oss_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
+        gather_pages=paged_gather_pages,
+        scatter_pages=paged_scatter_pages,
     )
 
 
@@ -113,6 +126,8 @@ def deepseek_adapter(cfg, params, dtype=jnp.float32, *,
             cfg, params, x, pos, c, bt, ctx, slots,
             moe_weights_q=moe_weights_q, ep_buffer=ep_buffer),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
+        gather_pages=paged_gather_pages,
+        scatter_pages=paged_scatter_pages,
     )
 
 
@@ -304,10 +319,11 @@ class Engine:
             if len(new_dev) < n_pg - s_pg:
                 self.cm.free(np.asarray(new_dev, np.int32))
                 return matched, pages
-            payload = self.host_pool[np.asarray(hpages)[s_pg:n_pg]]
+            sel = np.asarray(hpages)[s_pg:n_pg]
+            payload = jax.tree.map(lambda pool: jnp.asarray(pool[sel]),
+                                   self.host_pool)
             self.caches = self._jit_scatter(
-                self.caches, jnp.asarray(new_dev, jnp.int32),
-                jnp.asarray(payload))
+                self.caches, jnp.asarray(new_dev, jnp.int32), payload)
             allp = pages + [int(p) for p in new_dev]
             _, dup = self.cm.insert(r.prompt[:hm], np.asarray(allp, np.int32),
                                     ref=0)
@@ -339,12 +355,15 @@ class Engine:
             if len(got) < npg - h_pg:
                 self.host_cm.free(np.asarray(got, np.int32))
                 return
-            payload = np.asarray(self._jit_gather(
+            payload = jax.tree.map(np.asarray, self._jit_gather(
                 self.caches, jnp.asarray(r.pages[h_pg:npg], jnp.int32)))
             if self.host_pool is None:
-                self.host_pool = np.zeros(
-                    (self.host_cm.num_pages,) + payload.shape[1:], payload.dtype)
-            self.host_pool[got] = payload
+                n_host = self.host_cm.num_pages
+                self.host_pool = jax.tree.map(
+                    lambda a: np.zeros((n_host,) + a.shape[1:], a.dtype), payload)
+            for pool, leaf in zip(jax.tree.leaves(self.host_pool),
+                                  jax.tree.leaves(payload)):
+                pool[got] = leaf
             allp = [int(p) for p in hpages] + [int(p) for p in got]
             _, dup = self.host_cm.insert(r.prompt[:span],
                                          np.asarray(allp, np.int32), ref=0)

@@ -318,3 +318,25 @@ def test_multi_lora_serving(setup):
     h1, _ = m.prefill_step(*args, max_q=8, lora=lora,
                            lora_idx=jnp.ones((n,), jnp.int32))
     assert not np.allclose(np.asarray(h0), np.asarray(h1), atol=1e-5)
+
+
+def test_host_kv_tier_deepseek_dict_caches(rng):
+    """The host tier handles dict-pytree caches (DeepSeek nope/rope): offload
+    + restore reproduce the recomputed output."""
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as dsm
+    from sgl_kernel_npu_tpu.runtime.engine import deepseek_adapter
+
+    cfg = dsm.DeepSeekV3Config(num_layers=1, page_size=4, vocab_size=61)
+    params = dsm.init_weights(jax.random.key(3), cfg, jnp.float32)
+    pa = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
+    eng = Engine(deepseek_adapter(cfg, params), num_pages=16,
+                 max_batch=2, max_pages_per_req=8, prefill_chunk=8,
+                 host_pool_pages=64)
+    out1 = eng.run([pa], 4)[0]
+    assert eng.stats["host_offloaded_pages"] == 2
+    for base in range(0, 55, 9):
+        eng.run([[(base + i) % 61 for i in range(12)],
+                 [(base + 30 + i) % 61 for i in range(12)]], 2)
+    out2 = eng.run([pa], 4)[0]
+    assert out2 == out1
+    assert eng.stats["host_restored_tokens"] >= 8
