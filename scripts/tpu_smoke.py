@@ -190,6 +190,22 @@ def main():
                 sa2.attention_sinks_ref(
                     qp_, kp_, vp_, snk, btp, ctxp, 0.125, 24, hqp, hkvp))
 
+    # DSA block-sparse decode: all pages selected == dense (chip numerics)
+    from sgl_kernel_npu_tpu.ops.attention import decode_attention as da2
+
+    bs_, hq_, lat_, rp_, pg_, mp_ = 4, 8, 512, 64, 128, 4
+    npg_ = bs_ * mp_ + 1
+    knb = jnp.asarray(rng.standard_normal((npg_, 1, pg_, lat_)) * 0.5, jnp.bfloat16)
+    krb = jnp.asarray(rng.standard_normal((npg_, 1, rp_, pg_)) * 0.5, jnp.bfloat16)
+    btb = jnp.asarray(rng.permutation(npg_ - 1)[: bs_ * mp_].reshape(bs_, mp_) + 1,
+                      jnp.int32)
+    slb = jnp.asarray(rng.integers(pg_, mp_ * pg_, bs_), jnp.int32)
+    qb = jnp.asarray(rng.standard_normal((bs_, hq_, lat_ + rp_)) * 0.5, jnp.bfloat16)
+    scb = jnp.asarray(rng.standard_normal((bs_, mp_ * pg_)), jnp.float32)
+    ok &= check("decode_mla_block_sparse",
+                da2.decode_mla_block_sparse(qb, knb, krb, slb, 0.042, btb, scb, mp_),
+                da2.decode_mla_ref(qb, knb, krb, slb, 0.042, btb))
+
     # differentiable MLA flash attention (train path): fwd + custom_vjp bwd
     from sgl_kernel_npu_tpu.ops.attention import mla_train as mt
 

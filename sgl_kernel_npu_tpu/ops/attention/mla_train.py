@@ -201,13 +201,13 @@ def _pad_s(x, sp, axis=1):
     return jnp.pad(x, widths)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _flash(sm_scale, cq, ck, interpret, q_lat, q_pe, k_lat, k_pe):
-    out, _ = _flash_fwd(sm_scale, cq, ck, interpret, q_lat, q_pe, k_lat, k_pe)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flash(sm_scale, cq, ck, ckb, interpret, q_lat, q_pe, k_lat, k_pe):
+    out, _ = _flash_fwd(sm_scale, cq, ck, ckb, interpret, q_lat, q_pe, k_lat, k_pe)
     return out
 
 
-def _flash_fwd(sm_scale, cq, ck, interpret, q_lat, q_pe, k_lat, k_pe):
+def _flash_fwd(sm_scale, cq, ck, ckb, interpret, q_lat, q_pe, k_lat, k_pe):
     b, s, h, dn = q_lat.shape
     dr = q_pe.shape[-1]
     sp = -(-s // ck) * ck
@@ -248,7 +248,11 @@ def _flash_fwd(sm_scale, cq, ck, interpret, q_lat, q_pe, k_lat, k_pe):
     return out[:, :s], (q_lat, q_pe, k_lat, k_pe, out[:, :s], lse)
 
 
-def _flash_bwd(sm_scale, cq, ck, interpret, res, g):
+def _flash_bwd(sm_scale, cq, ck, ckb, interpret, res, g):
+    # the backward runs its own (smaller) k-chunk: its kernels carry two
+    # f32 accumulators plus the dO block, so the forward's wide k tiles
+    # overflow VMEM when XLA also places small outputs there
+    ck = ckb
     q_lat, q_pe, k_lat, k_pe, out, lse = res
     b, s, h, dn = q_lat.shape
     dr = q_pe.shape[-1]
@@ -317,7 +321,8 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
 def mla_flash_train(q_lat, q_pe, k_lat, k_pe, sm_scale, *,
-                    q_chunk: int = 64, k_chunk: int = 256, interpret=None):
+                    q_chunk: int = 64, k_chunk: int = 256,
+                    bwd_k_chunk: int = 128, interpret=None):
     """Differentiable dense causal MLA flash attention.
 
     q_lat [B,S,H,L] ‖ q_pe [B,S,H,R] attend to k_lat [B,S,L] + k_pe [B,S,R]
@@ -331,4 +336,6 @@ def mla_flash_train(q_lat, q_pe, k_lat, k_pe, sm_scale, *,
     cq = min(q_chunk, max(8, s))
     ck = max(k_chunk, cq)
     ck = -(-ck // cq) * cq                     # cq | ck
-    return _flash(sm_scale, cq, ck, interpret, q_lat, q_pe, k_lat, k_pe)
+    ckb = max(min(bwd_k_chunk, ck), cq)
+    ckb = -(-ckb // cq) * cq
+    return _flash(sm_scale, cq, ck, ckb, interpret, q_lat, q_pe, k_lat, k_pe)
