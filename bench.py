@@ -36,7 +36,11 @@ def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 10):
         def run(qs, operands):
             def step(carry, q):
                 out = per_iter_fn(q, *operands)
-                return carry + jnp.sum(out.astype(jnp.float32)), None
+                # nonlinear consumption: a plain sum lets XLA factor
+                # sum(p @ v) into (sum p)·(sum v) and DELETE the matmul from
+                # jnp baselines (Pallas calls are opaque and unaffected)
+                o = out.astype(jnp.float32)
+                return carry + jnp.sum(o * o), None
 
             total, _ = jax.lax.scan(step, jnp.float32(0), qs)
             return total

@@ -28,7 +28,9 @@ def main():
     kp = mk(jax.random.key(1), (b, s, dr))
     qp = mk(jax.random.key(2), (b, s, h, dr))
 
-    n1, n2 = 2, 10
+    # spread must dwarf tunnel jitter (~24 ms): 8 iterations of a ~1 ms op
+    # once measured 122 us 'per iter' — impossible (634 TF)
+    n1, n2 = 2, 26
     qs_small = mk(jax.random.key(3), (n1, b, s, h, dl))
     qs_big = mk(jax.random.key(4), (n2, b, s, h, dl))
 

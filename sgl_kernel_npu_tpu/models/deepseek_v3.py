@@ -135,7 +135,7 @@ def _mla_qkv(cfg: DeepSeekV3Config, lw: dict, x: jax.Array, cos, sin):
     qpe = apply_rope(qpe, cos, sin)
     kpe = apply_rope(kpe[:, None, :], cos, sin)[:, 0]       # [N, rope]
     k_lat = rms_norm_ref(ckv, lw["kv_ln"])                  # [N, lat]
-    return q_lat, qpe, k_lat, kpe
+    return q_lat, qpe, k_lat, kpe, h1
 
 
 def _mla_output(cfg: DeepSeekV3Config, lw: dict, attn_lat: jax.Array):
@@ -193,7 +193,7 @@ def decode_step(
     x = hidden
     new_caches = []
     for li, lw in enumerate(params["layers"]):
-        q_lat, qpe, k_lat, kpe = _mla_qkv(cfg, lw, x, cos, sin)
+        q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(cfg, lw, x, cos, sin)
         cache = kv_caches[li]
         cache_n = reshape_and_cache(k_lat[:, None, :].astype(cache["nope"].dtype), cache["nope"], slot_mapping)
         cache_r = reshape_and_cache_transposed(
@@ -210,7 +210,6 @@ def decode_step(
                 lightning_indexer)
 
             n = x.shape[0]
-            h1 = rms_norm_ref(x, lw["ln1"])
             qidx = (h1 @ lw["w_qidx"]).reshape(n, cfg.idx_heads, cfg.idx_dim)
             widx = h1 @ lw["w_widx"]
             kidx = h1 @ lw["w_kidx"]
@@ -293,7 +292,7 @@ def prefill_step(
     x = hidden
     new_caches = []
     for li, lw in enumerate(params["layers"]):
-        q_lat, qpe, k_lat, kpe = _mla_qkv(cfg, lw, x, cos, sin)
+        q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(cfg, lw, x, cos, sin)
         cache = kv_caches[li]
         cache_n = reshape_and_cache(
             k_lat[:, None, :].astype(cache["nope"].dtype), cache["nope"], slot_mapping)
@@ -303,7 +302,6 @@ def prefill_step(
         if cfg.sparse_count > 0:
             # DSA: prefill attention stays dense, but the index keys must be
             # cached so later decode steps can score the prompt tokens
-            h1 = rms_norm_ref(x, lw["ln1"])
             nc["kidx"] = reshape_and_cache(
                 (h1 @ lw["w_kidx"])[:, None, :].astype(cache["kidx"].dtype),
                 cache["kidx"], slot_mapping)
@@ -388,7 +386,7 @@ def _train_attention(cfg, lw, x, cos, sin, *, flash=False):
     ways instead of the [B,H,S,S] score matrix."""
     b, s, h = x.shape
     flat = x.reshape(b * s, h)
-    q_lat, qpe, k_lat, kpe = _mla_qkv(cfg, lw, flat, cos, sin)
+    q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(cfg, lw, flat, cos, sin)
     q_lat = q_lat.reshape(b, s, cfg.num_heads, -1)
     qpe = qpe.reshape(b, s, cfg.num_heads, -1)
     k_lat = k_lat.reshape(b, s, -1)
@@ -537,7 +535,7 @@ def tp_attention_block(cfg: DeepSeekV3Config, lw: dict, x, cos, sin, cache,
     lw_attn = {k: lw[k] for k in keys}
 
     def body(xs, lww, cos_, sin_, cn, cr, bt, sl, slots):
-        q_lat, qpe, k_lat, kpe = _mla_qkv(local_cfg, lww, xs, cos_, sin_)
+        q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(local_cfg, lww, xs, cos_, sin_)
         cn2 = reshape_and_cache(
             k_lat[:, None, :].astype(cn.dtype), cn, slots)
         cr2 = reshape_and_cache_transposed(
@@ -565,6 +563,10 @@ def decode_step_tp(
 ):
     """decode_step with head-TP attention (MoE/shared experts replicated;
     combine with EP via a tp×ep mesh and Buffer for the full 2D layout)."""
+    if cfg.sparse_count > 0:
+        raise NotImplementedError(
+            "decode_step_tp does not run the DSA sparse branch (and would "
+            "drop the kidx cache leaf) — use dense configs for TP serving")
     cos, sin = rope_cos_sin(positions, cfg.qk_rope_dim)
     x = hidden
     new_caches = []

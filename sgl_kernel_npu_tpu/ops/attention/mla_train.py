@@ -338,4 +338,6 @@ def mla_flash_train(q_lat, q_pe, k_lat, k_pe, sm_scale, *,
     ck = -(-ck // cq) * cq                     # cq | ck
     ckb = max(min(bwd_k_chunk, ck), cq)
     ckb = -(-ckb // cq) * cq
+    if ck % ckb:
+        ckb = cq          # cq | ck always holds, keeping bwd sp == fwd sp
     return _flash(sm_scale, cq, ck, ckb, interpret, q_lat, q_pe, k_lat, k_pe)

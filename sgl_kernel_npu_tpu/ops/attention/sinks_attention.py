@@ -316,12 +316,10 @@ def attention_sinks_packed(
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
         sk = jnp.pad(sk, ((0, 0), (0, group_p - group)))
-    # zero-interleaved packed queries: [s, hkv/2, 2*gp, 2d]
-    qa, qb = qg[:, 0::2], qg[:, 1::2]
-    q2 = jnp.concatenate([
-        jnp.concatenate([qa, jnp.zeros_like(qa)], -1),
-        jnp.concatenate([jnp.zeros_like(qb), qb], -1),
-    ], axis=2)
+    # zero-interleaved packed queries: [s, hkv/2, 2*gp, 2d] (shared helper —
+    # one definition of the lane-packing convention for decode AND prefill)
+    q2, _ = _pack_queries(qg.reshape(s, k_head_num * group_p * d),
+                          k_head_num * group_p, k_head_num, d)
     sk2 = jnp.concatenate([sk[0::2], sk[1::2]], axis=-1)[:, None, :]  # [hkv2,1,2gp]
     max_pages = block_tables.shape[1]
     if sliding_window_size > 0:
@@ -369,10 +367,9 @@ def attention_sinks_packed(
         interpret=interpret,
     )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
       q2, sk2, k_packed, v_packed)
-    # de-interleave: top rows lanes [0,dv) = head 2j, bottom rows [dv,2dv) = 2j+1
-    oa = out[:, :, :group_p, :dv]
-    ob = out[:, :, group_p:, dv:]
-    o = jnp.stack([oa, ob], axis=2).reshape(s, k_head_num, group_p, dv)
+    # de-interleave via the shared helper, then drop the group padding
+    o = _unpack_outputs(out, s, k_head_num, group_p, dv).reshape(
+        s, k_head_num, group_p, dv)
     return o[:, :, :group].reshape(s, q_head_num * dv)
 
 

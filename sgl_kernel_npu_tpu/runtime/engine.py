@@ -227,6 +227,8 @@ class Engine:
         # sample/verify_tree_greedy.py supply only the ops; the loop is ours).
         self.spec_k = spec_k
         self.draft = draft_adapter
+        if spec_k > 0 and draft_adapter is None:
+            raise ValueError("spec_k > 0 requires a draft_adapter")
         if draft_adapter is not None:
             if spec_k <= 0:
                 raise ValueError("spec_k must be > 0 with a draft_adapter")
@@ -242,12 +244,13 @@ class Engine:
                                  "recurrent state): stale draft state cannot "
                                  "be rolled back across rounds")
             self._jit_verify = jax.jit(self._verify_call, donate_argnums=(2,))
+            if adapter.prefill_single or adapter.snapshot_state is not None:
+                self._jit_verify_one = jax.jit(self._verify_one_call,
+                                               donate_argnums=(2,))
             if adapter.snapshot_state is not None:
                 self._jit_snapshot = jax.jit(adapter.snapshot_state)
                 self._jit_restore = jax.jit(adapter.restore_state,
                                             donate_argnums=(0,))
-                self._jit_verify_one = jax.jit(self._verify_one_call,
-                                               donate_argnums=(2,))
             from sgl_kernel_npu_tpu.ops import speculative as _sp
             self._jit_verify_tree = jax.jit(_sp.verify_tree_greedy)
 
@@ -566,7 +569,7 @@ class Engine:
             for j in range(d):
                 vslots[i, j] = self._slot(r, int(Ls[i]) - 1 + j)
         snaps = []
-        if self.a.snapshot_state is None:
+        if not self.a.prefill_single:
             # one packed varlen prefill scores every request's chain at once
             ids = np.zeros((b * d,), np.int32)
             seq_lens = np.zeros((b,), np.int32)
@@ -582,14 +585,15 @@ class Engine:
                 jnp.asarray(state_idx), jnp.asarray(np.repeat(lora, d)))
             target = np.asarray(target).reshape(b, d)
         else:
-            # hybrid (recurrent-state) adapters: per-request verify with a
-            # state snapshot first — the verify prefill advances the GDN
-            # pools through REJECTED tokens, so acceptance is followed by
-            # restore + a catch-up prefill of only the accepted rows
+            # per-request verify (prefill_single adapters).  With recurrent
+            # state (snapshot hooks), snapshot first — the verify prefill
+            # advances the GDN pools through REJECTED tokens, so acceptance
+            # is followed by restore + a catch-up prefill of the accepted rows
             target = np.zeros((b, d), np.int32)
             for i, r in enumerate(live):
                 si = jnp.asarray([r.state_slot], jnp.int32)
-                snaps.append(self._jit_snapshot(self.caches, si))
+                if self.a.snapshot_state is not None:
+                    snaps.append(self._jit_snapshot(self.caches, si))
                 toks, self.caches = self._jit_verify_one(
                     jnp.asarray(cand[i]), jnp.int32(d), self.caches,
                     jnp.asarray(bt[i]), jnp.int32(int(Ls[i]) + k),
@@ -601,10 +605,8 @@ class Engine:
             np.arange(b, dtype=np.int32)[:, None] * d)
         nt = np.tile(np.asarray([*range(1, d), -1], np.int32), (b, 1))
         ns = np.full((b, d), -1, np.int32)
-        cand_b = np.zeros((b, d), np.int32)
-        cand_b[:n] = cand[:n]
         predicts, accept_index, accept_num = self._jit_verify_tree(
-            jnp.asarray(cand_b), jnp.asarray(ridx), jnp.asarray(nt),
+            jnp.asarray(cand), jnp.asarray(ridx), jnp.asarray(nt),
             jnp.asarray(ns), jnp.asarray(target))
         predicts = np.asarray(predicts)
         accept_index = np.asarray(accept_index)
@@ -620,9 +622,11 @@ class Engine:
             if len(r.out_tokens) >= r.max_new_tokens:
                 r.done = True
             self.stats["spec_accepted"] += n_acc
-            if snaps:
+            if snaps and n_acc < k:
                 # roll the GDN pools back to before the round, then advance
-                # them through exactly the accepted rows ([last, d1..d_nacc])
+                # them through exactly the accepted rows ([last, d1..d_nacc]).
+                # n_acc == k needs no rollback: the verify advanced the state
+                # through exactly the accepted rows already.
                 m = n_acc + 1
                 si = jnp.asarray([r.state_slot], jnp.int32)
                 self.caches = self._jit_restore(self.caches, snaps[i], si)
