@@ -53,6 +53,52 @@ def run(e_local, seg, h, n, label):
     return ok
 
 
+def run_routed(rng_seed=1):
+    """End-to-end routed path on the self-loop mesh: per-token quant → routing
+    plan → fused kernel → combine_core, vs the dense golden."""
+    from sgl_kernel_npu_tpu.parallel import ep_core
+    from sgl_kernel_npu_tpu.parallel.fused_kernel import fused_dispatch_gmm1
+
+    rng = np.random.default_rng(rng_seed)
+    t_tok, h, n, e, k, seg = 16, 1024, 512, 4, 2, 16
+    x = jnp.asarray(rng.standard_normal((t_tok, h)) * 0.3, jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(e, k, replace=False) for _ in range(t_tok)]), jnp.int32)
+    w = jnp.asarray(rng.random((t_tok, k)), jnp.float32)
+    w1 = jnp.asarray(rng.integers(-100, 100, (e, h, n)), jnp.int8)
+    sw = jnp.asarray(rng.random((e, n)).astype(np.float32) / 100)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+
+    @jax.jit
+    def go(x_, idx_, w_, w1_, sw_):
+        def body(xs, ii, ww, w1__, sw__):
+            out, _, handle = fused_dispatch_gmm1(
+                xs, ii, w1__, sw__, axis_name="ep", num_experts=e,
+                num_ranks=1, seg_capacity=seg, tk=512, tn=512)
+            return ep_core.combine_core(
+                out.astype(jnp.float32), ww, handle, axis_name="ep",
+                num_ranks=1, seg_capacity=seg, out_dtype=jnp.float32)
+        return jax.shard_map(
+            body, mesh=mesh, in_specs=(P(),) * 5, out_specs=P(),
+            check_vma=False)(x_, idx_, w_, w1_, sw_)
+
+    got = np.asarray(go(x, idx, w, w1, sw))
+    # golden: per-token int8 quant → Σ_k w·dequant(xq @ w1[e_k])
+    xf = np.asarray(x, np.float32)
+    sc = np.maximum(np.abs(xf).max(-1) / 127.0, 1e-12)
+    xq = np.clip(np.round(xf / sc[:, None]), -128, 127).astype(np.int32)
+    want = np.zeros((t_tok, n), np.float32)
+    for t in range(t_tok):
+        for j in range(k):
+            ee = int(idx[t, j])
+            acc = xq[t] @ np.asarray(w1[ee], np.int32)
+            want[t] += float(w[t, j]) * acc * sc[t] * np.asarray(sw[ee])
+    rel = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+    ok = rel < 3e-2
+    print(f"{'OK ' if ok else 'FAIL'} fused routed dispatch+GMM1+combine: rel={rel:.2e}")
+    return ok
+
+
 def bench():
     import time
 
@@ -98,6 +144,8 @@ def bench():
 
 def main():
     ok = run(4, 128, 2048, 1024, "small")
+    if ok:
+        ok &= run_routed()
     if ok:
         ok &= run(8, 128, 7168, 4096, "deepseek-shape")
     if ok:

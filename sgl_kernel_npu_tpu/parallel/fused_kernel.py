@@ -185,3 +185,73 @@ def fused_dispatch_gmm1_rank(
         ),
     )(xsend_c, w1, sw1[:, None, :], sx[:, None, :])
     return out
+
+
+def fused_dispatch_gmm1(
+    x: jax.Array,          # [T, H] this rank's tokens (float)
+    topk_idx: jax.Array,   # [T, K] global expert ids (−1 = inactive)
+    w1: jax.Array,         # [E_local, H, N] int8
+    sw1: jax.Array,        # [E_local, N] f32
+    *,
+    axis_name: str,
+    num_experts: int,
+    num_ranks: int,
+    seg_capacity: int,
+    tk: int = 1024,
+    tn: int = 512,
+):
+    """Routed fused dispatch→GEMM1 from the public routing machinery.
+
+    Per-token INT8 quant → routing plan → sender-side placement at
+    ``(dst, e_local·seg + idx_in_expert)`` → the single fused kernel.  Scales
+    ride a (tiny) ``lax.all_to_all``.  Returns ``(out [E_local, R·seg, N]
+    bf16, counts [E_local], handle)`` — the packed low-latency layout, so
+    ``ep_core.combine_core`` consumes the expert outputs directly.
+    """
+    from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
+    from sgl_kernel_npu_tpu.parallel import ep_core
+
+    t, h = x.shape
+    e_local = num_experts // num_ranks
+    seg = seg_capacity
+    er = e_local * seg
+    my = jax.lax.axis_index(axis_name)
+    plan = ep_core.make_routing_plan(
+        topk_idx,
+        num_experts=num_experts,
+        num_ranks=num_ranks,
+        my_rank=my,
+        pair_capacity=er,
+        seg_capacity=seg,
+    )
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / INT8_MAX, 1e-12)
+    xq = saturate_int8(xf / scale[:, None])
+
+    # sender-side row position inside xsend[dst]: slot·seg + idx_in_expert
+    # (each source owns its seg segment, so idx_in_expert < seg)
+    sp = (plan.dest_slot // (num_ranks * seg)) * seg + plan.dest_slot % seg
+    sp = jnp.where(plan.ok, sp, er)
+    dst = jnp.where(plan.ok, plan.dst_rank, num_ranks)
+    xsend = (
+        jnp.zeros((num_ranks, er + 1, h), jnp.int8)
+        .at[dst, sp].set(xq[plan.src_token], mode="drop")[:, :er]
+    )
+    ssend = (
+        jnp.zeros((num_ranks, er + 1), jnp.float32)
+        .at[dst, sp].set(scale[plan.src_token], mode="drop")[:, :er]
+    )
+    # scales: [R_dst, ER] → receiver [R_src, ER] → [E_local, R·seg]
+    srecv = jax.lax.all_to_all(
+        ssend.reshape(num_ranks, 1, er), axis_name, 0, 0, tiled=False
+    ).reshape(num_ranks, e_local, seg)
+    sx = srecv.transpose(1, 0, 2).reshape(e_local, num_ranks * seg)
+
+    out = fused_dispatch_gmm1_rank(
+        xsend, w1, sw1, sx,
+        axis_name=axis_name, num_ranks=num_ranks, seg=seg, tk=tk, tn=tn)
+    counts = plan.counts_per_expert  # my SEND counts; receivers' via psum
+    k = topk_idx.shape[1]
+    handle = ep_core.DispatchHandle(
+        plan.gather_idx.reshape(t, k), plan.ok.reshape(t, k), None, None)
+    return out, counts, handle
