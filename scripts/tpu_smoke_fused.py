@@ -100,8 +100,6 @@ def run_routed(rng_seed=1):
 
 
 def bench():
-    import time
-
     from bench import _bench_scanned
     from sgl_kernel_npu_tpu.ops import grouped_matmul as gm
 

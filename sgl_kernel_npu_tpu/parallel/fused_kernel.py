@@ -58,7 +58,7 @@ def _fused_kernel(
     my = jax.lax.axis_index(axis_name) if num_ranks > 1 else 0
     rows = x_vmem.shape[0]            # R * seg
 
-    def remote(d_src_or_dst, ck, *, to):
+    def remote(ck, *, to):
         return pltpu.make_async_remote_copy(
             src_ref=xsend_ref.at[ck, to],
             dst_ref=win_ref.at[ck, my],
@@ -85,7 +85,7 @@ def _fused_kernel(
         for d_off in range(num_ranks):
             d = jax.lax.rem(my + d_off, num_ranks) if num_ranks > 1 else 0
             for ck in range(nk):
-                remote(d, ck, to=d).start()
+                remote(ck, to=d).start()
 
     @pl.when(nt == 0)
     def _fill_slab():
@@ -124,7 +124,7 @@ def _fused_kernel(
     def _drain_sends():
         for d in range(num_ranks):
             for ck in range(nk):
-                remote(d, ck, to=d).wait_send()
+                remote(ck, to=d).wait_send()
 
 
 def fused_dispatch_gmm1_rank(
