@@ -44,21 +44,18 @@ from sgl_kernel_npu_tpu.parallel.pallas_a2a import (
 )
 
 
-def _make_a2a(axis_name: str, num_ranks: int, backend: str, base_id: int = 1):
+def _make_a2a(axis_name: str, num_ranks: int, backend: str):
     """Transport selector: XLA collective or the Pallas one-sided window backend.
 
     "pallas_ragged" only differs on the dispatch payload path (handled inside
     ``dispatch_core``); dense exchanges (combine, counts) use the fixed-size
-    window kernel for it.
+    window kernel for it.  Collective ids come from the central allocator
+    (collective_ids.next_collective_id) at trace time — distinct per call site.
     """
     if backend in ("pallas", "pallas_ragged"):
-        counter = [base_id]
 
         def a2a(v):
-            counter[0] += 1
-            return pallas_all_to_all(
-                v, axis_name=axis_name, num_ranks=num_ranks, collective_id=counter[0]
-            )
+            return pallas_all_to_all(v, axis_name=axis_name, num_ranks=num_ranks)
 
         return a2a
     if backend != "xla":
@@ -275,12 +272,11 @@ def dispatch_core(
         if monitor:
             recv_payload, rcnt, stats = pallas_ragged_all_to_all(
                 send_x, rows_to_dst, axis_name=axis_name, num_ranks=num_ranks,
-                collective_id=24, monitor=True,
+                monitor=True,
             )
         else:
             recv_payload, rcnt = pallas_ragged_all_to_all(
                 send_x, rows_to_dst, axis_name=axis_name, num_ranks=num_ranks,
-                collective_id=24,
             )
         # meta (+ scale bits) ride one ragged exchange as an int32 blob
         blob = send_meta[:, :, None]
@@ -291,7 +287,6 @@ def dispatch_core(
             )
         recv_blob, _ = pallas_ragged_all_to_all(
             blob, rows_to_dst, axis_name=axis_name, num_ranks=num_ranks,
-            collective_id=25,
         )
         # rows past rcnt[s] are UNDEFINED window memory: their meta must not
         # scatter (reference: receivers only touch rows < received count)
@@ -304,10 +299,10 @@ def dispatch_core(
         )
         counts = pallas_all_to_all(
             plan.counts_per_expert.reshape(num_ranks, e_local),
-            axis_name=axis_name, num_ranks=num_ranks, collective_id=26,
+            axis_name=axis_name, num_ranks=num_ranks,
         )
     else:
-        a2a = _make_a2a(axis_name, num_ranks, backend, base_id=1)
+        a2a = _make_a2a(axis_name, num_ranks, backend)
         recv_payload = a2a(send_x)          # [R, C, H]
         recv_meta = a2a(send_meta)          # [R, C]
         counts = a2a(plan.counts_per_expert.reshape(num_ranks, e_local))  # [R, E_local]
@@ -377,7 +372,7 @@ def combine_core(
     out_dtype = out_dtype or y.dtype
     # regroup slots by destination (source) rank and route back
     y_by_rank = y.reshape(e_local, num_ranks, seg_capacity, hidden).transpose(1, 0, 2, 3)
-    a2a = _make_a2a(axis_name, num_ranks, backend, base_id=8)
+    a2a = _make_a2a(axis_name, num_ranks, backend)
     if use_int8_comm:
         yf = y_by_rank.astype(jnp.float32)
         scale = jnp.maximum(jnp.max(jnp.abs(yf), axis=-1, keepdims=True) / INT8_MAX, 1e-12)

@@ -138,12 +138,16 @@ def fused_dispatch_gmm1_rank(
     seg: int,
     tk: int = 1024,
     tn: int = 512,
-    collective_id: int | None = 9,
+    collective_id: int | None = None,
 ):
     """Fused one-sided dispatch + dequantizing grouped GEMM1 (run in shard_map).
 
     Returns ``out [E_local, R·seg, N] bf16``.  Requires ``H % tk == 0``,
     ``N % tn == 0``.  No CPU-interpret mode (remote DMA semaphores)."""
+    from sgl_kernel_npu_tpu.parallel.collective_ids import next_collective_id
+
+    if collective_id is None:
+        collective_id = next_collective_id()
     r, er, h = xsend.shape
     e_local, _, n = w1.shape
     assert er == e_local * seg and h % tk == 0 and n % tn == 0

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sgl_kernel_npu_tpu.parallel.collective_ids import next_collective_id
 from sgl_kernel_npu_tpu.utils.common import interpret_default
 
 
@@ -358,7 +359,7 @@ def pallas_ragged_all_to_all(
     axis_name: str,
     num_ranks: int,
     chunk_rows: int = 32,
-    collective_id: int = 16,
+    collective_id: int | None = None,
     interpret: bool | None = None,
     static_chunks: bool | None = None,
     monitor: bool = False,
@@ -384,6 +385,8 @@ def pallas_ragged_all_to_all(
     """
     if interpret is None:
         interpret = interpret_default()
+    if collective_id is None:
+        collective_id = next_collective_id()
     if static_chunks is None:
         static_chunks = interpret  # see chunk_count: interpret sim needs symmetry
     r, c_cap = x.shape[0], x.shape[1]
@@ -472,7 +475,7 @@ def pallas_all_to_all(
     *,
     axis_name: str,
     num_ranks: int,
-    collective_id: int = 7,
+    collective_id: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """One-sided-window all-to-all: per-rank ``x [R, ...]`` → ``out [R, ...]`` where
@@ -483,6 +486,8 @@ def pallas_all_to_all(
     """
     if interpret is None:
         interpret = interpret_default()
+    if collective_id is None:
+        collective_id = next_collective_id()
     assert x.shape[0] == num_ranks, (x.shape, num_ranks)
     return pl.pallas_call(
         functools.partial(_a2a_kernel, axis_name=axis_name, num_ranks=num_ranks),
