@@ -119,7 +119,8 @@ class Buffer:
             return tuple(jnp.asarray(v)[None] for v in plan)
 
         p = P(self.axis_name)
-        outs = self._smap(body, in_specs=(p,), out_specs=(p,) * 8)(topk_idx)
+        n_fields = len(ep_core.RoutingPlan._fields)
+        outs = self._smap(body, in_specs=(p,), out_specs=(p,) * n_fields)(topk_idx)
         return ep_core.RoutingPlan(*outs)
 
     # -- low latency (decode) ------------------------------------------------------

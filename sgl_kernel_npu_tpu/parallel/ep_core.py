@@ -79,6 +79,8 @@ class RoutingPlan(NamedTuple):
     src_token: jax.Array       # [T*K] local token id
     counts_per_expert: jax.Array  # [E] tokens this rank sends to each global expert
     num_dropped: jax.Array     # [] capacity-overflow drops (EPLB/diagnostic signal)
+    send_pos: jax.Array        # [T*K] row in the COMPACT (dst, slot)-sorted send
+    #                            layout (ok rows packed from 0; dropped rows = n)
 
 
 class DispatchHandle(NamedTuple):
@@ -172,6 +174,12 @@ def make_routing_plan(
         0,
     )
 
+    # position in the ok-compacted sorted layout (the "normal mode" compact send
+    # buffer: rows packed from 0 in (dst, slot) order; dropped rows park at n)
+    send_pos_sorted = jnp.where(
+        ok_sorted, jnp.cumsum(ok_sorted.astype(jnp.int32)) - 1, n
+    )
+
     # un-sort back to original (t, k) order
     def unsort(v, fill=0):
         return jnp.zeros(n, v.dtype).at[order].set(v)
@@ -187,6 +195,7 @@ def make_routing_plan(
         .at[sorted_key]
         .add(ok_sorted.astype(jnp.int32), mode="drop"),
         num_dropped=num_dropped,
+        send_pos=unsort(send_pos_sorted),
     )
     return plan
 

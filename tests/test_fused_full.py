@@ -1,0 +1,142 @@
+"""FULL single-kernel fused MoE vs the unfused chain (VERDICT r1 item #1).
+
+The reference's own bar: fused output matches the separate
+dispatch→GMM→SwiGLU→GMM→combine pipeline to avg_diff < 4e-4
+(tests/python/deepep/test_fused_deep_moe.py:469).
+
+The distributed checks run in the interpret simulator with eager DMA
+execution (see fused_full.py — the default lazy mode mis-delivers multi-slot
+one-sided transfers).  R=4 is the default-suite size; the R=8 case is
+identical machinery at ~8× the single-core simulation cost, so it carries the
+``slow`` marker.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from sgl_kernel_npu_tpu.parallel import fused_full
+from sgl_kernel_npu_tpu.parallel.fused_moe import (
+    fused_deep_moe_rank,
+    quantize_expert_weights,
+)
+
+H, I = 128, 64
+TN1 = 128  # pack width == n1 so both paths share the packed layout
+
+
+def _weights(rng, e):
+    wg = (rng.standard_normal((e, H, I)) * 0.05).astype(np.float32)
+    wu = (rng.standard_normal((e, H, I)) * 0.05).astype(np.float32)
+    wd = (rng.standard_normal((e, I, H)) * 0.05).astype(np.float32)
+    return quantize_expert_weights(
+        jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd), tn=TN1
+    )
+
+
+def _inputs(rng, n, e, k):
+    x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(e, k, replace=False) for _ in range(n)]), jnp.int32
+    )
+    w = jnp.asarray(rng.random((n, k)), jnp.float32)
+    return x, idx, w
+
+
+def _run_pair(mesh, rng, *, r, e, t, k, seg, drop_prob=0.0):
+    w1, s1, w2, s2 = _weights(rng, e)
+    x, idx, w = _inputs(rng, r * t, e, k)
+    if drop_prob:
+        idx = jnp.where(jnp.asarray(rng.random((r * t, k)) < drop_prob), -1, idx)
+
+    def fused(xs, ids, ws):
+        out, cnt, drop = fused_full.fused_deep_moe_full_rank(
+            xs, ids, ws, w1, s1, w2, s2,
+            axis_name="ep", num_experts=e, num_ranks=r, seg_capacity=seg,
+            tm=32, tk1=H, tn1=TN1, tk2=I, tn2=H, tn3=H,
+        )
+        return out, cnt[None], drop[None]
+
+    def unfused(xs, ids, ws):
+        out, cnt, drop = fused_deep_moe_rank(
+            xs, ids, ws, w1, s1, w2, s2,
+            axis_name="ep", num_experts=e, num_ranks=r,
+            pair_capacity=t * k, seg_capacity=seg,
+            gmm_tiles=(32, H, TN1), pack_tn=TN1,
+        )
+        return out, cnt[None], drop[None]
+
+    smap = lambda fn: jax.shard_map(
+        fn, mesh=mesh, in_specs=(P("ep"), P("ep"), P("ep")),
+        out_specs=(P("ep"), P("ep"), P("ep")), check_vma=False,
+    )
+    got, cnt_f, drop_f = smap(fused)(x, idx, w)
+    ref, cnt_u, drop_u = smap(unfused)(x, idx, w)
+    assert int(np.asarray(drop_f).sum()) == 0 and int(np.asarray(drop_u).sum()) == 0
+    # receiver-side per-expert counts must match the unfused dispatch's
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_u))
+    g = np.asarray(got, np.float32)
+    rr = np.asarray(ref, np.float32)
+    avg_diff = np.abs(g - rr).mean() / (np.abs(rr).mean() + 1e-9)
+    assert avg_diff < 4e-4, avg_diff
+
+
+def _mesh(n):
+    return jax.sharding.Mesh(np.array(jax.devices()[:n]), ("ep",))
+
+
+def test_full_fused_matches_unfused_4rank(rng):
+    """Distributed interpret, static-shape mode, 4 ranks."""
+    _run_pair(_mesh(4), rng, r=4, e=8, t=16, k=2, seg=16)
+
+
+def test_full_fused_topk_minus_one(rng):
+    """Inactive (−1) top-k slots drop cleanly (reference MOE_ENABLE_TOPK_NEG_ONE)."""
+    _run_pair(_mesh(4), rng, r=4, e=8, t=16, k=2, seg=16, drop_prob=0.3)
+
+
+def test_full_fused_compact_single_rank(rng):
+    """Compact (live-rows) metadata path on a 1-rank mesh in interpret."""
+    mesh1 = _mesh(1)
+    e, t, k = 16, 16, 4
+    w1, s1, w2, s2 = _weights(rng, e)
+    x, idx, w = _inputs(rng, t, e, k)
+
+    def fused(xs, ids, ws):
+        out, cnt, drop = fused_full.fused_deep_moe_full_rank(
+            xs, ids, ws, w1, s1, w2, s2,
+            axis_name="ep", num_experts=e, num_ranks=1, seg_capacity=t,
+            tm=32, tk1=H, tn1=TN1, tk2=I, tn2=H, tn3=H,
+            static_shapes=False,
+        )
+        return out, cnt[None], drop[None]
+
+    def unfused(xs, ids, ws):
+        out, cnt, drop = fused_deep_moe_rank(
+            xs, ids, ws, w1, s1, w2, s2,
+            axis_name="ep", num_experts=e, num_ranks=1,
+            pair_capacity=t * k, seg_capacity=t,
+            gmm_tiles=(32, H, TN1), pack_tn=TN1,
+        )
+        return out, cnt[None], drop[None]
+
+    smap = lambda fn: jax.shard_map(
+        fn, mesh=mesh1, in_specs=(P("ep"), P("ep"), P("ep")),
+        out_specs=(P("ep"), P("ep"), P("ep")), check_vma=False,
+    )
+    got, cnt_f, _ = smap(fused)(x, idx, w)
+    ref, cnt_u, _ = smap(unfused)(x, idx, w)
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_u))
+    g = np.asarray(got, np.float32)
+    r = np.asarray(ref, np.float32)
+    avg_diff = np.abs(g - r).mean() / (np.abs(r).mean() + 1e-9)
+    assert avg_diff < 4e-4, avg_diff
+
+
+@pytest.mark.slow
+def test_full_fused_matches_unfused_8rank(mesh8, rng):
+    """Full 8-rank equivalence — same machinery as the 4-rank case but ~8× the
+    single-core interpret cost (spin-waits serialize on one CPU)."""
+    _run_pair(mesh8, rng, r=8, e=16, t=16, k=4, seg=16)
