@@ -69,6 +69,50 @@ def main():
           f"count={oc[0, 0]} polls={stats[0, 0, 0]} timeout={stats[0, 0, 1]}")
     ok &= good
 
+    # full LL dispatch→combine over the ragged backend with combine monitoring
+    # (payload-phase bounded waits + combine_send_cost_stats, VERDICT item 2)
+    from sgl_kernel_npu_tpu.parallel import ep_core
+
+    E, T, K, Hd = 8, 16, 2, 256
+    xt = jnp.asarray(rng.standard_normal((T, Hd)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(E, K, replace=False) for _ in range(T)]), jnp.int32)
+    wts = jnp.asarray(rng.random((T, K)), jnp.float32)
+
+    def roundtrip(backend, monitor):
+        def f(xs, ids, ws):
+            d = ep_core.dispatch_core(
+                xs, ids, axis_name="ep", num_experts=E, num_ranks=R,
+                seg_capacity=T, use_int8=False, backend=backend)
+            y = d["recv_x"].astype(jnp.float32) * 0.5
+            out = ep_core.combine_core(
+                y, ws, d["handle"], axis_name="ep", num_ranks=R,
+                seg_capacity=T, out_dtype=jnp.float32, backend=backend,
+                monitor=monitor)
+            if monitor:
+                out, st = out
+                return out, st[None]
+            return out, jnp.zeros((1, R, 6), jnp.int32)
+        return jax.jit(
+            functools.partial(
+                jax.shard_map, mesh=mesh, in_specs=(P("ep"),) * 3,
+                out_specs=(P("ep"), P("ep")), check_vma=False,
+            )(f)
+        )
+
+    out_x, _ = roundtrip("xla", False)(xt, idx, wts)
+    out_r, cst = roundtrip("pallas_ragged", True)(xt, idx, wts)
+    out_x, out_r, cst = map(np.asarray, (out_x, out_r, cst))
+    good = (
+        np.allclose(out_r, out_x, rtol=1e-5, atol=1e-5)
+        and cst[0, 0, 1] == 0 and cst[0, 0, 4] == 0
+    )
+    print(f"{'OK ' if good else 'FAIL'} monitored ragged combine roundtrip: "
+          f"max_diff={np.abs(out_r - out_x).max():.2e} "
+          f"count_polls={cst[0, 0, 0]} payload_polls={cst[0, 0, 3]} "
+          f"send_polls={cst[0, 0, 5]} timeouts={cst[0, 0, 1]},{cst[0, 0, 4]}")
+    ok &= good
+
     print("ALL OK" if ok else "SOME FAILED")
     return 0 if ok else 1
 

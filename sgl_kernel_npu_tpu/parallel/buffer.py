@@ -190,14 +190,16 @@ class Buffer:
                 res["num_dropped"][None],
                 res.get("wait_recv_cost_stats", zero_r)[None],
                 res.get("timeout_flags", zero_r)[None],
+                res["handle"].sent_counts[None],
             )
 
         p = P(self.axis_name)
         outs = self._smap(
-            body, in_specs=(p, p), out_specs=(p,) * 9
+            body, in_specs=(p, p), out_specs=(p,) * 10
         )(x, topk_idx)
-        recv_x, recv_scales, recv_count, gidx, ok, cmat, dropped, wait, tflags = outs
-        handle = ep_core.DispatchHandle(gidx, ok, None, None)
+        (recv_x, recv_scales, recv_count, gidx, ok, cmat, dropped, wait,
+         tflags, scnt) = outs
+        handle = ep_core.DispatchHandle(gidx, ok, None, None, scnt, cmat)
         stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
         if monitor:
             stats["wait_recv_cost_stats"] = wait   # [R dst, R src] poll-iteration matrix
@@ -218,16 +220,25 @@ class Buffer:
         *,
         out_dtype=jnp.bfloat16,
         backend: str | None = None,
+        monitor: bool | None = None,
     ):
         """Decode-mode combine (reference buffer.py:779): weighted sum of expert
         outputs back at each token's source rank.  ``y`` is the packed layout
-        returned by :meth:`low_latency_dispatch` (after expert compute)."""
+        returned by :meth:`low_latency_dispatch` (after expert compute).
+
+        ``backend="pallas_ragged"`` moves live rows only on the return hop
+        (reference ReduceScatterTrans); ``monitor=True`` (ragged only) ALSO
+        returns a stats dict with ``combine_send_cost_stats`` [R, R] and
+        payload/count timeout flags — the reference's combine-side failure
+        detection surface (buffer.py:490)."""
         seg = y.shape[1] // self.group_size
         backend = backend or self.config.comm_backend
+        monitor = self.config.monitor_comm if monitor is None else monitor
+        monitor = monitor and backend == "pallas_ragged"
 
-        def body(ys, w, gidx, ok):
-            h = ep_core.DispatchHandle(gidx[0], ok[0], None, None)
-            return ep_core.combine_core(
+        def body(ys, w, gidx, ok, scnt, rcnt):
+            h = ep_core.DispatchHandle(gidx[0], ok[0], None, None, scnt[0], rcnt[0])
+            out = ep_core.combine_core(
                 ys,
                 w,
                 h,
@@ -236,12 +247,32 @@ class Buffer:
                 seg_capacity=seg,
                 out_dtype=out_dtype,
                 backend=backend,
+                monitor=monitor,
             )
+            if monitor:
+                out, stats = out
+                return out, stats[None]
+            return out, jnp.zeros((1, self.group_size, 6), jnp.int32)
 
         p = P(self.axis_name)
-        return self._smap(body, in_specs=(p, p, p, p), out_specs=p)(
-            y, topk_weights, handle.gather_idx, handle.ok
-        )
+        scnt = handle.sent_counts
+        rcnt = handle.recv_counts
+        if scnt is None:
+            z = jnp.zeros(
+                (self.group_size, self.group_size,
+                 self.num_experts // self.group_size), jnp.int32)
+            scnt = rcnt = z
+        out, stats = self._smap(
+            body, in_specs=(p,) * 6, out_specs=(p, p)
+        )(y, topk_weights, handle.gather_idx, handle.ok, scnt, rcnt)
+        if monitor:
+            return out, {
+                "combine_send_cost_stats": stats[:, :, 5],
+                "combine_wait_cost_stats": stats[:, :, 0],
+                "payload_wait_cost_stats": stats[:, :, 3],
+                "timeout_flags": stats[:, :, 1] | stats[:, :, 4],
+            }
+        return out
 
     # -- normal mode (prefill) -----------------------------------------------------
 

@@ -91,6 +91,8 @@ class DispatchHandle(NamedTuple):
     ok: jax.Array              # [T, K]
     recv_sort_order: jax.Array | None  # [R*C] receiver expert-sort permutation (normal mode)
     recv_valid_count: jax.Array | None  # [] valid recv rows (normal mode)
+    sent_counts: jax.Array | None = None  # [R, E_local] rows this rank sent to (dst, e)
+    recv_counts: jax.Array | None = None  # [R, E_local] rows received from (src, e)
 
 
 def make_routing_plan(
@@ -334,6 +336,8 @@ def dispatch_core(
             ok=plan.ok.reshape(t, -1),
             recv_sort_order=None,
             recv_valid_count=None,
+            sent_counts=plan.counts_per_expert.reshape(num_ranks, e_local),
+            recv_counts=counts,
         ),
     }
     if use_int8:
@@ -352,6 +356,9 @@ def dispatch_core(
         out["wait_recv_cost_stats"] = stats[:, 0]
         out["timeout_flags"] = stats[:, 1]
         out["abort_observed"] = stats[:, 2]
+        out["payload_wait_cost_stats"] = stats[:, 3]
+        out["payload_timeout_flags"] = stats[:, 4]
+        out["send_cost_stats"] = stats[:, 5]
     return out
 
 
@@ -366,6 +373,7 @@ def combine_core(
     out_dtype=None,
     backend: str = "xla",
     use_int8_comm: bool = False,
+    monitor: bool = False,
 ):
     """Per-rank combine body (run inside shard_map).
 
@@ -375,27 +383,80 @@ def combine_core(
     ``use_int8_comm`` quantizes the return payload per row (the reference's
     int8 comm-quant combine option, moe_distribute_combine_v2.h:28 SCALE_PARAM);
     scales travel alongside and rows are dequantized after the gather.
+
+    ``backend="pallas_ragged"`` moves LIVE ROWS ONLY on the return hop — the
+    reference combine's ReduceScatterTrans behavior
+    (moe_distribute_combine_v2.h:70): rows are compacted per destination using
+    the dispatch counts (``handle.recv_counts``), ride the ragged window
+    kernel, and are re-expanded at the source from ``handle.sent_counts``.
+    With ``monitor=True`` it also returns the ``stats [R, 6]`` matrix
+    (payload/count wait costs, timeout flags, send cost — the reference's
+    ``combine_send_cost_stats``, buffer.py:490).
     """
     e_local, slots, hidden = y.shape
     assert slots == num_ranks * seg_capacity
     out_dtype = out_dtype or y.dtype
-    # regroup slots by destination (source) rank and route back
-    y_by_rank = y.reshape(e_local, num_ranks, seg_capacity, hidden).transpose(1, 0, 2, 3)
-    a2a = _make_a2a(axis_name, num_ranks, backend)
-    if use_int8_comm:
-        yf = y_by_rank.astype(jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(yf), axis=-1, keepdims=True) / INT8_MAX, 1e-12)
-        q_back = a2a(saturate_int8(yf / scale))
-        s_back = a2a(scale)
-        y_back = q_back.astype(jnp.float32) * s_back
+    stats = None
+    if backend == "pallas_ragged":
+        assert not use_int8_comm, "int8 comm-quant not supported on the ragged return yet"
+        assert handle.recv_counts is not None and handle.sent_counts is not None, (
+            "ragged combine needs the dispatch counts in the handle"
+        )
+        cap = e_local * seg_capacity
+        yb = y.reshape(e_local, num_ranks, seg_capacity, hidden)
+        cnt = handle.recv_counts                            # [R_src, E_local]
+        seg_pos = jnp.arange(seg_capacity, dtype=jnp.int32)
+        # compact per destination: rows ordered (expert asc, slot asc)
+        occ = (seg_pos[None, None, :] < cnt.T[:, :, None])  # [E, R, seg]
+        occ_d = occ.transpose(1, 0, 2).reshape(num_ranks, -1)
+        tgt = jnp.cumsum(occ_d.astype(jnp.int32), axis=1) - occ_d
+        tgt = jnp.where(occ_d, tgt, cap)
+        rows = yb.transpose(1, 0, 2, 3).reshape(num_ranks, -1, hidden)
+        send_buf = (
+            jnp.zeros((num_ranks, cap + 1, hidden), y.dtype)
+            .at[jnp.arange(num_ranks)[:, None], tgt]
+            .set(rows, mode="drop")[:, :cap]
+        )
+        counts_to_dst = cnt.sum(axis=1)
+        if monitor:
+            recv, _rcnt, stats = pallas_ragged_all_to_all(
+                send_buf, counts_to_dst, axis_name=axis_name,
+                num_ranks=num_ranks, monitor=True,
+            )
+        else:
+            recv, _rcnt = pallas_ragged_all_to_all(
+                send_buf, counts_to_dst, axis_name=axis_name, num_ranks=num_ranks,
+            )
+        # expand: block from d holds MY returned rows in (e, slot) order
+        sent = handle.sent_counts                           # [R_dst, E_local]
+        occ2 = (seg_pos[None, None, :] < sent[:, :, None]).reshape(num_ranks, -1)
+        src_pos = jnp.cumsum(occ2.astype(jnp.int32), axis=1) - occ2
+        src_pos = jnp.where(occ2, src_pos, cap)
+        recvp = jnp.concatenate(
+            [recv, jnp.zeros((num_ranks, 1, hidden), recv.dtype)], axis=1
+        )
+        y_back = recvp[jnp.arange(num_ranks)[:, None], src_pos]  # [R, E*seg, H]
     else:
-        y_back = a2a(y_by_rank)
+        # regroup slots by destination (source) rank and route back
+        y_by_rank = y.reshape(e_local, num_ranks, seg_capacity, hidden).transpose(1, 0, 2, 3)
+        a2a = _make_a2a(axis_name, num_ranks, backend)
+        if use_int8_comm:
+            yf = y_by_rank.astype(jnp.float32)
+            scale = jnp.maximum(jnp.max(jnp.abs(yf), axis=-1, keepdims=True) / INT8_MAX, 1e-12)
+            q_back = a2a(saturate_int8(yf / scale))
+            s_back = a2a(scale)
+            y_back = q_back.astype(jnp.float32) * s_back
+        else:
+            y_back = a2a(y_by_rank)
     # [R, E_local, seg, H] — [d, e, i] = expert output for our (t,k) sent to (d,e,i)
     flat = y_back.reshape(-1, hidden)
     picked = flat[handle.gather_idx.reshape(-1)].reshape(*handle.gather_idx.shape, hidden)
     w = jnp.where(handle.ok, topk_weights, 0.0).astype(jnp.float32)
     combined = jnp.sum(picked.astype(jnp.float32) * w[..., None], axis=1)
-    return combined.astype(out_dtype)
+    combined = combined.astype(out_dtype)
+    if monitor:
+        return combined, stats
+    return combined
 
 
 def dispatch_tp_allgather(
@@ -497,6 +558,8 @@ def dispatch_ragged_core(
             ok=res["handle"].ok,
             recv_sort_order=tgt,
             recv_valid_count=jnp.sum(group_sizes),
+            sent_counts=res["handle"].sent_counts,
+            recv_counts=res["handle"].recv_counts,
         ),
     }
     if use_int8:

@@ -178,7 +178,9 @@ def _ragged_a2a_monitored_kernel(
     x_ref,           # [R, C, H] send buffer
     o_ref,           # out [R, C, H] receive window
     oc_ref,          # out [R, 128] int32 receive counts window
-    stats_ref,       # out [R, 4] int32 SMEM: col0 poll iters, col1 timeout, col2 abort-seen
+    stats_ref,       # out [R, 8] int32 SMEM: col0 count-poll iters, col1 count
+                     # timeout, col2 abort-seen, col3 payload-poll iters, col4
+                     # payload timeout, col5 send-cost poll iters
     cnt_ssem, cnt_rsem, pay_ssem, pay_rsem,
     state_sem,       # regular semaphore: the reference's STATE_CHECK window region
     *,
@@ -196,6 +198,14 @@ def _ragged_a2a_monitored_kernel(
 
     * the count-arrival wait is a *bounded* spin on ``pltpu.semaphore_read`` of the
       DMA recv semaphore (poll iterations stand in for the reference's cycle counts);
+    * the payload drain is bounded the same way: the spin watches the payload
+      recv semaphore's byte count reach the expected total; on timeout the
+      partial arrival is drained exactly (``semaphore_wait`` by the observed
+      value) so the kernel exits clean, the source's rows are truncated to 0,
+      and ``stats`` col 4 flags it — this closes the unbounded-wait gap the
+      round-1 review called out (every wait bounded, like the reference);
+    * send completion is also a bounded poll (stats col 5 — the reference's
+      ``combine_send_cost_stats``-style send-cost signal, buffer.py:490);
     * on timeout the waiter broadcasts a signal to every peer's ``state_sem`` —
       exactly the reference's write into peers' STATE_CHECK offset — so the whole
       job aborts its waits instead of hanging on one dead rank;
@@ -241,6 +251,10 @@ def _ragged_a2a_monitored_kernel(
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
 
+    row_bytes = chunk_rows * x_ref.dtype.itemsize
+    for dim in x_ref.shape[2:]:
+        row_bytes *= dim
+
     if not inject_send_fault:
         for off in range(num_ranks):
             count_copy(off).start()
@@ -253,12 +267,29 @@ def _ragged_a2a_monitored_kernel(
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, send_c, 0)
-        # drain own sends (local completion — independent of receiver liveness)
+        # drain own sends (local completion — independent of receiver liveness).
+        # The poll count is the send-cost signal (reference
+        # combine_send_cost_stats, buffer.py:490).
         for off in range(num_ranks):
             count_copy(off).wait_send()
         for off in range(num_ranks):
             d = jax.lax.rem(my + off, num_ranks)
             n_chunks = chunk_count(counts_ref[d, 0])
+            if use_sem_read:
+                exp = n_chunks * row_bytes
+
+                def spoll_cond(carry, exp=exp):
+                    it, done = carry
+                    return jnp.logical_and(~done, it < max_poll_rounds)
+
+                def spoll_body(carry, d=d, exp=exp):
+                    it, _ = carry
+                    return (it + 1, pltpu.semaphore_read(pay_ssem.at[d]) >= exp)
+
+                sit, _ = jax.lax.while_loop(
+                    spoll_cond, spoll_body, (jnp.int32(0), jnp.bool_(False))
+                )
+                stats_ref[d, 5] = sit
 
             def wait_s(c, _, d=d):
                 payload_chunk(d, my, c).wait_send()
@@ -323,7 +354,10 @@ def _ragged_a2a_monitored_kernel(
             # Mosaic disallows scalar stores to VMEM)
             oc_ref[pl.ds(s, 1)] = jnp.zeros((1, oc_ref.shape[1]), oc_ref.dtype)
 
-    # payload drain: counts now authoritative (0 for dead/aborted sources)
+    # payload drain: counts now authoritative (0 for dead/aborted sources).
+    # Bounded like every other wait: poll the payload recv semaphore's byte
+    # count up to the expected total; on timeout drain exactly the partial
+    # arrival (clean kernel exit) and truncate the source to 0 rows.
     for off in range(num_ranks):
         s = jax.lax.rem(my + off, num_ranks)
         n_chunks = chunk_count(oc_ref[s, 0])
@@ -339,7 +373,46 @@ def _ragged_a2a_monitored_kernel(
             ).wait_recv()
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, wait_r, 0)
+        if not use_sem_read:
+            jax.lax.fori_loop(0, n_chunks, wait_r, 0)
+            continue
+
+        exp = n_chunks * row_bytes
+
+        def ppoll_cond(carry):
+            it, done = carry
+            return jnp.logical_and(~done, it < max_poll_rounds)
+
+        def ppoll_body(carry, s=s, exp=exp):
+            it, _ = carry
+            return (it + 1, pltpu.semaphore_read(pay_rsem.at[s]) >= exp)
+
+        pit, arrived = jax.lax.while_loop(
+            ppoll_cond, ppoll_body, (jnp.int32(0), jnp.bool_(False))
+        )
+        stats_ref[s, 3] = pit
+        stats_ref[s, 4] = (~arrived).astype(jnp.int32)
+
+        @pl.when(arrived)
+        def _():
+            jax.lax.fori_loop(0, n_chunks, wait_r, 0)
+
+        @pl.when(~arrived)
+        def _(s=s):
+            # partial arrival: consume exactly what landed so semaphores are
+            # zero at exit, truncate the source's rows, and tell the peers
+            v = pltpu.semaphore_read(pay_rsem.at[s])
+
+            @pl.when(v > 0)
+            def _():
+                pltpu.semaphore_wait(pay_rsem.at[s], v)
+
+            oc_ref[pl.ds(s, 1)] = jnp.zeros((1, oc_ref.shape[1]), oc_ref.dtype)
+            for dd in range(num_ranks):
+                pltpu.semaphore_signal(
+                    state_sem, inc=1, device_id=dd,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
 
     if use_sem_read:
         # Drain the state-check semaphore so the kernel exits clean (semaphores
@@ -380,7 +453,10 @@ def pallas_ragged_all_to_all(
 
     ``monitor=True`` adds timeout detection + wait-cost stats (see
     :func:`_ragged_a2a_monitored_kernel`) and returns ``(recv, recv_counts,
-    stats [R, 3])`` — cols: poll iterations until count arrival, timeout flag,
+    stats [R, 6])`` — cols: poll iterations until count arrival, count-timeout
+    flag, abort-observed flag, payload poll iterations, payload-timeout flag,
+    send-cost poll iterations (reference ``dispatch_wait_recv_cost_stats`` +
+    ``combine_send_cost_stats``,
     abort-observed flag.  ``inject_send_fault`` makes this rank mute (test hook).
     """
     if interpret is None:
@@ -426,7 +502,7 @@ def pallas_ragged_all_to_all(
             out_shape=(
                 jax.ShapeDtypeStruct(x.shape, x.dtype),
                 jax.ShapeDtypeStruct((num_ranks, 128), jnp.int32),
-                jax.ShapeDtypeStruct((num_ranks, 4), jnp.int32),
+                jax.ShapeDtypeStruct((num_ranks, 8), jnp.int32),
             ),
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -442,7 +518,7 @@ def pallas_ragged_all_to_all(
             ],
             **common,
         )(counts_in, x)
-        return out, oc[:, 0], stats[:, :3]
+        return out, oc[:, 0], stats[:, :6]
     out, oc = pl.pallas_call(
         functools.partial(
             _ragged_a2a_kernel,

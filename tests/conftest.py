@@ -28,6 +28,14 @@ def mesh8():
     return jax.sharding.Mesh(np.array(devices[:8]), ("ep",))
 
 
+@pytest.fixture(scope="session")
+def mesh4():
+    """Smaller EP mesh for the heavier interpret tests: the distributed
+    simulator's cost grows superlinearly in rank count on the single-CPU CI
+    box, and the EP machinery is rank-count-generic."""
+    return jax.sharding.Mesh(np.array(jax.devices()[:4]), ("ep",))
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -35,7 +35,7 @@ def test_multi_round_matches_single(mesh8, rng):
         return out, d["group_sizes"][None]
 
     def multi(xs, ids, ws):
-        rounds = 4
+        rounds = 2
         d = ep_core.dispatch_ragged_multi_round(
             xs, ids, rounds=rounds, axis_name="ep", num_experts=E, num_ranks=R,
             pair_capacity=(T // rounds) * K, seg_capacity=T // rounds, use_int8=False)

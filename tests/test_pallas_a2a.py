@@ -43,11 +43,12 @@ def test_pallas_a2a_int8(mesh8, rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_ep_roundtrip_on_pallas_backend(mesh8, rng):
+def test_ep_roundtrip_on_pallas_backend(mesh4, rng):
     """Full LL dispatch→combine over the window backend equals the XLA backend."""
     from sgl_kernel_npu_tpu.parallel import ep_core
 
-    E, T, K, Hd = 16, 8, 4, 64
+    R, E, T, K, Hd = 4, 16, 8, 4, 64
+    mesh8 = mesh4
     n = R * T
     x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.float32)
     idx = jnp.asarray(
@@ -104,12 +105,13 @@ def test_pallas_ragged_a2a(mesh8, rng):
             np.testing.assert_allclose(out[d, s, :n], x[s, d, :n], rtol=1e-6)
 
 
-def test_ep_roundtrip_on_ragged_backend(mesh8, rng):
+def test_ep_roundtrip_on_ragged_backend(mesh4, rng):
     """LL dispatch over the ragged window backend (count exchange + live rows only)
     matches the XLA collective backend, bf16 and int8 payloads."""
     from sgl_kernel_npu_tpu.parallel import ep_core
 
-    E, T, K, Hd = 16, 8, 4, 64
+    R, E, T, K, Hd = 4, 16, 8, 4, 64
+    mesh8 = mesh4
     n = R * T
     x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.float32)
     idx = jnp.asarray(
@@ -145,12 +147,13 @@ def test_ep_roundtrip_on_ragged_backend(mesh8, rng):
         assert not np.asarray(tflags).any()
 
 
-def test_buffer_ragged_backend_and_monitor(mesh8, rng):
+def test_buffer_ragged_backend_and_monitor(mesh4, rng):
     """User-level Buffer over the ragged window backend + monitor stats surface."""
     from sgl_kernel_npu_tpu.config import EPConfig
     from sgl_kernel_npu_tpu.parallel.buffer import Buffer
 
-    E, T, K, Hd = 16, 8, 4, 64
+    R, E, T, K, Hd = 4, 16, 8, 4, 64
+    mesh8 = mesh4
     n = R * T
     x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.bfloat16)
     idx = jnp.asarray(
@@ -163,13 +166,19 @@ def test_buffer_ragged_backend_and_monitor(mesh8, rng):
             monitor_comm=monitor))
         rx, rs, rc, h, stats = buf.low_latency_dispatch(x, idx)
         y = (rx.astype(jnp.float32) * rs[..., None] * 0.5).astype(jnp.bfloat16)
-        out = buf.low_latency_combine(y, w, h, out_dtype=jnp.float32)
-        return out, rc, stats
+        res = buf.low_latency_combine(y, w, h, out_dtype=jnp.float32)
+        cstats = None
+        if monitor and backend == "pallas_ragged":
+            res, cstats = res
+        return res, rc, stats, cstats
 
-    out_x, rc_x, _ = run("xla")
-    out_r, rc_r, stats = run("pallas_ragged", monitor=True)
+    out_x, rc_x, _, _ = run("xla")
+    out_r, rc_r, stats, cstats = run("pallas_ragged", monitor=True)
     np.testing.assert_array_equal(np.asarray(rc_x), np.asarray(rc_r))
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_x),
                                rtol=1e-5, atol=1e-5)
     assert stats["wait_recv_cost_stats"].shape == (R, R)
     assert not np.asarray(stats["timeout_flags"]).any()
+    # combine-side monitoring (reference combine_send_cost_stats, buffer.py:490)
+    assert cstats["combine_send_cost_stats"].shape == (R, R)
+    assert not np.asarray(cstats["timeout_flags"]).any()
