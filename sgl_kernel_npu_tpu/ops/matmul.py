@@ -143,13 +143,64 @@ def quant_matmul(
     )(x_q, w_q, de_scale.reshape(1, n), bias.reshape(1, n))[:, :n_orig]
 
 
-def batch_matmul_transpose(a: jax.Array, b: jax.Array, out_dtype=None) -> jax.Array:
+def batch_matmul_transpose(
+    a: jax.Array,
+    b: jax.Array,
+    out_dtype=None,
+    *,
+    quant_mode: str | None = None,
+    de_scale: jax.Array | None = None,
+    bias: jax.Array | None = None,
+    per_token_scale: jax.Array | None = None,
+) -> jax.Array:
     """``out[i, j] = a[i, j, :] @ b[j]`` — einsum ``bmk,mkn->bmn``.
 
     Matches reference torch.ops.npu.batch_matmul_transpose (bmm over the head dim
     with fused output transpose, test_batch_matmul_transpose.py:15-17).
+
+    ``quant_mode`` enables the reference's PpMatmul W8A8 dequant epilogues
+    (batch_matmul_transpose.cpp:16-19 quantModeMap → tiling_data.h:14
+    ``QuantMode``) for int8 ``a``/``b``:
+
+    - ``per_channel_symm``:  ``out = acc_i32 * de_scale[m, n]``
+    - ``per_channel_asymm``: ``out = (acc_i32 + bias[m, n]) * de_scale[m, n]``
+      (``bias`` is the precomputed int32 zero-point correction
+      ``-zp[m, n] * sum_k a[b, m, k]`` folded per channel, the standard
+      asymmetric-weight form)
+    - ``per_token_symm``:    ``out = acc_i32 * de_scale[m, n] * pts[b, m]``
+
+    ``de_scale`` broadcasts from ``[m, n]`` (or ``[n]``); ``per_token_scale``
+    from ``[b, m]`` (or ``[b]``).  On TPU the int8 einsum lowers to batched
+    MXU int8 ops and XLA fuses the dequant epilogue — no custom kernel needed
+    (the NZ weight format is a layout concern Mosaic owns).
     """
-    out = jnp.einsum(
-        "bmk,mkn->bmn", a, b, preferred_element_type=jnp.float32
+    if quant_mode is None:
+        out = jnp.einsum(
+            "bmk,mkn->bmn", a, b, preferred_element_type=jnp.float32
+        )
+        return out.astype(out_dtype or a.dtype)
+
+    if quant_mode not in ("per_channel_symm", "per_channel_asymm", "per_token_symm"):
+        raise ValueError(f"unsupported quant_mode {quant_mode!r}")
+    assert de_scale is not None, "quantized modes need de_scale"
+    out_dtype = out_dtype or jnp.bfloat16
+    acc = jnp.einsum(
+        "bmk,mkn->bmn",
+        a.astype(jnp.int32),
+        b.astype(jnp.int32),
+        preferred_element_type=jnp.int32,
     )
-    return out.astype(out_dtype or a.dtype)
+    if quant_mode == "per_channel_asymm":
+        assert bias is not None, "per_channel_asymm needs the int32 bias term"
+        acc = acc + bias.astype(jnp.int32)[None]
+    ds = de_scale.astype(jnp.float32)
+    if ds.ndim == 1:
+        ds = ds[None, :]
+    out = acc.astype(jnp.float32) * ds[None]
+    if quant_mode == "per_token_symm":
+        assert per_token_scale is not None, "per_token_symm needs per_token_scale"
+        pts = per_token_scale.astype(jnp.float32)
+        if pts.ndim == 1:
+            pts = pts[:, None]
+        out = out * pts[..., None]
+    return out.astype(out_dtype)
