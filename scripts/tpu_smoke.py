@@ -223,6 +223,34 @@ def main():
         ok &= check(f"mla_flash_train_{nm}", a.astype(jnp.float32),
                     b2.astype(jnp.float32), tol=5e-2)
 
+    # paged lightning-indexer prefill scores vs einsum-over-gathered-keys
+    from sgl_kernel_npu_tpu.ops.attention import lightning_indexer as li
+
+    bi_, mq_, n1_, di_, pgi_, mpi_ = 2, 64, 16, 128, 128, 4
+    npgi = bi_ * mpi_
+    qd = jnp.asarray(rng.standard_normal((bi_, mq_, n1_, di_)) * 0.5, jnp.bfloat16)
+    wd = jnp.asarray(rng.random((bi_, mq_, n1_)) + 0.1, jnp.bfloat16)
+    ki = jnp.asarray(rng.standard_normal((npgi, 1, pgi_, di_)) * 0.5, jnp.bfloat16)
+    bti = jnp.asarray(rng.permutation(npgi).reshape(bi_, mpi_), jnp.int32)
+    lqi = jnp.asarray([64, 40], jnp.int32)
+    lki = jnp.asarray([300, 100], jnp.int32)
+    got_sc = li.lightning_indexer_scores_prefill_pallas(
+        qd, wd, ki, lqi, lki, bti)
+    kl = da._gather_pages(ki, bti, mpi_ * pgi_)[:, 0].astype(jnp.float32)
+    sc_ref = jnp.einsum("bqnd,bsd->bqns", qd.astype(jnp.float32), kl)
+    sc_ref = (jnp.maximum(sc_ref, 0.0) * wd.astype(jnp.float32)[..., None]).sum(2)
+    tok = jnp.arange(mq_)[None, :, None]
+    pos = jnp.arange(mpi_ * pgi_)[None, None, :]
+    qpos = (lki - lqi)[:, None, None] + tok
+    maskp = (pos <= qpos) & (pos < lki[:, None, None]) & (tok < lqi[:, None, None])
+    gm_ = jnp.where(maskp, got_sc, 0.0)
+    rm_ = jnp.where(maskp, sc_ref, 0.0)
+    ok &= check("lightning_indexer_prefill", gm_, rm_, 3e-2)
+    finite_ok = bool(jnp.all(
+        jnp.where(maskp, jnp.isfinite(got_sc), got_sc == li.NEG_INF)).item())
+    print(f"{'OK ' if finite_ok else 'FAIL'} lightning_indexer_prefill masking")
+    ok &= finite_ok
+
     print("ALL OK" if ok else "SOME FAILED")
     return 0 if ok else 1
 

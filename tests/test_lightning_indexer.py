@@ -82,3 +82,29 @@ def test_lightning_indexer_tnd(rng):
     for tr, bi, j in rows:
         g, wv = gn[tr, 0], want[bi, j, 0]
         assert set(g[g >= 0]) == set(wv[wv >= 0]), (tr, bi, j)
+
+
+@pytest.mark.parametrize("layout", ["BSND", "TND"])
+def test_lightning_indexer_pallas_matches_xla(rng, layout):
+    """Paged page-walk kernel == einsum-over-gathered-keys path, exactly
+    (identical f32 math in interpret mode → identical indices)."""
+    b, s1, n1, d, block, nb = 2, 16, 4, 32, 8, 6
+    sparse_count = 16
+    lens_q = np.array([16, 11], np.int32)
+    lens_k = np.array([41, 30], np.int32)
+    key = rng.standard_normal((b * nb, 1, block, d)).astype(np.float32)
+    bt = rng.permutation(b * nb).reshape(b, nb).astype(np.int32)
+    if layout == "BSND":
+        q = rng.standard_normal((b, s1, n1, d)).astype(np.float32)
+        w = rng.random((b, s1, n1)).astype(np.float32) + 0.1
+        alq = jnp.asarray(lens_q)
+    else:
+        t = int(lens_q.sum())
+        q = rng.standard_normal((t, n1, d)).astype(np.float32)
+        w = rng.random((t, n1)).astype(np.float32) + 0.1
+        alq = jnp.asarray(np.cumsum(lens_q).astype(np.int32))
+    args = (jnp.asarray(q), jnp.asarray(key), jnp.asarray(w), alq,
+            jnp.asarray(lens_k), jnp.asarray(bt), layout, sparse_count, 3)
+    got_p = lightning_indexer(*args, backend="pallas")
+    got_x = lightning_indexer(*args, backend="xla")
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(got_x))
