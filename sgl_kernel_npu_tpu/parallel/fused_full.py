@@ -418,7 +418,25 @@ def _fused_full_kernel(
     g = g_ref[s_id]
     row0 = row0_ref[s_id]
     valid = valid_ref[s_id]
-    rowmask = jax.lax.broadcasted_iota(jnp.int32, (d.tm, 1), 0) < valid
+    # LIVE row mask: true only for rows some segment actually DMA'd.  The
+    # aligned tile valid (rows_e) includes up-to-7 alignment-padding rows per
+    # segment whose window content is uninitialized; letting them through
+    # poisons the requant max for the whole tile (chip-only, data-dependent —
+    # static/interpret mode always has full segments and never sees it).
+    _iota = jax.lax.broadcasted_iota(jnp.int32, (d.tm, 1), 0)
+
+    def _live_row(src_i, m):
+        src = dev(src_i)
+        idx = src * e + g
+        seg_start = recv_off_ref[idx]
+        cnt = cnt_recv_ref[idx]
+        a = jnp.maximum(row0, seg_start) - row0
+        b = jnp.minimum(row0 + valid, seg_start + cnt) - row0
+        return m | ((_iota >= a) & (_iota < b))
+
+    rowmask = jax.lax.fori_loop(
+        0, r, _live_row, jnp.zeros((d.tm, 1), jnp.bool_), unroll=False
+    )
 
     # ================== GMM1 steps (p < p1): nt outer, kt inner =============
     nt = p_id // d.nk1
