@@ -187,8 +187,12 @@ def decode_step(
     slot_mapping: jax.Array,    # [N]
     moe_weights_q: list[tuple] | None = None,   # per-layer quantized expert weights
     ep_buffer: Buffer | None = None,
+    use_int8_dispatch: bool = True,
 ):
-    """One decode step over all layers (single chip unless ep_buffer is given)."""
+    """One decode step over all layers (single chip unless ep_buffer is given).
+
+    ``use_int8_dispatch=False`` moves the EP dispatch wire at BF16 (accuracy
+    baseline for the reference's "INT8 dispatch Δppl ≈ 0" bar, BASELINE.md)."""
     cos, sin = rope_cos_sin(positions, cfg.qk_rope_dim)
     x = hidden
     new_caches = []
@@ -247,7 +251,8 @@ def decode_step(
         if ep_buffer is not None and moe_weights_q is not None:
             w1, s1, w2, s2 = moe_weights_q[li]
             moe_out, _, _ = ep_buffer.fused_deep_moe(
-                h2.astype(jnp.bfloat16), topk_idx, topk_w, w1, s1, w2, s2
+                h2.astype(jnp.bfloat16), topk_idx, topk_w, w1, s1, w2, s2,
+                use_int8_dispatch=use_int8_dispatch,
             )
             moe_out = moe_out.astype(x.dtype)
         elif moe_weights_q is not None:

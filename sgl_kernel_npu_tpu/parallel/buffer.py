@@ -460,8 +460,13 @@ class Buffer:
         gmm_tiles: tuple[int, int, int] | None = None,
         pack_tn: int | None = None,
         chunks: int = 1,
+        use_int8_dispatch: bool = True,
     ):
         """Fused dispatch→GMM1→SwiGLU→requant→GMM2→combine (reference buffer.py:852).
+
+        ``use_int8_dispatch=False`` keeps the wire at the input dtype and
+        quantizes per token after arrival — the BF16-dispatch accuracy
+        baseline (reference "INT8 dispatch Δppl ≈ 0" bar, BASELINE.md).
 
         ``chunks > 1`` pipelines independent token slices so each slice's
         all_to_all overlaps the previous slice's GEMMs (comm/compute overlap,
@@ -495,6 +500,7 @@ class Buffer:
                 gmm_tiles=gmm_tiles,
                 pack_tn=pack_tn,
                 chunks=chunks,
+                use_int8_dispatch=use_int8_dispatch,
             )
             return combined, gs[None], dropped[None]
 

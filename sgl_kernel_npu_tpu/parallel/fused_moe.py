@@ -48,8 +48,14 @@ def fused_deep_moe_rank(
     gmm_tiles: tuple[int, int, int] | None = None,
     pack_tn: int | None = None,
     chunks: int = 1,
+    use_int8_dispatch: bool = True,
 ):
     """Per-rank fused MoE body (run inside shard_map).
+
+    ``use_int8_dispatch=False`` moves the dispatch payload at the input dtype
+    and quantizes per-token *after* arrival — the expert GEMMs are identical,
+    only the wire precision differs (the BF16-dispatch baseline of the
+    reference's "INT8 dispatch Δppl ≈ 0" accuracy bar, BASELINE.md).
 
     ``pack_tn`` MUST equal the ``tn`` used by :func:`quantize_expert_weights` /
     ``pack_gmm1_weights`` — the gate/up column-block layout is tied to it, so
@@ -83,6 +89,7 @@ def fused_deep_moe_rank(
                 pair_capacity=-(-pair_capacity // chunks),
                 seg_capacity=-(-seg_capacity // chunks),
                 gmm_tiles=gmm_tiles, pack_tn=pack_tn, chunks=1,
+                use_int8_dispatch=use_int8_dispatch,
             )
             outs.append(o)
             counts.append(gs)
@@ -111,10 +118,16 @@ def fused_deep_moe_rank(
         num_ranks=num_ranks,
         pair_capacity=pair_capacity,
         seg_capacity=seg_capacity,
-        use_int8=True,
+        use_int8=use_int8_dispatch,
     )
-    xs = d["recv_x_sorted"]            # [cap, H] int8
-    sx = d["recv_scales_sorted"]       # [cap]
+    if use_int8_dispatch:
+        xs = d["recv_x_sorted"]        # [cap, H] int8
+        sx = d["recv_scales_sorted"]   # [cap]
+    else:
+        # BF16 wire: per-token quant after arrival (accuracy baseline path)
+        xf = d["recv_x_sorted"].astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / INT8_MAX, 1e-12)
+        xs = saturate_int8(xf / sx[:, None])
     gs = d["group_sizes"]              # [E_local]
 
     if tn == w1.shape[-1]:

@@ -120,6 +120,58 @@ def test_model_decode_single_chip_gmm_moe(rng):
     assert rel < 0.05, rel  # int8 MoE vs fp32 dense budget
 
 
+def test_model_int8_dispatch_accuracy(mesh8, rng):
+    """BASELINE.md north star: INT8 dispatch Δppl ≈ 0 vs BF16 dispatch, at the
+    MODEL level (reference accuracy bar) — full DeepSeek-V3-lite decode step
+    through the EP fused-MoE path, logit KL + loss delta with explicit bounds.
+
+    Both wires feed identical W8A8 expert GEMMs; the only difference is the
+    dispatch payload precision, so the divergence measured here is exactly the
+    INT8-wire quantization error the reference claims is ppl-neutral."""
+    import jax
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+
+    cfg = m.DeepSeekV3Config(
+        vocab_size=128, hidden=128, num_layers=2, num_heads=8, kv_lora_rank=128,
+        qk_rope_dim=64, qk_nope_dim=64, q_lora_rank=128, v_head_dim=64,
+        num_experts=16, topk=4, moe_intermediate=128, page_size=16,
+    )
+    params = m.init_weights(jax.random.key(3), cfg)
+    n, max_pages = 16, 2
+    caches = m.init_kv_cache(cfg, n * max_pages + 1, jnp.float32)
+    hidden = jnp.asarray(rng.standard_normal((n, cfg.hidden)) * 0.3, jnp.float32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    bt = jnp.arange(1, 1 + n * max_pages, dtype=jnp.int32).reshape(n, max_pages)
+    sl = jnp.full((n,), 5, jnp.int32)
+    slots = jnp.arange(n, dtype=jnp.int32) * cfg.page_size + 4
+
+    buf = Buffer(mesh8, "ep", num_experts=cfg.num_experts,
+                 config=EPConfig(num_max_dispatch_tokens_per_rank=n // 8))
+    moe_q = m.quantize_moe_weights(cfg, params, tn=256)
+
+    logits = {}
+    for wire, int8 in (("int8", True), ("bf16", False)):
+        out, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots,
+                               moe_weights_q=moe_q, ep_buffer=buf,
+                               use_int8_dispatch=int8)
+        logits[wire] = np.asarray(m.lm_head(params, out), np.float64)
+
+    def log_softmax(z):
+        z = z - z.max(axis=-1, keepdims=True)
+        return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+
+    lp_i8, lp_bf = log_softmax(logits["int8"]), log_softmax(logits["bf16"])
+    # per-token KL(bf16 ‖ int8), mean over the batch
+    kl = float((np.exp(lp_bf) * (lp_bf - lp_i8)).sum(axis=-1).mean())
+    # next-token NLL on argmax(bf16) targets — the "Δppl" proxy
+    tgt = logits["bf16"].argmax(axis=-1)
+    nll_bf = -lp_bf[np.arange(n), tgt].mean()
+    nll_i8 = -lp_i8[np.arange(n), tgt].mean()
+    dloss = abs(float(nll_i8 - nll_bf))
+    assert kl < 5e-3, f"logit KL {kl}"
+    assert dloss < 5e-3, f"loss delta {dloss} (ppl ratio {np.exp(dloss):.5f})"
+
+
 def test_fused_deep_moe_chunk_pipelined_matches(mesh4, rng):
     """chunks=2 (comm/compute-overlap pipeline) must reproduce chunks=1
     bit-for-bit when capacities are ample (no chunk-skew drops)."""
