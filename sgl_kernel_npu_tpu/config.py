@@ -10,6 +10,7 @@ bound the all-to-all payload.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 
 @dataclasses.dataclass(frozen=True)
@@ -21,10 +22,15 @@ class EPConfig:
             reference's ``num_max_dispatch_tokens_per_rank`` / ``maxBS``,
             buffer.py:699).  Bounds the per-(expert, src-rank) segment.
         capacity_factor: sizes the per-(src,dst)-rank send buffer as
-            ``ceil(T*K/R * capacity_factor)``.  ``None`` means exact worst case
-            ``T * min(K, E_local)`` (never drops).  Smaller values trade memory/BW
-            for possible overflow drops (counted in the returned stats — the EPLB
-            signal, reference buffer.py:700-703).
+            ``ceil(mean * capacity_factor + 3*sqrt(mean * capacity_factor))``
+            where ``mean = T*K/R`` — the sqrt term absorbs Poisson routing skew,
+            which dominates at large EP where per-pair means are small (the
+            scale-dependence the reference hand-tunes via its per-size Config
+            tables, buffer.py:75-116; one model covers 2-160 ranks here).
+            ``None`` means exact worst case ``T * min(K, E_local)`` (never
+            drops).  Smaller values trade memory/BW for possible overflow drops
+            (counted in the returned stats — the EPLB signal, reference
+            buffer.py:700-703).
         use_int8_dispatch: INT8-quantize token payloads for dispatch (BF16 combine),
             the reference's production setting (README.md:14).
         normal_round_tokens: per-round token chunk for normal-mode multi-round
@@ -50,5 +56,6 @@ class EPConfig:
         exact = num_tokens * min(topk, experts_per_rank)
         if self.capacity_factor is None:
             return exact
-        est = -(-num_tokens * topk * self.capacity_factor // num_ranks)
+        scaled_mean = num_tokens * topk * self.capacity_factor / num_ranks
+        est = math.ceil(scaled_mean + 3.0 * math.sqrt(scaled_mean))
         return int(min(exact, max(1, est)))

@@ -222,3 +222,60 @@ def prefill_step(
         new_caches.append((k_cache, v_cache))
     return rms_norm(x, params["ln_f"], cfg.rms_eps), new_caches
 
+
+
+def prefill_step_cp(
+    cfg: LlamaConfig,
+    params: dict,
+    x: jax.Array,            # [S, hidden] one request's full prompt (padded)
+    seq_lens: jax.Array,     # [1] live token count
+    caches: list,
+    block_tables: jax.Array, # [1, max_pages]
+    context_lens: jax.Array, # [1] == seq_lens (fresh full prefill)
+    slot_mapping: jax.Array, # [S] (-1 pads)
+    *,
+    mesh,
+    axis_name: str = "cp",
+):
+    """Context-parallel (ring-attention) prefill of ONE request's full prompt.
+
+    The sequence-parallel long-context prefill path (SURVEY §2.5 — the
+    reference has no CP; this is the TPU-idiomatic extension): dense per-token
+    work (norms, projections, MLP, cache writes) runs GSPMD-sharded over the
+    ``axis_name`` mesh axis, and attention rotates K/V blocks around the ring
+    (parallel.ring_attention) so no rank ever materializes the full [S, S]
+    score matrix or the full K/V.
+
+    Restriction: fresh full prefill only (``context_lens == seq_lens`` — no
+    chunked continuation; CP is what replaces chunking for long prompts).
+    ``S`` must divide by the ring size.  Padding rows sit at positions
+    ``>= seq_lens`` so causal masking keeps them out of live outputs, and
+    ``slot_mapping=-1`` keeps them out of the cache.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sgl_kernel_npu_tpu.parallel.ring_attention import ring_attention_sharded
+
+    s = x.shape[0]
+    d = cfg.head_dim
+    row = NamedSharding(mesh, P(axis_name))
+    x = jax.lax.with_sharding_constraint(x, row)
+    positions = jnp.arange(s, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    scale = 1.0 / math.sqrt(d)
+    new_caches = []
+    for li, lw in enumerate(params["layers"]):
+        k_cache, v_cache = caches[li]
+        hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
+        q = apply_rope((hidden_n @ lw["wq"]).reshape(s, cfg.num_heads, d), cos, sin)
+        k = apply_rope((hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d), cos, sin)
+        v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
+        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
+        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        attn = ring_attention_sharded(
+            q[None], k[None], v[None], mesh=mesh, axis_name=axis_name,
+            sm_scale=scale, causal=True)[0].reshape(s, -1)
+        x = x + attn @ lw["wo"]
+        x = x + _mlp(lw, rms_norm(x, lw["ln2"], cfg.rms_eps))
+        new_caches.append((k_cache, v_cache))
+    return rms_norm(x, params["ln_f"], cfg.rms_eps), new_caches

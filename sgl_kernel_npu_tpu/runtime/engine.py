@@ -91,6 +91,64 @@ def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None) -> M
     )
 
 
+def llama_cp_adapter(cfg, params, mesh, dtype=jnp.float32,
+                     axis_name: str = "cp") -> ModelAdapter:
+    """Context-parallel serving configuration: prefill runs ring attention
+    over the ``axis_name`` axis of ``mesh`` (sequence sharded, K/V rotated via
+    ppermute — parallel.ring_attention), decode runs the normal paged path.
+
+    CP replaces chunked prefill for long prompts, so build the Engine with
+    ``prefill_chunk >= max prompt length`` and divisible by the ring size;
+    ``models.llama.prefill_step_cp`` documents the restriction."""
+    from sgl_kernel_npu_tpu.models import llama as m
+
+    return ModelAdapter(
+        page_size=cfg.page_size,
+        embed=lambda ids: m.embed(params, ids),
+        lm_head=lambda x: m.lm_head(params, x),
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.prefill_step_cp(
+            cfg, params, x, sl, c, bt, ctx, slots, mesh=mesh,
+            axis_name=axis_name),
+        decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
+            cfg, params, x, pos, c, bt, ctx, slots),
+        init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
+        gather_pages=paged_gather_pages,
+        scatter_pages=paged_scatter_pages,
+    )
+
+
+def llama_pp_adapter(cfg, params, mesh, dtype=jnp.float32,
+                     axis_name: str = "pp") -> ModelAdapter:
+    """Pipeline-parallel serving configuration: the layer stack is split into
+    ``mesh.shape[axis_name]`` stages; each rank owns one stage's weights and
+    KV slice, and decode/prefill flow through the stage ring
+    (models.llama_pp — ppermute stage scan; parallel.pipeline supplies the
+    GPipe microbatch overlap for training)."""
+    from sgl_kernel_npu_tpu.models import llama_pp as mp
+
+    num_stages = mesh.shape[axis_name]
+    pp_params = mp.stack_stage_params(cfg, params, num_stages)
+
+    def _embed_lm():
+        from sgl_kernel_npu_tpu.models import llama as m
+        return (lambda ids: m.embed(params, ids),
+                lambda x: m.lm_head(params, x))
+
+    embed, lm_head = _embed_lm()
+    return ModelAdapter(
+        page_size=cfg.page_size,
+        embed=embed,
+        lm_head=lm_head,
+        prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: mp.prefill_step_pp(
+            cfg, pp_params, x, sl, c, bt, ctx, slots, mesh=mesh,
+            axis_name=axis_name),
+        decode_step=lambda x, pos, c, bt, ctx, slots, si, li: mp.decode_step_pp(
+            cfg, pp_params, x, pos, c, bt, ctx, slots, mesh=mesh,
+            axis_name=axis_name),
+        init_cache=lambda n, s_: mp.init_kv_cache_pp(cfg, n, num_stages, dtype),
+    )
+
+
 def gpt_oss_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
     from sgl_kernel_npu_tpu.models import gpt_oss as m
 

@@ -340,3 +340,40 @@ def test_host_kv_tier_deepseek_dict_caches(rng):
     out2 = eng.run([pa], 4)[0]
     assert out2 == out1
     assert eng.stats["host_restored_tokens"] >= 8
+
+
+def test_engine_context_parallel_prefill_matches(setup):
+    """Item: CP under the engine.  Serving with ring-attention prefill over a
+    4-device 'cp' mesh must generate the same tokens as the single-device
+    engine (prefill_chunk >= prompt and divisible by the ring size — CP
+    replaces chunking; parallel/ring_attention.py)."""
+    from sgl_kernel_npu_tpu.runtime.engine import llama_cp_adapter
+
+    cfg, params = setup
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("cp",))
+    eng = Engine(llama_cp_adapter(cfg, params, mesh), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=16)
+    p1 = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
+    p2 = [40, 41, 42, 43, 44]
+    got = eng.run([p1, p2], 5)
+    want1 = reference_generate(cfg, params, p1, 5)
+    want2 = reference_generate(cfg, params, p2, 5)
+    assert got[0] == want1
+    assert got[1] == want2
+
+
+def test_engine_pipeline_parallel_matches(setup):
+    """Item: PP under the engine.  Serving with the layer stack split into 2
+    stages over a 'pp' mesh (stage-sharded weights + KV) must generate the
+    same tokens as the single-device engine (models/llama_pp.py)."""
+    from sgl_kernel_npu_tpu.runtime.engine import llama_pp_adapter
+
+    cfg, params = setup
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("pp",))
+    eng = Engine(llama_pp_adapter(cfg, params, mesh), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    p1 = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
+    p2 = [40, 41, 42, 43, 44]
+    got = eng.run([p1, p2], 5)
+    assert got[0] == reference_generate(cfg, params, p1, 5)
+    assert got[1] == reference_generate(cfg, params, p2, 5)

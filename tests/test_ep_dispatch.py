@@ -163,6 +163,36 @@ def test_normal_dispatch_ragged_roundtrip(mesh8, rng, buf):
     np.testing.assert_allclose(np.asarray(combined), golden, rtol=1e-4, atol=1e-4)
 
 
+def test_capacity_model_all_ep_sizes(rng):
+    """EPConfig.pair_capacity must cover every EP size the reference ships a
+    tuned Config for (2-160, buffer.py:75-116) with ONE model: exact sizing
+    never drops, factor-1.3 sizing (mean + 3*sqrt Poisson margin) drops <1 %
+    under uniform routing and saves >=2x memory at EP>=64.  Planner-only —
+    no mesh (scripts/ep_scale_check.py runs the end-to-end roundtrip)."""
+    from sgl_kernel_npu_tpu.parallel import ep_core
+
+    t_per_rank, topk = 128, 8
+    for r in (2, 4, 8, 16, 24, 32, 64, 128, 144, 160):
+        e_total = max(2 * r, 16)
+        e_local = e_total // r
+        k = min(topk, e_total)
+        cfg_f = EPConfig(num_max_dispatch_tokens_per_rank=t_per_rank,
+                         capacity_factor=1.3)
+        cap_exact = EPConfig(num_max_dispatch_tokens_per_rank=t_per_rank
+                             ).pair_capacity(t_per_rank, k, r, e_local)
+        cap_factor = cfg_f.pair_capacity(t_per_rank, k, r, e_local)
+        idx = jnp.asarray(
+            np.stack([rng.choice(e_total, k, replace=False)
+                      for _ in range(t_per_rank)]), jnp.int32)
+        for cap, bound in ((cap_exact, 0), (cap_factor, 0.01 * t_per_rank * k)):
+            plan = ep_core.make_routing_plan(
+                idx, num_experts=e_total, num_ranks=r, my_rank=jnp.int32(0),
+                pair_capacity=cap, seg_capacity=t_per_rank)
+            assert int(plan.num_dropped) <= bound, (r, cap)
+        if r >= 64:
+            assert 2 * r * cap_factor <= r * cap_exact, (r, cap_factor, cap_exact)
+
+
 def test_capacity_drop_counted(mesh8, rng):
     cfg = EPConfig(num_max_dispatch_tokens_per_rank=T, capacity_factor=0.1,
                    use_int8_dispatch=False)
