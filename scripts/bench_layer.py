@@ -135,19 +135,25 @@ def main():
         tok_of_row = src // topk
         xq = xq_tok[tok_of_row]                       # int8 gather [rows, H]
         sx = sx_tok[tok_of_row]
-        # 5. fused W8A8 GMM1 (dequant+SwiGLU+requant) + GMM2
+        # 5. fused W8A8 GMM1 (dequant+SwiGLU+requant) + GMM2 (bf16 out)
         if mode == "nogmm":                           # glue-only ablation
-            y = xq.astype(jnp.float32) * sx[:, None]
+            y = (xq.astype(jnp.float32) * sx[:, None]).astype(jnp.bfloat16)
         else:
             h1, hs = gm.grouped_matmul(
                 xq, w1, gsizes, sx, s1, epilogue="dequant_swiglu_quant")
             y = gm.grouped_matmul(
-                h1, w2, gsizes, hs, s2, epilogue="dequant", out_dtype=jnp.float32)
-        # 6. combine via inverse GATHER + dense k-sum (scatter-add serializes
-        # on TPU; a gather back to (token, k) order then a [b, k, H] reduce is
-        # pure streaming traffic)
-        y_tk = y[dest].reshape(b, topk, hidden)
-        out = (y_tk * topw[..., None]).sum(1)
+                h1, w2, gsizes, hs, s2, epilogue="dequant", out_dtype=jnp.bfloat16)
+        # 6. combine as a masked MATMUL (models/deepseek_v3._gmm_moe): top-k
+        # weights scattered into [b, rows] at the sorted slots, hi+lo bf16
+        # split — y streams once at full bandwidth instead of the
+        # gather + [b, k, H] reduce round trip (3x y traffic in f32)
+        mask = jnp.zeros((b, rows), jnp.float32).at[
+            jnp.arange(b, dtype=jnp.int32)[:, None], dest.reshape(b, topk)
+        ].add(topw)
+        m_hi = mask.astype(jnp.bfloat16)
+        m_lo = (mask - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jax.lax.dot(m_hi, y, preferred_element_type=jnp.float32)
+        out += jax.lax.dot(m_lo, y, preferred_element_type=jnp.float32)
         return (x + out).astype(h_in.dtype), kvn, kvr
 
     h0 = jax.random.normal(jax.random.key(9), (b, hidden), jnp.bfloat16) * 0.5

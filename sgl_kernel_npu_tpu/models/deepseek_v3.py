@@ -364,10 +364,21 @@ def _gmm_moe(cfg, wq: tuple, x, topk_idx, topk_w):
         xq_tok[tok_of_row], w1, gsizes, sx_tok[tok_of_row], s1,
         epilogue="dequant_swiglu_quant")
     y = gmod.grouped_matmul(
-        h1, w2, gsizes, hs, s2, epilogue="dequant", out_dtype=jnp.float32)
-    # combine via inverse gather + dense k-sum (scatter-add serializes on TPU)
-    y_tk = y[dest].reshape(n, k, hidden)
-    out = (y_tk * topk_w[..., None].astype(jnp.float32)).sum(1)
+        h1, w2, gsizes, hs, s2, epilogue="dequant", out_dtype=jnp.bfloat16)
+    # combine as a masked MATMUL: scatter the top-k weights into a [n, rows]
+    # mask at each token's sorted slots, then mask @ y — token-granular gathers
+    # lower to scalar reads on TPU while the matmul streams y once at full
+    # bandwidth (same trick as the fused kernel's in-kernel combine,
+    # parallel/fused_full.py); y rides bf16 (half the f32 gather traffic) and
+    # the weights split hi+lo into two bf16 matmuls for f32-accurate weighting
+    # at bf16 MXU rate
+    mask = jnp.zeros((n, rows), jnp.float32).at[
+        jnp.arange(n, dtype=jnp.int32)[:, None], dest.reshape(n, k)
+    ].add(topk_w.astype(jnp.float32))
+    m_hi = mask.astype(jnp.bfloat16)
+    m_lo = (mask - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot(m_hi, y, preferred_element_type=jnp.float32)
+    out += jax.lax.dot(m_lo, y, preferred_element_type=jnp.float32)
     return out.astype(x.dtype)
 
 

@@ -226,3 +226,58 @@ def test_fused_deep_moe_default_pack_quant_epilogue(mesh8, rng):
     assert avg_diff < 0.1, avg_diff
     c = np.corrcoef(got.ravel(), golden.ravel())[0, 1]
     assert c > 0.999, c
+
+
+def test_fused_deep_moe_chunk_skew_drop_accounting(mesh4, rng):
+    """Weak-item: chunks>1 divides capacities per chunk, so routing skew
+    BETWEEN chunks can drop rows the unchunked path keeps.  This pins the
+    accounting: with capacity sized so the full batch fits but a chunk-0
+    hotspot overflows the per-chunk share, num_dropped must equal the exact
+    analytic overflow, the unchunked path must drop nothing, and tokens in
+    the unskewed chunk must be bit-identical to the unchunked result."""
+    n = 4 * T                     # 16 tokens per rank, chunks=2 -> 8 + 8
+    x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    # per-rank rows 0..7 (chunk 0) all route to rank 0's experts {0..3};
+    # rows 8..15 (chunk 1) to rank 3's experts {12..15}
+    pos_in_rank = np.arange(n) % T
+    idx_np = np.where(pos_in_rank[:, None] < T // 2,
+                      np.tile(np.arange(K), (n, 1)),
+                      np.tile(np.arange(E - K, E), (n, 1)))
+    idx = jnp.asarray(idx_np, jnp.int32)
+    w = jnp.asarray(rng.random((n, K)), jnp.float32)
+    wg = (rng.standard_normal((E, H, I)) * 0.05).astype(np.float32)
+    wu = (rng.standard_normal((E, H, I)) * 0.05).astype(np.float32)
+    wd = (rng.standard_normal((E, I, H)) * 0.05).astype(np.float32)
+    w1, s1, w2, s2 = quantize_expert_weights(
+        jnp.asarray(wg), jnp.asarray(wu), jnp.asarray(wd), tn=TN)
+
+    cfg = EPConfig(num_max_dispatch_tokens_per_rank=T, capacity_factor=1.95)
+    cap = cfg.pair_capacity(T, K, 4, E // 4)
+    load = (T // 2) * K           # rows each src sends to its hot rank per chunk
+    assert load < cap, "unchunked must fit"
+    percap = -(-cap // 2)
+    assert percap < load, "per-chunk capacity must overflow"
+    # BOTH chunks are skewed (chunk 0 -> rank 0, chunk 1 -> rank 3)
+    expected_drops = 4 * 2 * (load - percap)
+
+    buf = Buffer(mesh4, "ep", num_experts=E, config=cfg)
+    base, _, drop0 = buf.fused_deep_moe(
+        x, idx, w, w1, s1, w2, s2, gmm_tiles=(64, 128, TN), pack_tn=TN)
+    piped, _, drop1 = buf.fused_deep_moe(
+        x, idx, w, w1, s1, w2, s2, gmm_tiles=(64, 128, TN), pack_tn=TN,
+        chunks=2)
+    assert int(np.asarray(drop0).sum()) == 0
+    assert int(np.asarray(drop1).sum()) == expected_drops
+    # WHICH rows drop is deterministic: the (dst, slot)-sorted layout fills
+    # slot-major, so per hot dst the LAST (load - percap) rows — the final
+    # expert's whole segment — overflow.  Every token therefore keeps its
+    # first 3 expert contributions and loses the 4th: compare against the
+    # dense golden with that expert masked out.
+    idx_partial = idx_np.copy()
+    idx_partial[pos_in_rank < T // 2, K - 1] = -1      # expert 3 dropped
+    idx_partial[pos_in_rank >= T // 2, K - 1] = -1     # expert 15 dropped
+    golden_partial = _dense_moe_fp32(
+        np.asarray(x), idx_partial, np.asarray(w), wg, wu, wd)
+    got = np.asarray(piped, np.float32)
+    denom = np.abs(golden_partial).mean() + 1e-6
+    assert np.abs(got - golden_partial).mean() / denom < 0.1
