@@ -8,12 +8,20 @@ here is the decode-attention KV-read bandwidth (the decode hot loop,
 reference decode_attention.py:110-152), reported with ``vs_baseline`` = speedup of
 the Pallas kernel over the XLA-naive gather+softmax implementation of the same op on
 the same chip (>1.0 = our kernel beats compiler-generated code).
+
+``detail`` carries the secondary metrics that back the PERF.md table (grouped
+W8A8 GEMM, packed sinks decode, MLA prefill, one-sided window a2a, fused
+dispatch→GMM1) so every PERF.md headline has a driver-captured twin.  All
+timings are MEDIAN-of-N of the scan-marginal estimate — the reproducible
+number, not best-of-runs (±10-15 % between-process variance is documented in
+PERF.md).
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import statistics
 import time
 
 import jax
@@ -53,7 +61,9 @@ def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 10):
             t0 = time.perf_counter()
             float(run(qs, operands))
             times.append(time.perf_counter() - t0)
-        return min(times)
+        # median, not min: the driver-recorded number must be the one a rerun
+        # reproduces (VERDICT r1: headline = the number the driver can capture)
+        return statistics.median(times)
 
     n1, n2 = qs_small.shape[0], qs_big.shape[0]
     t1 = timed(make(n1), qs_small)
@@ -120,7 +130,17 @@ def main():
         },
     }
     if on_tpu:
-        result["detail"].update(_gmm_secondary(rng))
+        for name, fn in (
+            ("gmm", _gmm_secondary),
+            ("sinks", _sinks_packed_secondary),
+            ("prefill", _mla_prefill_secondary),
+            ("a2a", _window_a2a_secondary),
+            ("fused", _fused_gmm1_secondary),
+        ):
+            try:
+                result["detail"].update(fn(rng))
+            except Exception as e:  # record, don't lose the whole bench line
+                result["detail"][f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
 
 
@@ -145,6 +165,164 @@ def _gmm_secondary(rng):
         "gmm1_int8_us": round(t * 1e6, 1),
         "gmm1_int8_tops": round(2 * s * k * n / t / 1e12, 1),
         "gmm1_weight_floor_us": round(e * k * n / 819e9 * 1e6, 1),
+    }
+
+
+def _sinks_packed_secondary(rng):
+    """Packed sinks decode (GPT-OSS shapes, full-context window=0): the packed
+    two-heads-per-lane KV layout vs the unpacked kernel (PERF.md §sinks)."""
+    from sgl_kernel_npu_tpu.ops.attention import sinks_attention as sa
+
+    b, hq, hkv, d, dv, page, seq = 128, 64, 8, 64, 64, 128, 1024
+    max_pages = seq // page
+    n_pages = b * max_pages + 1
+    mk = jax.jit(lambda key, s: jax.random.normal(key, s, jnp.bfloat16) * 0.5,
+                 static_argnums=1)
+    k = mk(jax.random.key(0), (n_pages, hkv, page, d))
+    v = mk(jax.random.key(1), (n_pages, hkv, page, dv))
+    kp = jax.jit(sa.pack_kv_sinks)(k)
+    vp = jax.jit(sa.pack_kv_sinks)(v)
+    sinks = jnp.asarray(rng.standard_normal(hq), jnp.float32)
+    bt = jnp.asarray(
+        rng.permutation(n_pages - 1)[: b * max_pages].reshape(b, max_pages) + 1,
+        jnp.int32)
+    ctx = jnp.full((b,), seq, jnp.int32)
+    scale = float(1 / np.sqrt(d))
+    qs_small = mk(jax.random.key(2), (8, b, hq * d))
+    qs_big = mk(jax.random.key(3), (72, b, hq * d))
+    t_pk = _bench_scanned(
+        lambda q, k_, v_, bt_, cl_: sa.attention_sinks_packed(
+            q, k_, v_, sinks, bt_, cl_, scale, 0, hq, hkv),
+        qs_small, qs_big, (kp, vp, bt, ctx), repeats=6)
+    t_un = _bench_scanned(
+        lambda q, k_, v_, bt_, cl_: sa.attention_sinks(
+            q, k_, v_, sinks, bt_, cl_, scale, 0, hq, hkv),
+        qs_small, qs_big, (k, v, bt, ctx), repeats=6)
+    kv_bytes = b * hkv * seq * (d + dv) * 2
+    return {
+        "sinks_packed_us": round(t_pk * 1e6, 1),
+        "sinks_packed_gbps": round(kv_bytes / t_pk / 1e9, 1),
+        "sinks_packed_speedup": round(t_un / t_pk, 2),
+    }
+
+
+def _mla_prefill_secondary(rng):
+    """Paged varlen MLA prefill kernel vs the XLA gather path (PERF.md §prefill:
+    4×1024-token full prefill, 16 heads, latent 512 + rope 64)."""
+    from sgl_kernel_npu_tpu.ops.attention import mla_prefill as mpre
+
+    bsz, s_req, h, dn, dr, page = 4, 1024, 16, 512, 64, 128
+    s = bsz * s_req
+    n_pages = bsz * (s_req // page) + 1
+    mk = jax.jit(lambda key, shp: jax.random.normal(key, shp, jnp.bfloat16) * 0.5,
+                 static_argnums=1)
+    kn = mk(jax.random.key(0), (n_pages, 1, page, dn))
+    kr = mk(jax.random.key(1), (n_pages, 1, dr, page))
+    bt = jnp.asarray(
+        rng.permutation(n_pages - 1)[: bsz * (s_req // page)]
+        .reshape(bsz, s_req // page) + 1, jnp.int32)
+    sl = jnp.full((bsz,), s_req, jnp.int32)
+    cl = jnp.full((bsz,), s_req, jnp.int32)
+    scale = float(1 / np.sqrt(dn + dr))
+    qs_small = mk(jax.random.key(2), (1, s, h, dn + dr))
+    qs_big = mk(jax.random.key(3), (5, s, h, dn + dr))
+    ops = (kn, kr, sl, bt, cl)
+    t_pl = _bench_scanned(
+        lambda q, kn_, kr_, sl_, bt_, cl_: mpre.mla_prefill_pallas(
+            q, kn_, kr_, sl_, bt_, cl_, scale, max_q=s_req),
+        qs_small, qs_big, ops, repeats=5)
+    t_ref = _bench_scanned(
+        lambda q, kn_, kr_, sl_, bt_, cl_: mpre.mla_prefill_ref(
+            q, kn_, kr_, sl_, bt_, cl_, scale),
+        qs_small, qs_big, ops, repeats=5)
+    return {
+        "mla_prefill_us": round(t_pl * 1e6, 1),
+        "mla_prefill_mtoks": round(s / t_pl / 1e6, 2),
+        "mla_prefill_speedup": round(t_ref / t_pl, 1),
+    }
+
+
+def _window_a2a_secondary(rng):
+    """One-sided ragged window all-to-all, self-loop (the DeepEP protocol
+    engine without ICI in the path) — PERF.md §window a2a."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from sgl_kernel_npu_tpu.parallel.pallas_a2a import pallas_ragged_all_to_all
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+    r_, c, h = 1, 4096, 7168
+    counts = jnp.asarray([c], jnp.int32)
+    x0 = jnp.asarray(rng.standard_normal((r_, c, h)), jnp.bfloat16)
+
+    def chained(n):
+        def f(xs_, cs):
+            out, _ = pallas_ragged_all_to_all(
+                xs_, cs, axis_name="ep", num_ranks=r_, chunk_rows=2048)
+            return out
+
+        sm = functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(P("ep"), P("ep")),
+            out_specs=P("ep"), check_vma=False)(f)
+
+        @jax.jit
+        def run(x, cs):
+            body = lambda i, x: sm(x, cs)
+            return jnp.sum(
+                jax.lax.fori_loop(0, n, body, x)[:, :1, :1].astype(jnp.float32))
+        return run
+
+    ts = {}
+    for n in (16, 272):
+        runf = chained(n)
+        float(runf(x0, counts))
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            float(runf(x0, counts))
+            times.append(time.perf_counter() - t0)
+        ts[n] = statistics.median(times)
+    dt = max((ts[272] - ts[16]) / 256, 1e-9)
+    return {
+        "window_a2a_us": round(dt * 1e6, 1),
+        "window_a2a_gbps": round(c * h * 2 / dt / 1e9, 1),
+    }
+
+
+def _fused_gmm1_secondary(rng):
+    """Single-kernel fused dispatch→GMM1 (self-loop) vs the bare grouped GEMM
+    on resident rows — the fusion-overhead number in PERF.md §fused kernel."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from sgl_kernel_npu_tpu.ops import grouped_matmul as gmod
+    from sgl_kernel_npu_tpu.parallel.fused_kernel import fused_dispatch_gmm1_rank
+
+    e, seg, k, n = 8, 128, 7168, 4096
+    er = e * seg
+    w1 = jnp.asarray(rng.integers(-100, 100, (e, k, n)), jnp.int8)
+    sw = jnp.asarray(rng.random((e, n)).astype(np.float32) / 100)
+    sx = jnp.asarray(rng.random((e, seg)).astype(np.float32) / 100)
+    gs = jnp.full((e,), seg, jnp.int32)
+    sx_flat = sx.reshape(-1)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+
+    fused_rank = functools.partial(
+        jax.shard_map,
+        mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P(),
+        check_vma=False,
+    )(lambda a, b_, c, d: fused_dispatch_gmm1_rank(
+        a, b_, c, d, axis_name="ep", num_ranks=1, seg=seg))
+
+    xs_small = jnp.asarray(rng.integers(-100, 100, (2, 1, er, k)), jnp.int8)
+    xs_big = jnp.asarray(rng.integers(-100, 100, (10, 1, er, k)), jnp.int8)
+    t_fused = _bench_scanned(
+        lambda x, w, s_, sx_: fused_rank(x, w, s_, sx_),
+        xs_small, xs_big, (w1, sw, sx), repeats=5)
+    t_bare = _bench_scanned(
+        lambda x, w, g, a, bb: gmod.grouped_matmul(
+            x[0], w, g, a, bb, epilogue="dequant", out_dtype=jnp.float32),
+        xs_small, xs_big, (w1, gs, sx_flat, sw), repeats=5)
+    return {
+        "fused_dispatch_gmm1_us": round(t_fused * 1e6, 1),
+        "bare_gmm1_us": round(t_bare * 1e6, 1),
+        "fusion_overhead_us": round((t_fused - t_bare) * 1e6, 1),
     }
 
 

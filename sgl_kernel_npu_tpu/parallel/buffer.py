@@ -284,6 +284,7 @@ class Buffer:
         use_int8: bool | None = None,
         rounds: int | None = None,
         backend: str | None = None,
+        monitor: bool | None = None,
     ):
         """Normal-mode dispatch (reference buffer.py:233 → intranode_dispatch):
         returns expert-sorted ragged tokens ready for ``jax.lax.ragged_dot``.
@@ -293,6 +294,13 @@ class Buffer:
         long-seq mode, deep_ep.cpp:49-73) — same results, 1/rounds the buffer
         memory.
 
+        ``monitor`` (pallas_ragged backend only; ``config.monitor_comm``
+        default) adds the same wait-cost/timeout surface as
+        ``low_latency_dispatch``: ``wait_recv_cost_stats`` [R, R],
+        ``timeout_flags``, ``payload_wait_cost_stats``, ``send_cost_stats``
+        (reference dispatch_wait_recv_cost_stats, buffer.py:249,285-286 —
+        consumed by ``utils.diagnostics.diagnose_matrix``).
+
         Returns ``(recv_x_sorted [R, cap, H], recv_scales | None, group_sizes
         [R, E_local], handle, stats)`` with dim 0 = rank.
         """
@@ -300,6 +308,8 @@ class Buffer:
             self.config.use_int8_dispatch if use_int8 is None else use_int8
         )
         backend = backend or self.config.comm_backend
+        monitor = self.config.monitor_comm if monitor is None else monitor
+        monitor = monitor and backend == "pallas_ragged"
         t = x.shape[0] // self.group_size
         k = topk_idx.shape[1]
         if rounds is None and self.config.normal_round_tokens:
@@ -307,6 +317,8 @@ class Buffer:
         if rounds and rounds > 1:
             return self._dispatch_multi_round(x, topk_idx, use_int8, rounds)
         pair, seg = self._capacities(t, k)
+
+        zero_r = jnp.zeros((self.group_size,), jnp.float32)
 
         def body(xs, idx):
             res = ep_core.dispatch_ragged_core(
@@ -319,6 +331,7 @@ class Buffer:
                 seg_capacity=seg,
                 use_int8=use_int8,
                 backend=backend,
+                monitor=monitor,
             )
             h = res["handle"]
             scales = res.get("recv_scales_sorted")
@@ -331,13 +344,22 @@ class Buffer:
                 h.recv_sort_order[None],
                 res["recv_count_matrix"][None],
                 res["num_dropped"][None],
+                res.get("wait_recv_cost_stats", zero_r)[None],
+                res.get("timeout_flags", zero_r)[None],
+                res.get("payload_wait_cost_stats", zero_r)[None],
+                res.get("send_cost_stats", zero_r)[None],
             )
 
         p = P(self.axis_name)
-        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * 8)(x, topk_idx)
-        xs, scales, gs, gidx, ok, order, cmat, dropped = outs
+        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * 12)(x, topk_idx)
+        xs, scales, gs, gidx, ok, order, cmat, dropped = outs[:8]
         handle = ep_core.DispatchHandle(gidx, ok, order, None)
         stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
+        if monitor:
+            stats["wait_recv_cost_stats"] = outs[8]
+            stats["timeout_flags"] = outs[9]
+            stats["payload_wait_cost_stats"] = outs[10]
+            stats["send_cost_stats"] = outs[11]
         return xs, (scales if use_int8 else None), gs, handle, stats
 
     def _dispatch_multi_round(self, x, topk_idx, use_int8, rounds):

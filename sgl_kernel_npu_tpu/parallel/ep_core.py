@@ -568,7 +568,9 @@ def dispatch_ragged_core(
             .at[tgt]
             .set(res["recv_scales"].reshape(-1), mode="drop")
         )
-    for key in ("wait_recv_cost_stats", "timeout_flags", "abort_observed"):
+    for key in ("wait_recv_cost_stats", "timeout_flags", "abort_observed",
+                "payload_wait_cost_stats", "payload_timeout_flags",
+                "send_cost_stats"):
         if key in res:
             out[key] = res[key]
     return out

@@ -182,3 +182,34 @@ def test_buffer_ragged_backend_and_monitor(mesh4, rng):
     # combine-side monitoring (reference combine_send_cost_stats, buffer.py:490)
     assert cstats["combine_send_cost_stats"].shape == (R, R)
     assert not np.asarray(cstats["timeout_flags"]).any()
+
+
+def test_buffer_normal_dispatch_monitor_surface(mesh4, rng):
+    """Weak-item: the normal-mode Buffer.dispatch must expose the SAME
+    monitored-stats surface as low_latency_dispatch (reference
+    dispatch_wait_recv_cost_stats rides both entry points, buffer.py:249,285)."""
+    from sgl_kernel_npu_tpu.config import EPConfig
+    from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+
+    R, E, T, K, Hd = 4, 16, 8, 4, 64
+    n = R * T
+    x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.bfloat16)
+    idx = jnp.asarray(
+        np.stack([rng.choice(E, K, replace=False) for _ in range(n)]), jnp.int32)
+
+    buf = Buffer(mesh4, "ep", E, EPConfig(
+        num_max_dispatch_tokens_per_rank=T, comm_backend="pallas_ragged",
+        monitor_comm=True))
+    xs_m, sc_m, gs_m, _, stats = buf.dispatch(x, idx)
+    for key in ("wait_recv_cost_stats", "timeout_flags",
+                "payload_wait_cost_stats", "send_cost_stats"):
+        assert stats[key].shape == (R, R), key
+    assert not np.asarray(stats["timeout_flags"]).any()
+
+    # monitoring must not perturb the data path
+    buf_plain = Buffer(mesh4, "ep", E, EPConfig(
+        num_max_dispatch_tokens_per_rank=T, comm_backend="pallas_ragged"))
+    xs_p, sc_p, gs_p, _, stats_p = buf_plain.dispatch(x, idx)
+    assert "wait_recv_cost_stats" not in stats_p
+    np.testing.assert_array_equal(np.asarray(gs_m), np.asarray(gs_p))
+    np.testing.assert_array_equal(np.asarray(xs_m), np.asarray(xs_p))
