@@ -16,7 +16,7 @@ from sgl_kernel_npu_tpu.config import EPConfig
 from sgl_kernel_npu_tpu.parallel.buffer import Buffer
 
 H = 64  # hidden
-T = 16  # tokens per rank
+T = 8   # tokens per rank
 K = 4   # topk
 E = 16  # experts
 

@@ -8,7 +8,7 @@ from sgl_kernel_npu_tpu.config import EPConfig
 from sgl_kernel_npu_tpu.parallel.buffer import Buffer
 from sgl_kernel_npu_tpu.parallel.fused_moe import quantize_expert_weights
 
-E, H, I, K, T = 16, 256, 256, 4, 16
+E, H, I, K, T = 16, 128, 128, 4, 8
 TN = 128
 
 
@@ -120,7 +120,7 @@ def test_model_decode_single_chip_gmm_moe(rng):
     assert rel < 0.05, rel  # int8 MoE vs fp32 dense budget
 
 
-def test_model_int8_dispatch_accuracy(mesh8, rng):
+def test_model_int8_dispatch_accuracy(mesh4, rng):
     """BASELINE.md north star: INT8 dispatch Δppl ≈ 0 vs BF16 dispatch, at the
     MODEL level (reference accuracy bar) — full DeepSeek-V3-lite decode step
     through the EP fused-MoE path, logit KL + loss delta with explicit bounds.
@@ -145,8 +145,8 @@ def test_model_int8_dispatch_accuracy(mesh8, rng):
     sl = jnp.full((n,), 5, jnp.int32)
     slots = jnp.arange(n, dtype=jnp.int32) * cfg.page_size + 4
 
-    buf = Buffer(mesh8, "ep", num_experts=cfg.num_experts,
-                 config=EPConfig(num_max_dispatch_tokens_per_rank=n // 8))
+    buf = Buffer(mesh4, "ep", num_experts=cfg.num_experts,
+                 config=EPConfig(num_max_dispatch_tokens_per_rank=n // 4))
     moe_q = m.quantize_moe_weights(cfg, params, tn=256)
 
     logits = {}
@@ -268,14 +268,14 @@ def test_fused_deep_moe_chunk_skew_drop_accounting(mesh4, rng):
         chunks=2)
     assert int(np.asarray(drop0).sum()) == 0
     assert int(np.asarray(drop1).sum()) == expected_drops
-    # WHICH rows drop is deterministic: the (dst, slot)-sorted layout fills
-    # slot-major, so per hot dst the LAST (load - percap) rows — the final
-    # expert's whole segment — overflow.  Every token therefore keeps its
-    # first 3 expert contributions and loses the 4th: compare against the
-    # dense golden with that expert masked out.
-    idx_partial = idx_np.copy()
-    idx_partial[pos_in_rank < T // 2, K - 1] = -1      # expert 3 dropped
-    idx_partial[pos_in_rank >= T // 2, K - 1] = -1     # expert 15 dropped
+    # WHICH rows drop is deterministic: within a hot dst the layout fills
+    # slot-major then arrival order, so pair (token j, expert col k) of a
+    # chunk sits at sorted position k*(T/2) + j and survives iff that is
+    # < percap.  Compare against the dense golden with exactly the dropped
+    # pairs masked out.
+    j = (pos_in_rank % (T // 2))[:, None]              # arrival order in chunk
+    sorted_pos = np.arange(K)[None, :] * (T // 2) + j
+    idx_partial = np.where(sorted_pos < percap, idx_np, -1)
     golden_partial = _dense_moe_fp32(
         np.asarray(x), idx_partial, np.asarray(w), wg, wu, wd)
     got = np.asarray(piped, np.float32)

@@ -47,7 +47,7 @@ def test_ep_roundtrip_on_pallas_backend(mesh4, rng):
     """Full LL dispatch→combine over the window backend equals the XLA backend."""
     from sgl_kernel_npu_tpu.parallel import ep_core
 
-    R, E, T, K, Hd = 4, 16, 8, 4, 64
+    R, E, T, K, Hd = 4, 8, 4, 2, 64
     mesh8 = mesh4
     n = R * T
     x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.float32)
@@ -110,7 +110,7 @@ def test_ep_roundtrip_on_ragged_backend(mesh4, rng):
     matches the XLA collective backend, bf16 and int8 payloads."""
     from sgl_kernel_npu_tpu.parallel import ep_core
 
-    R, E, T, K, Hd = 4, 16, 8, 4, 64
+    R, E, T, K, Hd = 4, 8, 4, 2, 64
     mesh8 = mesh4
     n = R * T
     x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.float32)
@@ -152,7 +152,7 @@ def test_buffer_ragged_backend_and_monitor(mesh4, rng):
     from sgl_kernel_npu_tpu.config import EPConfig
     from sgl_kernel_npu_tpu.parallel.buffer import Buffer
 
-    R, E, T, K, Hd = 4, 16, 8, 4, 64
+    R, E, T, K, Hd = 4, 8, 4, 2, 64
     mesh8 = mesh4
     n = R * T
     x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.bfloat16)
@@ -191,7 +191,7 @@ def test_buffer_normal_dispatch_monitor_surface(mesh4, rng):
     from sgl_kernel_npu_tpu.config import EPConfig
     from sgl_kernel_npu_tpu.parallel.buffer import Buffer
 
-    R, E, T, K, Hd = 4, 16, 8, 4, 64
+    R, E, T, K, Hd = 4, 8, 4, 2, 64
     n = R * T
     x = jnp.asarray(rng.standard_normal((n, Hd)), jnp.bfloat16)
     idx = jnp.asarray(
