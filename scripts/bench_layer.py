@@ -111,6 +111,30 @@ def main():
             x = h_in.astype(jnp.float32) + o.reshape(b, -1) @ wo.astype(jnp.float32)
         if mode == "nomoe":
             return x.astype(h_in.dtype), kvn, kvr
+        if mode == "fusedmoe":
+            # MoE half through the FULL single-kernel fused MoE (fused_full):
+            # per-token quant, routing placement, both GEMMs, SwiGLU and the
+            # weighted combine all run inside ONE pallas_call — the only
+            # glue left outside is the router matmul + top_k
+            from jax.sharding import Mesh, PartitionSpec as P
+
+            from sgl_kernel_npu_tpu.parallel import fused_full
+
+            logits = x @ router
+            topw, topi = jax.lax.top_k(logits, topk)
+            topw = jax.nn.softmax(topw, axis=-1)
+            mesh1 = Mesh(np.array(jax.devices()[:1]), ("ep",))
+            out = jax.shard_map(
+                lambda xs, ids, ws: fused_full.fused_deep_moe_full_rank(
+                    xs.astype(jnp.bfloat16), ids, ws,
+                    w1, s1, w2, s2,
+                    axis_name="ep", num_experts=e_local, num_ranks=1,
+                    seg_capacity=b, tm=128, tk1=1024, tn1=2 * inter,
+                    tk2=1024, tn2=512, tn3=512)[0],
+                mesh=mesh1, in_specs=(P(), P(), P()), out_specs=P(),
+                check_vma=False,
+            )(x, topi, topw)
+            return (x + out.astype(jnp.float32)).astype(h_in.dtype), kvn, kvr
         # 4. quantize per TOKEN (b rows), then route int8 rows — quantizing
         # after the topk-repeat would run the quant passes and the sort
         # gather on 8x the rows in f32 (4x the bytes of int8)

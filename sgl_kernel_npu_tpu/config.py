@@ -42,6 +42,10 @@ class EPConfig:
         monitor_comm: collect per-source wait-cost stats + timeout flags on the
             dispatch payload exchange (pallas_ragged only; the reference's
             ``dispatch_wait_recv_cost_stats``, buffer.py:285-286).
+        validate_comm: per-source payload-checksum guard on dispatch — flags
+            stale/mis-addressed/truncated window writes (the reference's
+            epoch-tag + winsize validation discipline, sync_collectives.h:13-15,
+            check_winsize.h:8-20); works on every backend.
     """
 
     num_max_dispatch_tokens_per_rank: int = 128
@@ -50,6 +54,7 @@ class EPConfig:
     normal_round_tokens: int | None = None
     comm_backend: str = "xla"
     monitor_comm: bool = False
+    validate_comm: bool = False
 
     def pair_capacity(self, num_tokens: int, topk: int, num_ranks: int, experts_per_rank: int) -> int:
         """Rows a single src rank may send to a single dst rank."""

@@ -134,6 +134,7 @@ class Buffer:
         use_int8: bool | None = None,
         backend: str | None = None,
         monitor: bool | None = None,
+        validate: bool | None = None,
     ):
         """Decode-mode dispatch (reference buffer.py:676).
 
@@ -143,6 +144,13 @@ class Buffer:
             backend: transport override (``config.comm_backend`` default).
             monitor: collect wait-cost/timeout stats (pallas_ragged only;
                 ``config.monitor_comm`` default).
+            validate: per-source payload-checksum guard
+                (``config.validate_comm`` default): sender ships a wrapping
+                int32 bit-sum per destination, the receiver recomputes over
+                what actually landed — ``stats["validation_flags"]`` [R, R]
+                flags any stale/mis-addressed window write (the reference's
+                epoch-tag + winsize guards, sync_collectives.h:13-15,
+                check_winsize.h:8-20).
 
         Returns:
             ``(packed_recv_x, packed_recv_scales | None, packed_recv_count, handle,
@@ -158,6 +166,7 @@ class Buffer:
         backend = backend or self.config.comm_backend
         monitor = self.config.monitor_comm if monitor is None else monitor
         monitor = monitor and backend == "pallas_ragged"
+        validate = self.config.validate_comm if validate is None else validate
         t = x.shape[0] // self.group_size
         k = topk_idx.shape[1]
         seg = num_max_dispatch_tokens_per_rank or max(
@@ -177,6 +186,7 @@ class Buffer:
                 use_int8=use_int8,
                 backend=backend,
                 monitor=monitor,
+                validate=validate,
             )
             scales = res.get("recv_scales")
             zero_r = jnp.zeros((self.group_size,), jnp.int32)
@@ -191,19 +201,22 @@ class Buffer:
                 res.get("wait_recv_cost_stats", zero_r)[None],
                 res.get("timeout_flags", zero_r)[None],
                 res["handle"].sent_counts[None],
+                res.get("validation_flags", zero_r)[None],
             )
 
         p = P(self.axis_name)
         outs = self._smap(
-            body, in_specs=(p, p), out_specs=(p,) * 10
+            body, in_specs=(p, p), out_specs=(p,) * 11
         )(x, topk_idx)
         (recv_x, recv_scales, recv_count, gidx, ok, cmat, dropped, wait,
-         tflags, scnt) = outs
+         tflags, scnt, vflags) = outs
         handle = ep_core.DispatchHandle(gidx, ok, None, None, scnt, cmat)
         stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
         if monitor:
             stats["wait_recv_cost_stats"] = wait   # [R dst, R src] poll-iteration matrix
             stats["timeout_flags"] = tflags
+        if validate:
+            stats["validation_flags"] = vflags     # [R recv, R src] checksum mismatches
         return (
             recv_x,
             recv_scales if use_int8 else None,

@@ -211,6 +211,26 @@ def _pack_send_buffers(plan: RoutingPlan, payload: jax.Array, num_ranks: int, pa
     return buf.at[dst, plan.send_slot].set(rows, mode="drop")
 
 
+def payload_checksum(a: jax.Array, axes) -> jax.Array:
+    """Order-independent exact checksum: wrapping int32 sum of the raw bits.
+
+    The TPU equivalent of the reference's window-write guards (epoch tags
+    ``sync_collectives.h:13-15``, winsize validation ``check_winsize.h:8-20``):
+    sender and receiver compute the same value over the same bytes regardless
+    of reduction order or layout, so any mis-addressed / stale / partial
+    one-sided write flips the comparison.  Integer adds wrap deterministically;
+    zero padding contributes nothing (bit pattern 0)."""
+    if a.dtype == jnp.int8:
+        v = a.astype(jnp.int32)
+    elif a.dtype == jnp.bfloat16:
+        v = jax.lax.bitcast_convert_type(a, jnp.int16).astype(jnp.int32)
+    elif a.dtype == jnp.float32:
+        v = jax.lax.bitcast_convert_type(a, jnp.int32)
+    else:
+        v = a.astype(jnp.int32)
+    return jnp.sum(v, axis=axes)
+
+
 def dispatch_core(
     x: jax.Array,
     topk_idx: jax.Array,
@@ -227,6 +247,7 @@ def dispatch_core(
     num_local_slots: int | None = None,
     backend: str = "xla",
     monitor: bool = False,
+    validate: bool = False,
 ):
     """Per-rank dispatch body (run inside shard_map).
 
@@ -318,6 +339,22 @@ def dispatch_core(
         recv_meta = a2a(send_meta)          # [R, C]
         counts = a2a(plan.counts_per_expert.reshape(num_ranks, e_local))  # [R, E_local]
 
+    validation_flags = None
+    if validate:
+        # window-write guard (reference epoch tags / winsize validation):
+        # sender ships a per-destination checksum of exactly the rows it sent;
+        # the receiver recomputes over the rows it received.  Any stale,
+        # mis-addressed, or truncated one-sided write mismatches.
+        sent_sum = payload_checksum(send_x, axes=(1, 2))          # [R dst]
+        expect = _make_a2a(axis_name, num_ranks, "xla")(sent_sum[:, None])[:, 0]
+        got_payload = recv_payload
+        if backend == "pallas_ragged":
+            live = (jnp.arange(pair_capacity, dtype=jnp.int32)[None, :]
+                    < rcnt[:, None])
+            got_payload = jnp.where(live[..., None], recv_payload, 0)
+        got_sum = payload_checksum(got_payload, axes=(1, 2))      # [R src]
+        validation_flags = (got_sum != expect).astype(jnp.int32)
+
     n_slots = e_local * num_ranks * seg_capacity
     flat_meta = recv_meta.reshape(-1)
     packed = (
@@ -359,6 +396,8 @@ def dispatch_core(
         out["payload_wait_cost_stats"] = stats[:, 3]
         out["payload_timeout_flags"] = stats[:, 4]
         out["send_cost_stats"] = stats[:, 5]
+    if validation_flags is not None:
+        out["validation_flags"] = validation_flags
     return out
 
 

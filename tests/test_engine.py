@@ -57,9 +57,9 @@ def test_engine_batched_matches_individual(setup):
     p2 = [40, 41, 42, 43, 44]
     eng = Engine(llama_adapter(cfg, params), num_pages=64,
                  max_batch=2, max_pages_per_req=16, prefill_chunk=8)
-    got = eng.run([p1, p2], 5)
-    assert got[0] == reference_generate(cfg, params, p1, 5)
-    assert got[1] == reference_generate(cfg, params, p2, 5)
+    got = eng.run([p1, p2], 3)
+    assert got[0] == reference_generate(cfg, params, p1, 3)
+    assert got[1] == reference_generate(cfg, params, p2, 3)
 
 
 def test_radix_prefix_reuse(setup):
@@ -355,11 +355,9 @@ def test_engine_context_parallel_prefill_matches(setup):
                  max_batch=2, max_pages_per_req=16, prefill_chunk=16)
     p1 = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
     p2 = [40, 41, 42, 43, 44]
-    got = eng.run([p1, p2], 5)
-    want1 = reference_generate(cfg, params, p1, 5)
-    want2 = reference_generate(cfg, params, p2, 5)
-    assert got[0] == want1
-    assert got[1] == want2
+    got = eng.run([p1, p2], 3)
+    assert got[0] == reference_generate(cfg, params, p1, 3)
+    assert got[1] == reference_generate(cfg, params, p2, 3)
 
 
 def test_engine_pipeline_parallel_matches(setup):
@@ -374,6 +372,6 @@ def test_engine_pipeline_parallel_matches(setup):
                  max_batch=2, max_pages_per_req=16, prefill_chunk=8)
     p1 = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]
     p2 = [40, 41, 42, 43, 44]
-    got = eng.run([p1, p2], 5)
-    assert got[0] == reference_generate(cfg, params, p1, 5)
-    assert got[1] == reference_generate(cfg, params, p2, 5)
+    got = eng.run([p1, p2], 3)
+    assert got[0] == reference_generate(cfg, params, p1, 3)
+    assert got[1] == reference_generate(cfg, params, p2, 3)

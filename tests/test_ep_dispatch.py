@@ -326,3 +326,35 @@ def test_routing_plan_debug_accessor(mesh8, rng, buf):
         np.asarray(per_expert).sum(0),
     )
     assert int(np.asarray(plan.num_dropped).sum()) == 0
+
+
+def test_dispatch_checksum_validation(mesh4, rng):
+    """Window-write guard (reference epoch tags sync_collectives.h:13-15 /
+    winsize validation check_winsize.h:8-20): sender checksums vs receiver
+    recompute must agree on a clean exchange (both backends), and the
+    checksum itself must be sensitive to any payload change."""
+    from sgl_kernel_npu_tpu.parallel import ep_core
+
+    r, t4, k4 = 4, 4, 2
+    cfg = EPConfig(num_max_dispatch_tokens_per_rank=t4, use_int8_dispatch=True,
+                   validate_comm=True)
+    buf = Buffer(mesh4, "ep", num_experts=E, config=cfg)
+    n = r * t4
+    x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(E, k4, replace=False) for _ in range(n)]), jnp.int32)
+    for backend in ("xla", "pallas_ragged"):
+        _, _, _, _, stats = buf.low_latency_dispatch(x, idx, backend=backend)
+        assert stats["validation_flags"].shape == (r, r), backend
+        assert not np.asarray(stats["validation_flags"]).any(), backend
+
+    # sensitivity: one flipped element changes the wrapping bit-sum
+    a = jnp.asarray(rng.standard_normal((4, 16)), jnp.bfloat16)
+    b = a.at[2, 3].add(jnp.bfloat16(0.5))
+    s_a = int(ep_core.payload_checksum(a, axes=(0, 1)))
+    s_b = int(ep_core.payload_checksum(b, axes=(0, 1)))
+    assert s_a != s_b
+    # int8 payloads checksum exactly (integer wrap, order-independent)
+    q = jnp.asarray(rng.integers(-128, 128, (8, 32)), jnp.int8)
+    want = np.asarray(q, np.int32).sum(dtype=np.int32)  # numpy wraps identically
+    assert int(ep_core.payload_checksum(q, axes=(0, 1))) == int(want)

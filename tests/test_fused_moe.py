@@ -172,11 +172,13 @@ def test_model_int8_dispatch_accuracy(mesh4, rng):
     assert dloss < 5e-3, f"loss delta {dloss} (ppl ratio {np.exp(dloss):.5f})"
 
 
-def test_fused_deep_moe_chunk_pipelined_matches(mesh4, rng):
+def test_fused_deep_moe_chunk_pipelined_matches(rng):
     """chunks=2 (comm/compute-overlap pipeline) must reproduce chunks=1
-    bit-for-bit when capacities are ample (no chunk-skew drops)."""
-    mesh8 = mesh4
-    n = 4 * T
+    bit-for-bit when capacities are ample (no chunk-skew drops).  2-rank mesh:
+    the chunk pipeline is rank-count-generic and interpret cost is
+    superlinear in ranks (the 4-rank skew test covers multi-rank chunking)."""
+    mesh8 = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("ep",))
+    n = 2 * T
     x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
     idx = jnp.asarray(
         np.stack([rng.choice(E, K, replace=False) for _ in range(n)]), jnp.int32
