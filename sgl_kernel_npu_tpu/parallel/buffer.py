@@ -496,6 +496,8 @@ class Buffer:
         pack_tn: int | None = None,
         chunks: int = 1,
         use_int8_dispatch: bool = True,
+        single_kernel: bool = False,
+        full_tiles: tuple[int, int, int, int, int, int] | None = None,
     ):
         """Fused dispatch→GMM1→SwiGLU→requant→GMM2→combine (reference buffer.py:852).
 
@@ -507,6 +509,15 @@ class Buffer:
         all_to_all overlaps the previous slice's GEMMs (comm/compute overlap,
         see fused_moe.fused_deep_moe_rank).
 
+        ``single_kernel=True`` routes through the FULL single-``pallas_call``
+        chain (parallel/fused_full.py — the reference's ENABLE_GMM2_COMBINE
+        form, fused_deep_moe.h:35): one kernel per rank does the one-sided
+        dispatch, both GEMMs, the activation, the combine return and the
+        weighted reduce.  ``full_tiles`` overrides the auto
+        ``(tm, tk1, tn1, tk2, tn2, tn3)``; the GMM1 n-tile is pinned to the
+        weight pack width.  ``chunks``/``use_int8_dispatch`` apply to the
+        unfused form only (the kernel always quantizes the wire per token).
+
         Weights are global arrays sharded on the expert dim: ``w1 [E, H, 2I]`` int8
         packed (see parallel/fused_moe.py), ``w2 [E, I, H]`` int8, scales float32.
 
@@ -517,6 +528,38 @@ class Buffer:
         t = x.shape[0] // self.group_size
         k = topk_idx.shape[1]
         pair, seg = self._capacities(t, k)
+
+        if single_kernel:
+            from sgl_kernel_npu_tpu.ops.grouped_matmul import moe_pack_tn
+            from sgl_kernel_npu_tpu.parallel import fused_full
+
+            n1 = w1.shape[-1]
+            if full_tiles is not None:
+                tiles = full_tiles
+            else:
+                def div_le(v, cap):
+                    return max(d for d in range(1, min(v, cap) + 1) if v % d == 0)
+
+                tm = -(-seg // 32) * 32
+                tiles = (tm, div_le(x.shape[-1], 1024),
+                         pack_tn or moe_pack_tn(n1),
+                         div_le(n1 // 2, 1024), div_le(x.shape[-1], 512),
+                         div_le(x.shape[-1], 512))
+            tm, tk1, tn1, tk2, tn2, tn3 = tiles
+
+            def body_full(xs, idx, w, w1_, s1_, w2_, s2_):
+                out, cnt, drop = fused_full.fused_deep_moe_full_rank(
+                    xs, idx, w, w1_, s1_, w2_, s2_,
+                    axis_name=self.axis_name, num_experts=self.num_experts,
+                    num_ranks=self.group_size, seg_capacity=seg,
+                    tm=tm, tk1=tk1, tn1=tn1, tk2=tk2, tn2=tn2, tn3=tn3,
+                )
+                return out, cnt[None], drop[None]
+
+            p = P(self.axis_name)
+            return self._smap(body_full, in_specs=(p,) * 7, out_specs=(p, p, p))(
+                x, topk_idx, topk_weights, w1, w1_scale, w2, w2_scale
+            )
 
         def body(xs, idx, w, w1_, s1_, w2_, s2_):
             combined, gs, dropped = fused_moe.fused_deep_moe_rank(

@@ -141,3 +141,26 @@ def test_full_fused_matches_unfused_8rank(mesh8, rng):
     """Full 8-rank equivalence — same machinery as the 4-rank case but ~8× the
     single-core interpret cost (spin-waits serialize on one CPU)."""
     _run_pair(mesh8, rng, r=8, e=16, t=16, k=4, seg=16)
+
+
+def test_buffer_single_kernel_api(rng):
+    """The FULL single-kernel chain is reachable from the public Buffer API:
+    fused_deep_moe(single_kernel=True) must match the unfused form."""
+    from sgl_kernel_npu_tpu.config import EPConfig
+    from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+
+    r, e, t, k = 2, 8, 8, 2
+    mesh = _mesh(r)
+    w1, s1, w2, s2 = _weights(rng, e)
+    x, idx, w = _inputs(rng, r * t, e, k)
+    buf = Buffer(mesh, "ep", num_experts=e, config=EPConfig(
+        num_max_dispatch_tokens_per_rank=t))
+    ref, cnt_u, drop_u = buf.fused_deep_moe(
+        x, idx, w, w1, s1, w2, s2, gmm_tiles=(32, H, TN1), pack_tn=TN1)
+    got, cnt_f, drop_f = buf.fused_deep_moe(
+        x, idx, w, w1, s1, w2, s2, pack_tn=TN1, single_kernel=True)
+    assert int(np.asarray(drop_f).sum()) == 0 and int(np.asarray(drop_u).sum()) == 0
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_u))
+    g, rr = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    avg_diff = np.abs(g - rr).mean() / (np.abs(rr).mean() + 1e-9)
+    assert avg_diff < 4e-4, avg_diff
