@@ -71,3 +71,33 @@ def test_diagnose_matrix():
     assert (5, 6) in out["abnormal_points"]
     rep = expert_balance_report(np.array([[4, 0], [4, 0]]))
     assert rep["empty_experts"] == 1
+
+
+def test_checkpoint_train_resume(tmp_path, rng):
+    """Checkpoint/resume (beyond reference): save params+step mid-training,
+    restore into a fresh process-state, training continues identically."""
+    import jax
+    import jax.numpy as jnp
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+    from sgl_kernel_npu_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = m.DeepSeekV3Config(
+        vocab_size=64, hidden=64, num_layers=1, num_heads=4, kv_lora_rank=32,
+        qk_rope_dim=16, qk_nope_dim=16, q_lora_rank=32, v_head_dim=16,
+        num_experts=4, topk=2, moe_intermediate=32, page_size=8)
+    params = m.init_weights(jax.random.key(0), cfg)
+    step = m.make_train_step(cfg, mesh=None)
+    tokens = jnp.asarray(rng.integers(0, 64, (2, 8)), jnp.int32)
+
+    p1, _ = step(params, tokens)
+    save_checkpoint(str(tmp_path / "ck"), {"params": p1, "step": 1})
+    restored = restore_checkpoint(str(tmp_path / "ck"), like={"params": p1, "step": 0})
+    assert int(restored["step"]) == 1
+    p2a, l2a = step(p1, tokens)
+    p2b, l2b = step(restored["params"], tokens)
+    assert float(l2a) == float(l2b)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), p2a, p2b)
