@@ -361,12 +361,15 @@ class Buffer:
                 res.get("timeout_flags", zero_r)[None],
                 res.get("payload_wait_cost_stats", zero_r)[None],
                 res.get("send_cost_stats", zero_r)[None],
+                h.sent_counts[None],
+                h.recv_counts[None],
             )
 
         p = P(self.axis_name)
-        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * 12)(x, topk_idx)
+        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * 14)(x, topk_idx)
         xs, scales, gs, gidx, ok, order, cmat, dropped = outs[:8]
-        handle = ep_core.DispatchHandle(gidx, ok, order, None)
+        handle = ep_core.DispatchHandle(gidx, ok, order, None,
+                                        outs[12], outs[13])
         stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
         if monitor:
             stats["wait_recv_cost_stats"] = outs[8]
@@ -437,8 +440,9 @@ class Buffer:
         k = topk_weights.shape[1]
         pair, seg = self._capacities(t, k)
 
-        def body(ys, w, gidx, ok, order):
-            h = ep_core.DispatchHandle(gidx[0], ok[0], order[0], None)
+        def body(ys, w, gidx, ok, order, scnt, rcnt):
+            h = ep_core.DispatchHandle(gidx[0], ok[0], order[0], None,
+                                       scnt[0], rcnt[0])
             return ep_core.combine_ragged_core(
                 ys[0],
                 w,
@@ -452,8 +456,13 @@ class Buffer:
             )
 
         p = P(self.axis_name)
-        return self._smap(body, in_specs=(p,) * 5, out_specs=p)(
-            y_sorted, topk_weights, handle.gather_idx, handle.ok, handle.recv_sort_order
+        zero_c = jnp.zeros(
+            (self.group_size, self.group_size, self.num_local_experts), jnp.int32)
+        scnt = handle.sent_counts if handle.sent_counts is not None else zero_c
+        rcnt = handle.recv_counts if handle.recv_counts is not None else zero_c
+        return self._smap(body, in_specs=(p,) * 7, out_specs=p)(
+            y_sorted, topk_weights, handle.gather_idx, handle.ok,
+            handle.recv_sort_order, scnt, rcnt
         )
 
     def _combine_multi_round(self, y_sorted, topk_weights, handle, out_dtype):

@@ -358,3 +358,40 @@ def test_dispatch_checksum_validation(mesh4, rng):
     q = jnp.asarray(rng.integers(-128, 128, (8, 32)), jnp.int8)
     want = np.asarray(q, np.int32).sum(dtype=np.int32)  # numpy wraps identically
     assert int(ep_core.payload_checksum(q, axes=(0, 1))) == int(want)
+
+
+def test_normal_and_low_latency_interaction(mesh4, rng):
+    """Reference test_normal_and_low_latency.py pattern: BOTH modes on ONE
+    Buffer inside ONE jitted program over the window backend — pins that the
+    two kernels' collective ids / windows coexist without interference, and
+    that each mode's result equals its isolated run."""
+    from sgl_kernel_npu_tpu.parallel import ep_core
+
+    r, t4, k4 = 4, 4, 2
+    cfg = EPConfig(num_max_dispatch_tokens_per_rank=t4, use_int8_dispatch=False,
+                   comm_backend="pallas_ragged")
+    buf = Buffer(mesh4, "ep", num_experts=E, config=cfg)
+    n = r * t4
+    x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(E, k4, replace=False) for _ in range(n)]), jnp.int32)
+    w = jnp.asarray(rng.random((n, k4)), jnp.float32)
+
+    @jax.jit
+    def both(x_, idx_, w_):
+        # normal mode (prefill): dispatch -> identity experts -> combine
+        xs, _, gs, h_n, _ = buf.dispatch(x_, idx_)
+        norm_out = buf.combine(xs.astype(jnp.float32), w_, h_n,
+                               out_dtype=jnp.float32)
+        # low-latency mode (decode) in the SAME program
+        rx, _, _, h_l, _ = buf.low_latency_dispatch(x_, idx_)
+        ll_out = buf.low_latency_combine(rx.astype(jnp.float32) * 2.0, w_, h_l,
+                                         out_dtype=jnp.float32)
+        return norm_out, ll_out
+
+    norm_out, ll_out = both(x, idx, w)
+    golden_id = _golden_moe(x, idx, w, lambda e_, row: row)
+    np.testing.assert_allclose(np.asarray(norm_out), golden_id,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ll_out), 2.0 * golden_id,
+                               rtol=1e-4, atol=1e-4)
