@@ -305,16 +305,52 @@ def prefill_step(
             kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping)
         nc = {"nope": cache_n, "rope": cache_r}
         if cfg.sparse_count > 0:
-            # DSA: prefill attention stays dense, but the index keys must be
-            # cached so later decode steps can score the prompt tokens
+            # DSA: cache the index keys (decode scores the prompt through them)
             nc["kidx"] = reshape_and_cache(
                 (h1 @ lw["w_kidx"])[:, None, :].astype(cache["kidx"].dtype),
                 cache["kidx"], slot_mapping)
         new_caches.append(nc)
         q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_n.dtype)
-        attn = mla_prefill_pallas(
-            q, cache_n, cache_r, seq_lens, block_tables, context_lens,
-            cfg.sm_scale, max_q=max_q)
+        if cfg.sparse_count > 0 and cfg.sparse_granularity == "page":
+            # DSA prefill: indexer-pruned page walk — each q-chunk attends only
+            # its top pages (+ its own causal diagonal page), O(sel) HBM reads
+            # per chunk instead of O(context) (prefill twin of
+            # decode_mla_block_sparse; reference ships the indexer prefill
+            # kernel for exactly this, lightning_indexer_kernel.cpp:53)
+            from sgl_kernel_npu_tpu.ops.attention.lightning_indexer import (
+                lightning_indexer_scores_prefill_pallas)
+            from sgl_kernel_npu_tpu.ops.attention.mla_prefill import (
+                mla_prefill_block_sparse,
+                select_prefill_pages,
+            )
+
+            mq = max_q or s
+            cq = min(64, max(8, mq))
+            mq_pad = -(-mq // cq) * cq
+            qidx = (h1 @ lw["w_qidx"]).reshape(s, cfg.idx_heads, cfg.idx_dim)
+            widx = h1 @ lw["w_widx"]
+            zq = jnp.zeros((bsz, mq_pad, cfg.idx_heads, cfg.idx_dim),
+                           nc["kidx"].dtype)
+            qidx_d = zq.at[req, j].set(qidx.astype(zq.dtype), mode="drop")
+            widx_d = (jnp.zeros((bsz, mq_pad, cfg.idx_heads), jnp.float32)
+                      .at[req, j].set(widx, mode="drop"))
+            scores = lightning_indexer_scores_prefill_pallas(
+                qidx_d, widx_d, nc["kidx"], seq_lens, context_lens,
+                block_tables, q_chunk=cq)
+            page_scores = scores.reshape(
+                bsz, mq_pad, block_tables.shape[1], cfg.page_size).max(-1)
+            num_sel = min(-(-cfg.sparse_count // cfg.page_size),
+                          block_tables.shape[1])
+            pos_sel = select_prefill_pages(
+                page_scores, seq_lens, context_lens, cq=cq,
+                page_size=cfg.page_size, num_sel=num_sel)
+            attn = mla_prefill_block_sparse(
+                q, cache_n, cache_r, seq_lens, block_tables, context_lens,
+                cfg.sm_scale, pos_sel, max_q=mq, q_chunk=cq)
+        else:
+            attn = mla_prefill_pallas(
+                q, cache_n, cache_r, seq_lens, block_tables, context_lens,
+                cfg.sm_scale, max_q=max_q)
         x = x + _mla_output(cfg, lw, attn.astype(jnp.float32))
 
         h2 = rms_norm_ref(x, lw["ln2"])

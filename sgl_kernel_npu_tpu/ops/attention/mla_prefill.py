@@ -201,3 +201,197 @@ def mla_prefill_pallas(
         k_rope_buffer,
     )
     return od[req, j]
+
+
+# ---------------------------------------------------------------------------
+# DSA block-sparse prefill: indexer-pruned page walk
+# ---------------------------------------------------------------------------
+
+def _mla_prefill_pruned_kernel(
+    seq_lens_ref,    # [B]
+    ctx_lens_ref,    # [B]
+    bt_sel_ref,      # [B, QC, P] selected page-pool ids (dead -> 0)
+    pos_sel_ref,     # [B, QC, P] selected page index within the sequence (-1 dead)
+    qn_ref,          # [1, CQ, H, 512]
+    qp_ref,          # [1, CQ, H, 64]
+    kn_ref,          # [1, 1, page, 512]
+    kr_ref,          # [1, 1, 64, page]
+    o_ref,           # [1, CQ, H, 512]
+    acc_ref, m_ref, l_ref,
+    *,
+    sm_scale,
+    page_size,
+):
+    """Flash accumulation over ONLY the indexer-selected pages of each
+    (request, q-chunk) — the prefill twin of ``decode_mla_block_sparse``
+    (DeepSeek-V3.2 DSA page-granular relaxation).  Causal masking uses the
+    selected page's absolute position, so selection order is irrelevant."""
+    b = pl.program_id(0)
+    qc = pl.program_id(1)
+    pc = pl.program_id(2)
+    n_pg = pl.num_programs(2)
+    cq, h = qn_ref.shape[1], qn_ref.shape[2]
+    rows = cq * h
+    dn = qn_ref.shape[3]
+
+    seq_len = seq_lens_ref[b]
+    ctx = ctx_lens_ref[b]
+    page_pos = pos_sel_ref[b, qc, pc]
+
+    @pl.when(pc == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    tok = qc * cq + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // h
+    qpos = ctx - seq_len + tok
+    row_live = tok < seq_len
+    has_work = jnp.logical_and(qc * cq < seq_len, page_pos >= 0)
+    page_lo = page_pos * page_size
+
+    @pl.when(has_work)
+    def _step():
+        qn = qn_ref[0].reshape(rows, dn)
+        qp = qp_ref[0].reshape(rows, qp_ref.shape[3])
+        kn = kn_ref[0, 0]
+        kr = kr_ref[0, 0]
+        qk = jax.lax.dot_general(
+            qn, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        qk += jax.lax.dot_general(
+            qp, kr, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        qk *= sm_scale
+        kpos = page_lo + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+        qk = jnp.where(jnp.logical_and(kpos <= qpos, row_live), qk, NEG_INF)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(qk, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        probs = jnp.exp(qk - m_new)
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_new
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+            probs.astype(kn.dtype), kn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(pc == n_pg - 1)
+    def _finish():
+        out = acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
+        out = jnp.where(row_live, out, 0.0)
+        o_ref[0] = out.reshape(cq, h, dn).astype(o_ref.dtype)
+
+
+def select_prefill_pages(
+    page_scores, seq_lens, context_lens, *, cq: int, page_size: int, num_sel: int
+):
+    """Per-(request, q-chunk) top pages from page-aggregated indexer scores.
+
+    ``page_scores [B, max_q, max_pages]``: per-token per-page score (−inf at
+    causally dead positions — e.g. token scores from
+    ``lightning_indexer_scores_prefill_pallas`` max-reduced over each page).
+    Each chunk's LAST causal page is force-included (local attention always
+    survives pruning).  Returns ``pos_sel [B, QC, num_sel]`` page indices
+    within the sequence, −1 = dead slot.
+    """
+    b, max_q, max_pages = page_scores.shape
+    qcn = -(-max_q // cq)
+    if max_q % cq:
+        page_scores = jnp.pad(
+            page_scores, ((0, 0), (0, qcn * cq - max_q), (0, 0)),
+            constant_values=NEG_INF)
+    cs = page_scores.reshape(b, qcn, cq, max_pages).max(axis=2)  # [B, QC, pages]
+    qc_idx = jnp.arange(qcn, dtype=jnp.int32)
+    live_chunk = qc_idx[None, :] * cq < seq_lens[:, None]
+    qhi = jnp.minimum((qc_idx[None, :] + 1) * cq, seq_lens[:, None]) - 1
+    hi_page = jnp.clip(
+        (context_lens[:, None] - seq_lens[:, None] + qhi) // page_size,
+        0, max_pages - 1)
+    b_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    cs = cs.at[b_idx, qc_idx[None, :], hi_page].set(
+        jnp.where(live_chunk, jnp.float32(3e38), NEG_INF))
+    vals, pos = jax.lax.top_k(cs, num_sel)                       # [B, QC, P]
+    return jnp.where(vals > NEG_INF, pos, -1).astype(jnp.int32)
+
+
+def mla_prefill_block_sparse(
+    q, k_nope_buffer, k_rope_buffer, seq_lens, block_tables, context_lens,
+    sm_scale, pos_sel,
+    *, max_q: int | None = None, q_chunk: int = 64, interpret=None,
+):
+    """Block-sparse varlen paged MLA prefill over indexer-selected pages.
+
+    Same contract as :func:`mla_prefill_pallas` plus ``pos_sel [B, QC, P]``
+    from :func:`select_prefill_pages` (QC must match this function's chunking:
+    ``ceil(max_q_padded / q_chunk)``).  Work and HBM reads are O(P) per chunk
+    instead of O(context) — the prefill twin of the page-granular DSA decode
+    (reference ships indexer kernels for exactly this, SGLang drives them)."""
+    if interpret is None:
+        interpret = interpret_default()
+    s, h, _ = q.shape
+    dn = k_nope_buffer.shape[-1]
+    dr = k_rope_buffer.shape[-2]
+    bsz = seq_lens.shape[0]
+    _, _, page_size, _ = k_nope_buffer.shape
+    max_q = max_q or s
+    cq = min(q_chunk, max(8, max_q))
+    max_q = -(-max_q // cq) * cq
+    num_sel = pos_sel.shape[-1]
+    assert pos_sel.shape[1] == max_q // cq, (pos_sel.shape, max_q, cq)
+
+    ends = jnp.cumsum(seq_lens.astype(jnp.int32))
+    req = jnp.clip(jnp.searchsorted(ends, jnp.arange(s), side="right"), 0, bsz - 1)
+    j = jnp.arange(s) - (ends[req] - seq_lens[req])
+    qd = (
+        jnp.zeros((bsz, max_q, h, q.shape[-1]), q.dtype)
+        .at[req, j]
+        .set(q, mode="drop")
+    )
+    qn, qp = qd[..., :dn], qd[..., dn:]
+    # selected page-pool ids (dead -> page 0; masked in-kernel by pos_sel < 0)
+    bt_sel = jnp.take_along_axis(
+        block_tables[:, None, :].astype(jnp.int32),
+        jnp.maximum(pos_sel, 0).astype(jnp.int32), axis=2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(bsz, max_q // cq, num_sel),
+        in_specs=[
+            pl.BlockSpec((1, cq, h, dn),
+                         lambda b, qc, pc, sl, cl, bts, pss: (b, qc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cq, h, dr),
+                         lambda b, qc, pc, sl, cl, bts, pss: (b, qc, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, page_size, dn),
+                         lambda b, qc, pc, sl, cl, bts, pss: (bts[b, qc, pc], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dr, page_size),
+                         lambda b, qc, pc, sl, cl, bts, pss: (bts[b, qc, pc], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cq, h, dn),
+                               lambda b, qc, pc, sl, cl, bts, pss: (b, qc, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((cq * h, dn), jnp.float32),
+            pltpu.VMEM((cq * h, 128), jnp.float32),
+            pltpu.VMEM((cq * h, 128), jnp.float32),
+        ],
+    )
+    od = pl.pallas_call(
+        functools.partial(_mla_prefill_pruned_kernel, sm_scale=sm_scale,
+                          page_size=page_size),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, max_q, h, dn), q.dtype),
+        interpret=interpret,
+    )(
+        seq_lens.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        bt_sel,
+        pos_sel.astype(jnp.int32),
+        qn,
+        qp,
+        k_nope_buffer,
+        k_rope_buffer,
+    )
+    return od[req, j]

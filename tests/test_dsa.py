@@ -158,3 +158,50 @@ def test_block_sparse_restricts_to_top_pages(rng):
     want = decode_mla_ref(q, kn, kr, jnp.full((b,), 2 * page, jnp.int32),
                           0.1, bt_sel)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_block_sparse_prefill_full_pages_equals_dense(rng):
+    """mla_prefill_block_sparse over ALL causal pages == mla_prefill_pallas."""
+    from sgl_kernel_npu_tpu.ops.attention.mla_prefill import (
+        mla_prefill_block_sparse,
+        mla_prefill_pallas,
+    )
+
+    bsz, s_req, page, max_pages, lat, rope, h = 2, 32, 16, 2, 64, 32, 4
+    s = bsz * s_req
+    kn, kr, bt, _ = _paged_setup(rng, bsz, s_req, page, max_pages, lat, rope)
+    sl = jnp.full((bsz,), s_req, jnp.int32)
+    cl = jnp.full((bsz,), s_req, jnp.int32)
+    q = jnp.asarray(rng.standard_normal((s, h, lat + rope)) * 0.5, jnp.float32)
+    pos_sel = jnp.tile(jnp.arange(max_pages, dtype=jnp.int32)[None, None],
+                       (bsz, 1, 1))                      # QC=1 at q_chunk=32
+    got = mla_prefill_block_sparse(
+        q, kn, kr, sl, bt, cl, 0.1, pos_sel, max_q=s_req, q_chunk=32)
+    want = mla_prefill_pallas(
+        q, kn, kr, sl, bt, cl, 0.1, max_q=s_req, q_chunk=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_model_sparse_prefill_restricts(rng):
+    """Page-granular DSA PREFILL: a tight page budget changes the prefill
+    output (truly restricts) and stays finite; the indexer-selected diagonal
+    page keeps local attention alive."""
+    cfg = m.DeepSeekV3Config(num_layers=1, page_size=16, vocab_size=61,
+                             sparse_count=16, sparse_granularity="page")
+    dense = dataclasses.replace(cfg, sparse_count=0)
+    params = m.init_weights(jax.random.key(2), cfg, jnp.float32)
+    b, max_pages = 2, 3
+    bt = jnp.arange(1, 1 + b * max_pages, dtype=jnp.int32).reshape(b, max_pages)
+    hist = jnp.asarray(rng.standard_normal((b * 44, cfg.hidden)) * 0.3, jnp.float32)
+    outs = {}
+    for name, c in (("sparse", cfg), ("dense", dense)):
+        caches = m.init_kv_cache(c, b * max_pages + 1, jnp.float32)
+        out, _ = m.prefill_step(
+            c, params, hist, jnp.full((b,), 44, jnp.int32), caches, bt,
+            jnp.full((b,), 44, jnp.int32),
+            jnp.asarray([int(bt[i, t // c.page_size]) * c.page_size + t % c.page_size
+                         for i in range(b) for t in range(44)], jnp.int32),
+            max_q=48)
+        outs[name] = np.asarray(out)
+    assert np.isfinite(outs["sparse"]).all()
+    assert np.abs(outs["sparse"] - outs["dense"]).max() > 1e-5
