@@ -129,6 +129,18 @@ def main():
                 mpre.mla_prefill_pallas(qpre, knm, krm, sqm, btm, slm, 0.042,
                                         max_q=128),
                 mpre.mla_prefill_ref(qpre, knm, krm, sqm, btm, slm, 0.042))
+    # DSA pruned prefill with ALL causal pages selected == the dense kernel
+    n_pg_smoke = btm.shape[1]
+    cq_smoke = 64
+    qc_n = 128 // cq_smoke
+    pos_all = jnp.tile(
+        jnp.arange(n_pg_smoke, dtype=jnp.int32)[None, None],
+        (sqm.shape[0], qc_n, 1))
+    ok &= check("mla_prefill_block_sparse",
+                mpre.mla_prefill_block_sparse(
+                    qpre, knm, krm, sqm, btm, slm, 0.042, pos_all,
+                    max_q=128, q_chunk=cq_smoke),
+                mpre.mla_prefill_ref(qpre, knm, krm, sqm, btm, slm, 0.042))
 
     # --- remaining Pallas norm/activation kernels ---
     ok &= check("add_gemma_rms_norm",

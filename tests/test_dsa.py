@@ -205,3 +205,26 @@ def test_model_sparse_prefill_restricts(rng):
         outs[name] = np.asarray(out)
     assert np.isfinite(outs["sparse"]).all()
     assert np.abs(outs["sparse"] - outs["dense"]).max() > 1e-5
+
+
+def test_block_sparse_prefill_tolerates_dead_page_selection(rng):
+    """Selected pages beyond a request's causal range must not perturb the
+    result: garbage accumulated while m = -1e30 is annihilated by the first
+    real page (the flash -1e30 convention), in either processing order."""
+    from sgl_kernel_npu_tpu.ops.attention.mla_prefill import (
+        mla_prefill_block_sparse,
+        mla_prefill_pallas,
+    )
+
+    bsz, page, max_pages, lat, rope, h = 2, 16, 4, 64, 32, 4
+    kn, kr, bt, _ = _paged_setup(rng, bsz, page * max_pages, page, max_pages, lat, rope)
+    sl = jnp.asarray([8, 8], jnp.int32)          # fresh tokens
+    cl = jnp.asarray([17, 60], jnp.int32)        # ctx: 2 pages / 4 pages live
+    s = int(sl.sum())
+    q = jnp.asarray(rng.standard_normal((s, h, lat + rope)) * 0.5, jnp.float32)
+    # select ALL pool pages, dead-before-live order for request 0
+    pos = jnp.asarray([[[3, 2, 1, 0]], [[0, 1, 2, 3]]], jnp.int32)
+    got = mla_prefill_block_sparse(
+        q, kn, kr, sl, bt, cl, 0.1, pos, max_q=8, q_chunk=8)
+    want = mla_prefill_pallas(q, kn, kr, sl, bt, cl, 0.1, max_q=8, q_chunk=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
