@@ -118,6 +118,17 @@ def pack_gmm1_scales(s_gate: jax.Array, s_up: jax.Array, tn: int) -> jax.Array:
     ).reshape(g, 2 * i)
 
 
+def dispatch_onehot(tok_of_row: jax.Array, n_tok: int, dtype=jnp.int8) -> jax.Array:
+    """One-hot ``[S, n_tok]`` row→token dispatch matrix for ``dispatch_p``.
+
+    Rows of the sorted layout select their source token; the grouped matmul
+    forms each sorted x tile as ``P @ x`` on the MXU (exact for int8 — one-hot
+    selection of values ≤ 127 accumulates losslessly in int32)."""
+    return (tok_of_row[:, None] == jnp.arange(n_tok, dtype=jnp.int32)[None, :]).astype(
+        dtype
+    )
+
+
 # ---------------------------------------------------------------------------
 # tile schedule metadata (device-computed, scalar-prefetched)
 # ---------------------------------------------------------------------------
@@ -227,14 +238,16 @@ def _gmm_kernel(
     m_tiles_ref,
     offsets_ref,
     is_pad_ref,
-    x_ref,
-    w_ref,
-    sx_ref,
-    sw_ref,
-    *refs,  # o_ref [, s_out_ref], acc_ref
+    *refs,  # [p_ref,] x_ref, w_ref, sx_ref, sw_ref, o_ref [, s_out_ref], acc_ref
     tm: int,
     epilogue: Epilogue,
+    gather: bool = False,
 ):
+    if gather:
+        p_ref, refs = refs[0], refs[1:]
+    else:
+        p_ref = None
+    x_ref, w_ref, sx_ref, sw_ref, *refs = refs
     if epilogue == "dequant_swiglu_quant":
         o_ref, s_out_ref, acc_ref = refs
     else:
@@ -249,16 +262,35 @@ def _gmm_kernel(
 
     @pl.when(is_pad_ref[i] == 0)  # pad steps only zero-fill their out tile
     def _mxu():
-        if x_ref.dtype == jnp.int8:
+        if gather:
+            # dispatch-as-matmul: the sorted row tile is P @ x where P is the
+            # one-hot row→token matrix.  Exact (one-hot selection), and turns
+            # the token-granular XLA row gather — which lowers to ~60 GB/s
+            # scalar dynamic reads on TPU — into ~µs of MXU work on operands
+            # already resident in VMEM (the fused-combine twin of the masked-
+            # matmul combine below / models/deepseek_v3._gmm_moe).
+            if x_ref.dtype == jnp.int8:
+                xt = jax.lax.dot_general(
+                    p_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.int8)
+            else:
+                xt = jax.lax.dot_general(
+                    p_ref[...], x_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(x_ref.dtype)
+        else:
+            xt = x_ref[...]
+        if xt.dtype == jnp.int8:
             acc_ref[...] += jax.lax.dot_general(
-                x_ref[...],
+                xt,
                 w_ref[0],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
         else:
             acc_ref[...] += jax.lax.dot_general(
-                x_ref[...],
+                xt,
                 w_ref[0],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -314,12 +346,14 @@ def grouped_matmul(
     tk: int | None = None,
     tn: int | None = None,
     out_dtype=None,
+    dispatch_p: jax.Array | None = None,
     interpret=None,
 ) -> jax.Array:
     """Megablox-style grouped matmul with fused epilogues.
 
     Args:
         x: ``[S, K]`` rows grouped contiguously by expert (int8 or bf16/f32).
+            With ``dispatch_p``: the *unsorted* token array ``[n_tok, K]``.
         w: ``[G, K, N]`` expert weights (int8 for dequant epilogues).
         group_sizes: ``[G]`` rows per group (traced; rows beyond the total are
             zero-filled in the output).
@@ -327,13 +361,23 @@ def grouped_matmul(
         scale_w: ``[G, N]`` per-channel weight scales.
         epilogue: ``none`` | ``dequant`` | ``dequant_swiglu`` (the latter expects
             gate/up packed by :func:`pack_gmm1_weights` and halves the output width).
+        dispatch_p: optional ``[S, n_tok]`` one-hot row→token dispatch matrix
+            (same dtype class as x: int8 or x.dtype).  The expert-sorted row
+            tile is formed *inside* the kernel as ``P @ x`` on the MXU instead
+            of a token-granular XLA gather (~60 GB/s scalar reads).  Build with
+            :func:`dispatch_onehot`.  Sized for decode batches (``n_tok`` ≲ 512
+            keeps P under 0.5 MB/tile).
 
     Returns:
         ``[S, N]`` (or ``[S, N/2]`` for the SwiGLU epilogue).
     """
     if interpret is None:
         interpret = interpret_default()
-    s, kdim = x.shape
+    if dispatch_p is not None:
+        s = dispatch_p.shape[0]
+        n_tok, kdim = x.shape
+    else:
+        s, kdim = x.shape
     g, _, n = w.shape
     if tm is None or tk is None or tn is None:
         a_tm, a_tk, a_tn = select_gmm_tiles(
@@ -385,16 +429,36 @@ def grouped_matmul(
     # Pad steps pin their input block indices to (…, 0, 0): consecutive pads then
     # map to the same blocks and Pallas skips the refetch — otherwise each pad
     # step would re-stream its group's whole [K, N] weight slab.
-    kernel = functools.partial(_gmm_kernel, tm=tm, epilogue=epilogue)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=grid,
-        in_specs=[
+    kernel = functools.partial(
+        _gmm_kernel, tm=tm, epilogue=epilogue, gather=dispatch_p is not None
+    )
+    if dispatch_p is not None:
+        # P tile walks the sorted rows; the token array block [n_tok, tk] is
+        # pinned at row 0 (whole token set resident per k-slice)
+        p_x_specs = [
+            pl.BlockSpec(
+                (tm, n_tok),
+                lambda i, nn, kk, gi, mt, off, pad: (mt[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_tok, tk),
+                lambda i, nn, kk, gi, mt, off, pad: (0, kk * (1 - pad[i])),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    else:
+        p_x_specs = [
             pl.BlockSpec(
                 (tm, tk),
                 lambda i, nn, kk, gi, mt, off, pad: (mt[i], kk * (1 - pad[i])),
                 memory_space=pltpu.VMEM,
             ),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=p_x_specs + [
             pl.BlockSpec(
                 (1, tk, tn),
                 lambda i, nn, kk, gi, mt, off, pad: (
@@ -447,7 +511,200 @@ def grouped_matmul(
             transcendentals=s * n_out if epilogue != "none" else 0,
         ),
     )(group_ids, m_tiles, offsets, is_pad,
+      *(() if dispatch_p is None else (dispatch_p,)),
       x, w, scale_x.reshape(s, 1), scale_w.reshape(g, 1, n))
     if epilogue == "dequant_swiglu_quant":
         return outs[0], outs[1][:, 0]
     return outs[0]
+
+
+# ---------------------------------------------------------------------------
+# combine-fused grouped matmul (GMM2 + weighted top-k combine in one kernel)
+# ---------------------------------------------------------------------------
+
+def _gmm_combine_kernel(
+    group_ids_ref,
+    m_tiles_ref,
+    offsets_ref,
+    is_pad_ref,
+    x_ref,
+    w_ref,
+    sx_ref,
+    sw_ref,
+    mhi_ref,
+    mlo_ref,
+    o_ref,
+    acc_ref,
+    oacc_ref,
+    *,
+    tm: int,
+):
+    i = pl.program_id(1)
+    k = pl.program_id(2)
+    ni = pl.num_programs(1)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(jnp.logical_and(i == 0, k == 0))
+    def _zero_out():
+        oacc_ref[...] = jnp.zeros_like(oacc_ref)
+
+    @pl.when(is_pad_ref[i] == 0)
+    def _mxu():
+        acc_ref[...] += jax.lax.dot_general(
+            x_ref[...],
+            w_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _combine():
+        @pl.when(is_pad_ref[i] == 0)
+        def _acc():
+            g = group_ids_ref[i]
+            m_tile = m_tiles_ref[i]
+            start, end = offsets_ref[g], offsets_ref[g + 1]
+            rows = m_tile * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+            # boundary tiles are visited once per straddling group: each visit
+            # contributes only its own group's rows to the combine sum
+            in_group = (rows >= start) & (rows < end)
+            deq = acc_ref[...] * sx_ref[...] * sw_ref[0]
+            deq = jnp.where(in_group, deq, 0.0).astype(jnp.bfloat16)
+            # the combine blocks must ALSO be masked: columns for rows outside
+            # the group (incl. out-of-bounds tile padding when S % tm != 0)
+            # hold garbage that the matmul would turn into NaN even against
+            # zeroed deq rows
+            live = in_group[:, 0][None, :]
+            mhi = jnp.where(live, mhi_ref[...], 0).astype(jnp.bfloat16)
+            mlo = jnp.where(live, mlo_ref[...], 0).astype(jnp.bfloat16)
+            oacc_ref[...] += jax.lax.dot_general(
+                mhi, deq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            oacc_ref[...] += jax.lax.dot_general(
+                mlo, deq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(i == ni - 1)
+        def _write():
+            o_ref[...] = oacc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "tk", "tn", "out_dtype", "interpret")
+)
+def grouped_matmul_combine(
+    x: jax.Array,
+    w: jax.Array,
+    group_sizes: jax.Array,
+    scale_x: jax.Array,
+    scale_w: jax.Array,
+    combine_hi: jax.Array,
+    combine_lo: jax.Array,
+    *,
+    tm: int = 128,
+    tk: int | None = None,
+    tn: int | None = None,
+    out_dtype=jnp.float32,
+    interpret=None,
+) -> jax.Array:
+    """W8A8 grouped matmul with the weighted top-k combine fused as epilogue.
+
+    Computes ``combine @ (dequant(x @ w[g]))`` in one kernel: the MoE return
+    path (reference: CamMoeCombineNormal / the fused op's combine epilogue,
+    fused_deep_moe.h ENABLE_GMM2_COMBINE) without ever writing the [S, N]
+    expert output to HBM — the grid runs n-outer so the [n_tok, tn] combine
+    accumulator stays VMEM-resident across the row sweep.
+
+    Args:
+        x: ``[S, K]`` int8 expert-sorted rows (GMM1 output).
+        w: ``[G, K, N]`` int8 expert down-projection weights.
+        scale_x / scale_w: per-row / per-channel dequant scales.
+        combine_hi/lo: ``[n_tok, S]`` bf16 hi/lo split of the f32 top-k weight
+            matrix (column j = sorted row j's token, value = routing weight).
+
+    Returns:
+        ``[n_tok, N]`` combined MoE output.
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    s, kdim = x.shape
+    g, _, n = w.shape
+    n_tok = combine_hi.shape[0]
+    if tk is None:
+        tk = next((t for t in (1024, 512, 256) if kdim % t == 0), kdim)
+    if tn is None:
+        tn = next((t for t in (1024, 512, 256) if n % t == 0), n)
+    tm = min(tm, s)
+    tk = min(tk, kdim)
+    tn = min(tn, n)
+    assert kdim % tk == 0 and n % tn == 0, (kdim, tk, n, tn)
+
+    group_ids, m_tiles, offsets, is_pad, num_tiles = make_gmm_metadata(group_sizes, s, tm)
+    grid = (n // tn, num_tiles, kdim // tk)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tm, tk),
+                lambda nn, i, kk, gi, mt, off, pad: (mt[i], kk * (1 - pad[i])),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tk, tn),
+                lambda nn, i, kk, gi, mt, off, pad: (
+                    gi[i], kk * (1 - pad[i]), nn * (1 - pad[i])
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tm, 1),
+                lambda nn, i, kk, gi, mt, off, pad: (mt[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tn),
+                lambda nn, i, kk, gi, mt, off, pad: (gi[i], 0, nn * (1 - pad[i])),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_tok, tm),
+                lambda nn, i, kk, gi, mt, off, pad: (0, mt[i]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (n_tok, tm),
+                lambda nn, i, kk, gi, mt, off, pad: (0, mt[i]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_tok, tn),
+            lambda nn, i, kk, gi, mt, off, pad: (0, nn),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.float32),
+            pltpu.VMEM((n_tok, tn), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gmm_combine_kernel, tm=tm),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tok, n), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * s * kdim * n + 4 * n_tok * s * n,
+            bytes_accessed=s * kdim + g * kdim * n + n_tok * n * 4,
+            transcendentals=0,
+        ),
+    )(group_ids, m_tiles, offsets, is_pad,
+      x, w, scale_x.reshape(s, 1), scale_w.reshape(g, 1, n),
+      combine_hi, combine_lo)

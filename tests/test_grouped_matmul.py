@@ -153,3 +153,57 @@ def test_gmm_dequant_swiglu_quant(rng):
     if total < s:
         assert (np.asarray(q)[total:] == 0).all()
         assert (np.asarray(scales)[total:] == 0).all()
+
+
+def test_gmm_dispatch_p_matches_gathered(rng):
+    """In-kernel one-hot dispatch (P @ x on the MXU) == XLA row gather + GMM."""
+    g, n_tok, k_top, kd, n = 4, 32, 4, 256, 512
+    rows = n_tok * k_top
+    x = jnp.asarray(rng.integers(-128, 128, (n_tok, kd)), jnp.int8)
+    w = jnp.asarray(rng.integers(-128, 128, (g, kd, n)), jnp.int8)
+    tok_of_row = jnp.asarray(rng.integers(0, n_tok, (rows,)), jnp.int32)
+    gs = jnp.array([40, 0, 50, 38], jnp.int32)
+    sx = jnp.abs(jnp.asarray(rng.standard_normal(rows), jnp.float32)) + 0.1
+    sw = jnp.abs(jnp.asarray(rng.standard_normal((g, n)), jnp.float32)) + 0.1
+    p_mat = gm.dispatch_onehot(tok_of_row, n_tok)
+    want = gm.grouped_matmul(
+        x[tok_of_row], w, gs, sx, sw, epilogue="dequant", tm=64, tk=128, tn=128
+    )
+    got = gm.grouped_matmul(
+        x, w, gs, sx, sw, epilogue="dequant", dispatch_p=p_mat,
+        tm=64, tk=128, tn=128,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gmm_combine_fused_matches_unfused(rng):
+    """GMM2 + weighted combine in one kernel == dequant GMM then mask @ y."""
+    g, n_tok, k_top, kd, n = 4, 24, 4, 256, 384
+    rows = n_tok * k_top
+    sizes = np.array([30, 26, 0, 40], np.int32)  # ragged, zero tail
+    x = jnp.asarray(rng.integers(-128, 128, (rows, kd)), jnp.int8)
+    w = jnp.asarray(rng.integers(-128, 128, (g, kd, n)), jnp.int8)
+    gs = jnp.asarray(sizes)
+    sx = jnp.abs(jnp.asarray(rng.standard_normal(rows), jnp.float32)) * 0.01 + 0.001
+    sw = jnp.abs(jnp.asarray(rng.standard_normal((g, n)), jnp.float32)) * 0.01
+    # each token combines k_top random sorted slots with random weights
+    total = int(sizes.sum())
+    mask_np = np.zeros((n_tok, rows), np.float32)
+    for t in range(n_tok):
+        slots = rng.choice(total, k_top, replace=False)
+        mask_np[t, slots] = rng.random(k_top)
+    mask = jnp.asarray(mask_np)
+    m_hi = mask.astype(jnp.bfloat16)
+    m_lo = (mask - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    y = gm.grouped_matmul(
+        x, w, gs, sx, sw, epilogue="dequant", out_dtype=jnp.bfloat16,
+        tm=64, tk=128, tn=128,
+    )
+    want = jnp.asarray(m_hi) @ y.astype(jnp.float32) + m_lo @ y.astype(jnp.float32)
+    got = gm.grouped_matmul_combine(
+        x, w, gs, sx, sw, m_hi, m_lo, tm=64, tk=128, tn=128
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
