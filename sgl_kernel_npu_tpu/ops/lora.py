@@ -31,16 +31,35 @@ def token_lora_indices(weight_indices: jax.Array, seq_lengths: jax.Array, total_
     return weight_indices.astype(jnp.int32)[seq_of_token], valid
 
 
+def _dense_all_ok(t: int, a: int, out_dim: int) -> bool:
+    """Use the all-adapters MXU path when the [T, A, out] intermediate is small."""
+    return a <= 32 and t * a * out_dim * 4 <= 32 * 2**20
+
+
 def _shrink(x, weights, tok_idx, valid, ranks, scalings, num_slices: int):
     """Core shrink: out[t, :S·r] = scaling[a] · (x[t] @ weights[a, :S·r].T).
 
     Slices are packed compactly by the adapter's *actual* rank (reference layout,
     utils.py:57-63): weight row / output column c corresponds to slice c // r,
     component c % r, so the whole padded product is valid up to column S·r.
+
+    Two paths: for small adapter pools the all-adapters dense matmul + one-hot
+    select reads each adapter's weights exactly ONCE from HBM (A× the FLOPs,
+    all on the MXU — decode LoRA is bandwidth-bound, so A·T·R extra MACs are
+    free); the general path is the per-token weight gather the reference's
+    bgmv kernels implement in AscendC (csrc/lora/op_kernel/).
     """
     out_dim = weights.shape[1]
-    w = weights[tok_idx]                                  # [T, S*maxR, H]
-    out = jnp.einsum("th,trh->tr", x.astype(jnp.float32), w.astype(jnp.float32))
+    a = weights.shape[0]
+    if _dense_all_ok(x.shape[0], a, out_dim):
+        all_out = jnp.einsum(
+            "th,arh->tar", x.astype(jnp.float32), weights.astype(jnp.float32)
+        )                                                 # [T, A, S*maxR]
+        onehot = (tok_idx[:, None] == jnp.arange(a)[None, :]).astype(jnp.float32)
+        out = jnp.einsum("tar,ta->tr", all_out, onehot)
+    else:
+        w = weights[tok_idx]                              # [T, S*maxR, H]
+        out = jnp.einsum("th,trh->tr", x.astype(jnp.float32), w.astype(jnp.float32))
     rank_t = ranks.astype(jnp.int32)[tok_idx]             # [T]
     col = jnp.arange(out_dim)
     mask = (col[None, :] < num_slices * rank_t[:, None]) & valid[:, None]
@@ -58,7 +77,17 @@ def _expand(x, weights, tok_idx, valid, ranks, slice_offsets, base_output):
     out = base_output if base_output is not None else jnp.zeros((t, total_out), x.dtype)
     out_dtype = out.dtype
     out = out.astype(jnp.float32)
-    w = weights[tok_idx]                                  # [T, out_dim, maxR]
+    a = weights.shape[0]
+    # all-adapters path: fold the one-hot adapter select into the input —
+    # xe[t, (a, r)] = onehot[t, a] · x_slice[t, r] — then ONE dense matmul
+    # against the [A·maxR, slice] reshaped weights.  Weights stream once from
+    # HBM; no [T, out_dim, maxR] per-token gather (see _shrink).
+    dense_all = _dense_all_ok(t, a, max_rank) and a <= 32
+    if dense_all:
+        onehot = (tok_idx[:, None] == jnp.arange(a)[None, :]).astype(jnp.float32)
+        w = None
+    else:
+        w = weights[tok_idx]                              # [T, out_dim, maxR]
     rank_t = ranks.astype(jnp.int32)[tok_idx]
     j = jnp.arange(max_rank)[None, :]                     # rank component
     for s in range(num_slices):
@@ -68,8 +97,16 @@ def _expand(x, weights, tok_idx, valid, ranks, slice_offsets, base_output):
         xs = jnp.take_along_axis(x, cols, axis=1).astype(jnp.float32)
         rmask = (j < rank_t[:, None]) & valid[:, None]
         xs = jnp.where(rmask, xs, 0.0)
-        ws = w[:, o0:o1, :].astype(jnp.float32)           # [T, slice, maxR]
-        out = out.at[:, o0:o1].add(jnp.einsum("tr,tdr->td", xs, ws))
+        if dense_all:
+            xe = (onehot[:, :, None] * xs[:, None, :]).reshape(t, a * max_rank)
+            ws = (
+                weights[:, o0:o1, :].astype(jnp.float32)
+                .transpose(0, 2, 1).reshape(a * max_rank, o1 - o0)
+            )
+            out = out.at[:, o0:o1].add(xe @ ws)
+        else:
+            ws = w[:, o0:o1, :].astype(jnp.float32)       # [T, slice, maxR]
+            out = out.at[:, o0:o1].add(jnp.einsum("tr,tdr->td", xs, ws))
     return out.astype(out_dtype)
 
 
@@ -93,8 +130,22 @@ def bgmv_expand(x, weights, weight_indices, base_output=None, slice_offset: int 
     output_dim = output_dim if output_dim is not None else slice_offset + slice_size
     if base_output is None:
         base_output = jnp.zeros((t, output_dim), x.dtype)
-    w = weights[weight_indices.astype(jnp.int32)]
-    delta = jnp.einsum("tr,tdr->td", x.astype(jnp.float32), w[:, :slice_size, :].astype(jnp.float32))
+    a = weights.shape[0]
+    idx = weight_indices.astype(jnp.int32)
+    if _dense_all_ok(t, a, r):
+        # fold the adapter one-hot into x, one dense matmul (see _expand)
+        onehot = (idx[:, None] == jnp.arange(a)[None, :]).astype(jnp.float32)
+        xe = (onehot[:, :, None] * x.astype(jnp.float32)[:, None, :]).reshape(t, a * r)
+        ws = (
+            weights[:, :slice_size, :].astype(jnp.float32)
+            .transpose(0, 2, 1).reshape(a * r, slice_size)
+        )
+        delta = xe @ ws
+    else:
+        w = weights[idx]
+        delta = jnp.einsum(
+            "tr,tdr->td", x.astype(jnp.float32), w[:, :slice_size, :].astype(jnp.float32)
+        )
     return base_output.at[:, slice_offset : slice_offset + slice_size].add(
         delta.astype(base_output.dtype)
     )

@@ -101,3 +101,21 @@ def test_bgmv_shrink_expand(rng):
                            base_output=jnp.zeros((t, h), jnp.float32))
     want = np.stack([want_mid[i] @ b[idx[i]].T for i in range(t)])
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_bgmv_large_pool_gather_path(rng):
+    """33+ adapters exceed the dense-all threshold → the per-token gather path
+    must produce identical results to the numpy golden."""
+    loras, rank, h = 40, 4, 32
+    t = 12
+    x = rng.standard_normal((t, h)).astype(np.float32)
+    a = rng.standard_normal((loras, rank, h)).astype(np.float32) * 0.1
+    b = rng.standard_normal((loras, h, rank)).astype(np.float32) * 0.1
+    idx = rng.integers(0, loras, t).astype(np.int32)
+    mid = lora.bgmv_shrink(jnp.asarray(x), jnp.asarray(a), jnp.asarray(idx), scaling=2.0)
+    want_mid = np.stack([2.0 * (x[i] @ a[idx[i]].T) for i in range(t)])
+    np.testing.assert_allclose(np.asarray(mid), want_mid, rtol=1e-4, atol=1e-4)
+    out = lora.bgmv_expand(mid, jnp.asarray(b), jnp.asarray(idx),
+                           base_output=jnp.zeros((t, h), jnp.float32))
+    want = np.stack([want_mid[i] @ b[idx[i]].T for i in range(t)])
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
