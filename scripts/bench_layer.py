@@ -157,27 +157,40 @@ def main():
         src = jnp.zeros((rows,), jnp.int32).at[dest].set(
             jnp.arange(rows, dtype=jnp.int32))       # sorted slot → pair row
         tok_of_row = src // topk
-        xq = xq_tok[tok_of_row]                       # int8 gather [rows, H]
         sx = sx_tok[tok_of_row]
-        # 5. fused W8A8 GMM1 (dequant+SwiGLU+requant) + GMM2 (bf16 out)
-        if mode == "nogmm":                           # glue-only ablation
-            y = (xq.astype(jnp.float32) * sx[:, None]).astype(jnp.bfloat16)
-        else:
-            h1, hs = gm.grouped_matmul(
-                xq, w1, gsizes, sx, s1, epilogue="dequant_swiglu_quant")
-            y = gm.grouped_matmul(
-                h1, w2, gsizes, hs, s2, epilogue="dequant", out_dtype=jnp.bfloat16)
-        # 6. combine as a masked MATMUL (models/deepseek_v3._gmm_moe): top-k
-        # weights scattered into [b, rows] at the sorted slots, hi+lo bf16
-        # split — y streams once at full bandwidth instead of the
-        # gather + [b, k, H] reduce round trip (3x y traffic in f32)
+        # combine weights as a masked MATMUL: top-k weights scattered into
+        # [b, rows] at the sorted slots, hi+lo bf16 split for f32-accurate
+        # weighting at bf16 MXU rate
         mask = jnp.zeros((b, rows), jnp.float32).at[
             jnp.arange(b, dtype=jnp.int32)[:, None], dest.reshape(b, topk)
         ].add(topw)
         m_hi = mask.astype(jnp.bfloat16)
         m_lo = (mask - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = jax.lax.dot(m_hi, y, preferred_element_type=jnp.float32)
-        out += jax.lax.dot(m_lo, y, preferred_element_type=jnp.float32)
+        if mode == "nogmm":                           # glue-only ablation
+            xq = xq_tok[tok_of_row]
+            y = (xq.astype(jnp.float32) * sx[:, None]).astype(jnp.bfloat16)
+            out = jax.lax.dot(m_hi, y, preferred_element_type=jnp.float32)
+            out += jax.lax.dot(m_lo, y, preferred_element_type=jnp.float32)
+        elif mode == "oldglue":
+            # r1 path: XLA row gather into GMM1, separate GMM2, y streamed
+            # twice through the combine matmuls
+            xq = xq_tok[tok_of_row]                   # int8 gather [rows, H]
+            h1, hs = gm.grouped_matmul(
+                xq, w1, gsizes, sx, s1, epilogue="dequant_swiglu_quant")
+            y = gm.grouped_matmul(
+                h1, w2, gsizes, hs, s2, epilogue="dequant", out_dtype=jnp.bfloat16)
+            out = jax.lax.dot(m_hi, y, preferred_element_type=jnp.float32)
+            out += jax.lax.dot(m_lo, y, preferred_element_type=jnp.float32)
+        else:
+            # r2 path (models/deepseek_v3._gmm_moe): the row gather rides
+            # inside GMM1 as a one-hot P @ x MXU op, and the weighted combine
+            # is GMM2's epilogue — no [rows, H] array crosses HBM between the
+            # router and the combined output
+            p_mat = gm.dispatch_onehot(tok_of_row, b)
+            h1, hs = gm.grouped_matmul(
+                xq_tok, w1, gsizes, sx, s1,
+                epilogue="dequant_swiglu_quant", dispatch_p=p_mat)
+            out = gm.grouped_matmul_combine(h1, w2, gsizes, hs, s2, m_hi, m_lo)
         return (x + out).astype(h_in.dtype), kvn, kvr
 
     h0 = jax.random.normal(jax.random.key(9), (b, hidden), jnp.bfloat16) * 0.5

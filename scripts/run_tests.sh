@@ -10,9 +10,10 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 
 fail=0
+EXTRA=("$@")
 run() {
   echo "=== shard: $* ==="
-  python -m pytest -q -p no:cacheprovider "$@" || fail=1
+  python -m pytest -q -p no:cacheprovider "${EXTRA[@]}" "$@" || fail=1
 }
 
 # shard 1: EP communication + distributed protocol

@@ -70,6 +70,33 @@ def main():
                                   out_dtype=jnp.float32),
                 gm.gmm_dequant_ref(sxq, wgq, sizes, ssx, sw), 1e-3)
 
+    # in-kernel one-hot dispatch (P @ x on the MXU) == gathered rows
+    n_tok = 64
+    xq_tok = jnp.asarray(rng.integers(-128, 128, (n_tok, 512)), jnp.int8)
+    tok_of_row = jnp.asarray(rng.integers(0, n_tok, 256), jnp.int32)
+    p_mat = gm.dispatch_onehot(tok_of_row, n_tok)
+    ok &= check("gmm_dispatch_p",
+                gm.grouped_matmul(xq_tok, wgq, sizes, ssx, sw,
+                                  epilogue="dequant", dispatch_p=p_mat,
+                                  out_dtype=jnp.float32),
+                gm.grouped_matmul(xq_tok[tok_of_row], wgq, sizes, ssx, sw,
+                                  epilogue="dequant", out_dtype=jnp.float32),
+                1e-6)
+
+    # combine-fused GMM2: weighted top-k combine as the kernel epilogue
+    mask_np = np.zeros((n_tok, 256), np.float32)
+    total_rows = int(np.asarray(sizes).sum())
+    for tt in range(n_tok):
+        mask_np[tt, rng.choice(total_rows, 4, replace=False)] = rng.random(4)
+    m_hi = jnp.asarray(mask_np, jnp.bfloat16)
+    m_lo = jnp.asarray(mask_np - np.asarray(m_hi, np.float32), jnp.bfloat16)
+    y_bf = gm.grouped_matmul(sxq, wgq, sizes, ssx, sw, epilogue="dequant",
+                             out_dtype=jnp.bfloat16)
+    ok &= check("gmm_combine_fused",
+                gm.grouped_matmul_combine(sxq, wgq, sizes, ssx, sw, m_hi, m_lo),
+                m_hi.astype(jnp.float32) @ y_bf.astype(jnp.float32)
+                + m_lo.astype(jnp.float32) @ y_bf.astype(jnp.float32), 1e-2)
+
     from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
     bsz, hq, hkv, dk, dv, page, mp = 4, 8, 2, 128, 128, 128, 2
     npg = bsz * mp
