@@ -67,6 +67,7 @@ import pytest
 
 
 @pytest.mark.parametrize("gran", ["page", "token"])
+@pytest.mark.slow
 def test_model_sparse_full_count_equals_dense(rng, gran):
     """DeepSeek decode_step with sparse_count ≥ seq reproduces the dense model
     (indexer selects everything; softmax is order-invariant) — both the exact

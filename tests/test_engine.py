@@ -196,6 +196,7 @@ def test_deepseek_engine_matches_reference(rng):
     assert got == want
 
 
+@pytest.mark.slow
 def test_deepseek_engine_ep_sharded_serving(rng, mesh8):
     """Continuous-batching engine with EP-SHARDED expert weights: the decode
     MoE runs through Buffer.fused_deep_moe (dispatch → W8A8 GMMs → combine

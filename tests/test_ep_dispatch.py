@@ -21,6 +21,7 @@ K = 4   # topk
 E = 16  # experts
 
 
+@pytest.mark.slow
 def test_ep16_scaling_subprocess():
     """EP sizes beyond the 8-device fixture (reference supports EP 2-160):
     run the protocol on a 16-rank virtual mesh in a subprocess (device count
@@ -290,6 +291,7 @@ def test_shared_expert_ranks(mesh8, rng):
     np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_int8_comm_combine(mesh8, rng, buf):
     """INT8 comm-quant on the combine payload (reference SCALE_PARAM option)."""
     import jax
@@ -328,6 +330,7 @@ def test_routing_plan_debug_accessor(mesh8, rng, buf):
     assert int(np.asarray(plan.num_dropped).sum()) == 0
 
 
+@pytest.mark.slow
 def test_dispatch_checksum_validation(mesh4, rng):
     """Window-write guard (reference epoch tags sync_collectives.h:13-15 /
     winsize validation check_winsize.h:8-20): sender checksums vs receiver

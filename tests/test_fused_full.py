@@ -87,6 +87,7 @@ def _mesh(n):
     return jax.sharding.Mesh(np.array(jax.devices()[:n]), ("ep",))
 
 
+@pytest.mark.slow
 def test_full_fused_matches_unfused_4rank(rng):
     """Distributed interpret, static-shape mode, 4 ranks."""
     _run_pair(_mesh(4), rng, r=4, e=8, t=8, k=2, seg=8)
@@ -143,6 +144,7 @@ def test_full_fused_matches_unfused_8rank(mesh8, rng):
     _run_pair(mesh8, rng, r=8, e=16, t=16, k=4, seg=16)
 
 
+@pytest.mark.slow
 def test_buffer_single_kernel_api(rng):
     """The FULL single-kernel chain is reachable from the public Buffer API:
     fused_deep_moe(single_kernel=True) must match the unfused form."""

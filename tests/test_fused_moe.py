@@ -1,5 +1,6 @@
 """Fused MoE vs unfused baseline (reference test_fused_deep_moe.py:155-216 pattern)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -120,6 +121,7 @@ def test_model_decode_single_chip_gmm_moe(rng):
     assert rel < 0.05, rel  # int8 MoE vs fp32 dense budget
 
 
+@pytest.mark.slow
 def test_model_int8_dispatch_accuracy(mesh4, rng):
     """BASELINE.md north star: INT8 dispatch Δppl ≈ 0 vs BF16 dispatch, at the
     MODEL level (reference accuracy bar) — full DeepSeek-V3-lite decode step
@@ -172,6 +174,7 @@ def test_model_int8_dispatch_accuracy(mesh4, rng):
     assert dloss < 5e-3, f"loss delta {dloss} (ppl ratio {np.exp(dloss):.5f})"
 
 
+@pytest.mark.slow
 def test_fused_deep_moe_chunk_pipelined_matches(rng):
     """chunks=2 (comm/compute-overlap pipeline) must reproduce chunks=1
     bit-for-bit when capacities are ample (no chunk-skew drops).  2-rank mesh:
@@ -201,6 +204,7 @@ def test_fused_deep_moe_chunk_pipelined_matches(rng):
         np.asarray(piped, np.float32), np.asarray(base, np.float32), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_deep_moe_default_pack_quant_epilogue(mesh8, rng):
     """Default packing → full-width tn → single GmmDeqSwigluQuant-style kernel."""
     from sgl_kernel_npu_tpu.ops.grouped_matmul import moe_pack_tn
@@ -230,6 +234,7 @@ def test_fused_deep_moe_default_pack_quant_epilogue(mesh8, rng):
     assert c > 0.999, c
 
 
+@pytest.mark.slow
 def test_fused_deep_moe_chunk_skew_drop_accounting(mesh4, rng):
     """Weak-item: chunks>1 divides capacities per chunk, so routing skew
     BETWEEN chunks can drop rows the unchunked path keeps.  This pins the

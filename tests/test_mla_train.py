@@ -41,6 +41,7 @@ def test_grads_match_autodiff(rng):
         assert rel < 1e-4
 
 
+@pytest.mark.slow
 def test_train_forward_flash_equals_dense(rng):
     """Whole-model training loss + grads identical via flash attention."""
     from sgl_kernel_npu_tpu.models import deepseek_v3 as m

@@ -1,5 +1,6 @@
 """Multi-round (long-seq) normal dispatch equals single-round results."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,7 @@ def _smap(mesh8, fn, n_out):
     )
 
 
+@pytest.mark.slow
 def test_multi_round_matches_single(mesh4, rng):
     mesh8 = mesh4
     n = R * T

@@ -2,6 +2,7 @@
 
 import functools
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -105,6 +106,7 @@ def test_pallas_ragged_a2a(mesh8, rng):
             np.testing.assert_allclose(out[d, s, :n], x[s, d, :n], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_ep_roundtrip_on_ragged_backend(mesh4, rng):
     """LL dispatch over the ragged window backend (count exchange + live rows only)
     matches the XLA collective backend, bf16 and int8 payloads."""
@@ -184,6 +186,7 @@ def test_buffer_ragged_backend_and_monitor(mesh4, rng):
     assert not np.asarray(cstats["timeout_flags"]).any()
 
 
+@pytest.mark.slow
 def test_buffer_normal_dispatch_monitor_surface(mesh4, rng):
     """Weak-item: the normal-mode Buffer.dispatch must expose the SAME
     monitored-stats surface as low_latency_dispatch (reference

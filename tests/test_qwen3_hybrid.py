@@ -50,6 +50,7 @@ def test_hybrid_prefill_matches_decode_chain(setup):
         np.asarray(pre), np.stack(outs), rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_hybrid_chunked_prefill_resumes_state(setup):
     """Prefill 6 then 10 tokens == prefill all 16 (conv + ssm state resume)."""
     cfg, params = setup

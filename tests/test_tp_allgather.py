@@ -58,6 +58,7 @@ def test_tp_allgather_roundtrip(mesh_tp_ep, rng):
     np.testing.assert_allclose(np.asarray(out), golden, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_attention_serving_matches_single(rng, mesh8):
     """Head-TP decode (shard_map over 8 ranks) == single-device decode_step."""
     import dataclasses
