@@ -486,10 +486,14 @@ def _ep_moe_train(cfg, lw, x_flat, topk_idx, topk_w, *, mesh, ep_axis="ep", dp_a
         )
         gs = d["group_sizes"]
         xin = d["recv_x_sorted"]
-        gate = jax.lax.ragged_dot(xin, wg, gs, preferred_element_type=jnp.float32)
-        up = jax.lax.ragged_dot(xin, wu, gs, preferred_element_type=jnp.float32)
+        # expert GEMMs through the Pallas kernel (gmm_train custom_vjp:
+        # Pallas fwd + dx, ragged-contracting dw) — 2.6x XLA ragged_dot in
+        # bf16 on chip (PERF.md §grouped GEMM)
+        from sgl_kernel_npu_tpu.ops.grouped_matmul import gmm_train
+        gate = gmm_train(xin, wg, gs)
+        up = gmm_train(xin, wu, gs)
         act = (gate * jax.nn.sigmoid(gate) * up).astype(xin.dtype)
-        y = jax.lax.ragged_dot(act, wd, gs, preferred_element_type=jnp.float32)
+        y = gmm_train(act, wd, gs)
         return ep_core.combine_ragged_core(
             y.astype(xin.dtype), w, d["handle"],
             axis_name=ep_axis,

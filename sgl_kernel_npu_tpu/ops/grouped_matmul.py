@@ -242,6 +242,7 @@ def _gmm_kernel(
     tm: int,
     epilogue: Epilogue,
     gather: bool = False,
+    rhs_contract_last: bool = False,
 ):
     if gather:
         p_ref, refs = refs[0], refs[1:]
@@ -281,18 +282,22 @@ def _gmm_kernel(
                 ).astype(x_ref.dtype)
         else:
             xt = x_ref[...]
+        # rhs_contract_last: contract w's LAST dim (x @ w[g]^T without
+        # materializing the [G, N, K] transpose — the dx direction of the
+        # trainable grouped matmul)
+        dims = (((1,), (1,)), ((), ())) if rhs_contract_last else (((1,), (0,)), ((), ()))
         if xt.dtype == jnp.int8:
             acc_ref[...] += jax.lax.dot_general(
                 xt,
                 w_ref[0],
-                (((1,), (0,)), ((), ())),
+                dims,
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
         else:
             acc_ref[...] += jax.lax.dot_general(
                 xt,
                 w_ref[0],
-                (((1,), (0,)), ((), ())),
+                dims,
                 preferred_element_type=jnp.float32,
             )
 
@@ -332,7 +337,9 @@ def _gmm_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("epilogue", "tm", "tk", "tn", "out_dtype", "interpret"),
+    static_argnames=(
+        "epilogue", "tm", "tk", "tn", "out_dtype", "rhs_contract_last", "interpret"
+    ),
 )
 def grouped_matmul(
     x: jax.Array,
@@ -347,6 +354,7 @@ def grouped_matmul(
     tn: int | None = None,
     out_dtype=None,
     dispatch_p: jax.Array | None = None,
+    rhs_contract_last: bool = False,
     interpret=None,
 ) -> jax.Array:
     """Megablox-style grouped matmul with fused epilogues.
@@ -378,7 +386,14 @@ def grouped_matmul(
         n_tok, kdim = x.shape
     else:
         s, kdim = x.shape
-    g, _, n = w.shape
+    if rhs_contract_last:
+        # x [S, K] · w [G, N, K] → [S, N]: contraction is w's LAST dim
+        # (x @ w[g]^T — the dx direction of gmm_train, no transpose copy)
+        g, n, _ = w.shape
+        assert w.shape[2] == kdim, (w.shape, kdim)
+        assert epilogue == "none", "rhs_contract_last supports epilogue='none' only"
+    else:
+        g, _, n = w.shape
     if tm is None or tk is None or tn is None:
         a_tm, a_tk, a_tn = select_gmm_tiles(
             s, kdim, n, x.dtype, num_groups=g,
@@ -430,8 +445,25 @@ def grouped_matmul(
     # map to the same blocks and Pallas skips the refetch — otherwise each pad
     # step would re-stream its group's whole [K, N] weight slab.
     kernel = functools.partial(
-        _gmm_kernel, tm=tm, epilogue=epilogue, gather=dispatch_p is not None
+        _gmm_kernel, tm=tm, epilogue=epilogue, gather=dispatch_p is not None,
+        rhs_contract_last=rhs_contract_last,
     )
+    if rhs_contract_last:
+        w_spec = pl.BlockSpec(
+            (1, tn, tk),
+            lambda i, nn, kk, gi, mt, off, pad: (
+                gi[i], nn * (1 - pad[i]), kk * (1 - pad[i])
+            ),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        w_spec = pl.BlockSpec(
+            (1, tk, tn),
+            lambda i, nn, kk, gi, mt, off, pad: (
+                gi[i], kk * (1 - pad[i]), nn * (1 - pad[i])
+            ),
+            memory_space=pltpu.VMEM,
+        )
     if dispatch_p is not None:
         # P tile walks the sorted rows; the token array block [n_tok, tk] is
         # pinned at row 0 (whole token set resident per k-slice)
@@ -459,13 +491,7 @@ def grouped_matmul(
         num_scalar_prefetch=4,
         grid=grid,
         in_specs=p_x_specs + [
-            pl.BlockSpec(
-                (1, tk, tn),
-                lambda i, nn, kk, gi, mt, off, pad: (
-                    gi[i], kk * (1 - pad[i]), nn * (1 - pad[i])
-                ),
-                memory_space=pltpu.VMEM,
-            ),
+            w_spec,
             pl.BlockSpec(
                 (tm, 1),
                 lambda i, nn, kk, gi, mt, off, pad: (mt[i], 0),
@@ -708,3 +734,41 @@ def grouped_matmul_combine(
     )(group_ids, m_tiles, offsets, is_pad,
       x, w, scale_x.reshape(s, 1), scale_w.reshape(g, 1, n),
       combine_hi, combine_lo)
+
+
+# ---------------------------------------------------------------------------
+# trainable grouped matmul (custom_vjp — Pallas fwd + dx, ragged-contracting dw)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gmm_train(x: jax.Array, w: jax.Array, group_sizes: jax.Array) -> jax.Array:
+    """Differentiable grouped matmul ``out[i] = x[i] @ w[g(i)]`` (f32 out).
+
+    Training MoE expert GEMMs through the Pallas kernel instead of XLA
+    ``ragged_dot`` (measured 2.6× faster in bf16, PERF.md §grouped GEMM):
+    the backward runs dx on the same kernel in ``rhs_contract_last`` mode
+    (x @ w[g]^T without materializing the [G, N, K] transpose) and dw via
+    XLA's ragged-contracting ``ragged_dot_general`` ([m]-ragged contraction
+    → [G, K, N], same FLOPs as the forward).
+    """
+    return grouped_matmul(x, w, group_sizes)
+
+
+def _gmm_train_fwd(x, w, group_sizes):
+    return grouped_matmul(x, w, group_sizes), (x, w, group_sizes)
+
+
+def _gmm_train_bwd(res, dy):
+    x, w, gs = res
+    dy_b = dy.astype(x.dtype)
+    dx = grouped_matmul(dy_b, w, gs, rhs_contract_last=True).astype(x.dtype)
+    dn = jax.lax.RaggedDotDimensionNumbers(
+        (((0,), (0,)), ((), ())), (0,), ()
+    )
+    dw = jax.lax.ragged_dot_general(
+        x, dy_b, gs.astype(jnp.int32), dn, preferred_element_type=jnp.float32
+    ).astype(w.dtype)
+    return dx, dw, None
+
+
+gmm_train.defvjp(_gmm_train_fwd, _gmm_train_bwd)

@@ -207,3 +207,28 @@ def test_gmm_combine_fused_matches_unfused(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
     )
+
+
+def test_gmm_train_grads_match_ragged_dot(rng):
+    """custom_vjp (Pallas fwd + dx, ragged-contracting dw) == XLA autodiff."""
+    import jax
+
+    g, s, k, n = 4, 128, 256, 128
+    sizes = np.array([40, 0, 50, 38], np.int32)
+    x = jnp.asarray(rng.standard_normal((s, k)) * 0.1, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((g, k, n)) * 0.1, jnp.bfloat16)
+    gs = jnp.asarray(sizes)
+
+    def loss_pallas(x, w):
+        return jnp.sum(jnp.square(gm.gmm_train(x, w, gs)))
+
+    def loss_ref(x, w):
+        return jnp.sum(jnp.square(
+            jax.lax.ragged_dot(x, w, gs, preferred_element_type=jnp.float32)))
+
+    lp, (dxp, dwp) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(x, w)
+    lr, (dxr, dwr) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, w)
+    assert abs(float(lp - lr)) / (abs(float(lr)) + 1e-9) < 1e-5
+    for a, b in ((dxp, dxr), (dwp, dwr)):
+        ra, rb = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.abs(ra - rb).mean() / (np.abs(rb).mean() + 1e-9) < 5e-3
