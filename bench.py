@@ -136,6 +136,8 @@ def main():
             ("prefill", _mla_prefill_secondary),
             ("a2a", _window_a2a_secondary),
             ("fused", _fused_gmm1_secondary),
+            ("gqa", _gqa_secondary),
+            ("layer", _layer_secondary),
         ):
             try:
                 result["detail"].update(fn(rng))
@@ -323,6 +325,59 @@ def _fused_gmm1_secondary(rng):
         "fused_dispatch_gmm1_us": round(t_fused * 1e6, 1),
         "bare_gmm1_us": round(t_bare * 1e6, 1),
         "fusion_overhead_us": round((t_fused - t_bare) * 1e6, 1),
+    }
+
+
+def _gqa_secondary(rng):
+    """Paged GQA decode (Llama-class shapes) vs HBM roofline (scripts/bench_gqa.py
+    measures both variants; the driver captures the production one)."""
+    from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
+
+    b, hq, hkv, d, page, seq = 64, 32, 8, 128, 128, 1024
+    max_pages = seq // page
+    n_pages = b * max_pages + 1
+    mk = jax.jit(lambda key, s: jax.random.normal(key, s, jnp.bfloat16) * 0.5,
+                 static_argnums=1)
+    k = mk(jax.random.key(0), (n_pages, hkv, page, d))
+    v = mk(jax.random.key(1), (n_pages, hkv, page, d))
+    bt = jnp.asarray(
+        rng.permutation(n_pages - 1)[: b * max_pages].reshape(b, max_pages) + 1,
+        jnp.int32)
+    sl = jnp.full((b,), seq, jnp.int32)
+    scale = float(1 / np.sqrt(d))
+    qs_small = mk(jax.random.key(2), (8, b, hq, d))
+    qs_big = mk(jax.random.key(3), (72, b, hq, d))
+    t = _bench_scanned(
+        lambda q, k_, v_, sl_, bt_: da.decode_gqa_high_performance(
+            q, k_, v_, sl_, scale, bt_),
+        qs_small, qs_big, (k, v, sl, bt), repeats=5)
+    kv_bytes = b * hkv * seq * 2 * d * 2
+    return {
+        "gqa_decode_us": round(t * 1e6, 1),
+        "gqa_decode_gbps": round(kv_bytes / t / 1e9, 1),
+    }
+
+
+def _layer_secondary(rng):
+    """Flagship composite: one full DeepSeek-V3 decode layer (scripts/bench_layer.py)
+    run as a subprocess so the driver-captured JSON carries the VERDICT #4 number."""
+    import re
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "scripts/bench_layer.py"],
+        capture_output=True, text=True, timeout=900,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parent),
+    )
+    m = re.search(r"decode layer, B=\d+:\s*([0-9.]+) us", proc.stdout)
+    f = re.search(r"floor:\s*([0-9.]+) us\s+->\s+([0-9.]+)% of floor", proc.stdout)
+    if not m or not f:
+        raise RuntimeError(f"bench_layer parse failed: {proc.stdout[-300:]}{proc.stderr[-300:]}")
+    return {
+        "layer_us": float(m.group(1)),
+        "layer_floor_us": float(f.group(1)),
+        "layer_pct_of_floor": float(f.group(2)),
     }
 
 
