@@ -437,7 +437,6 @@ def combine_core(
     out_dtype = out_dtype or y.dtype
     stats = None
     if backend == "pallas_ragged":
-        assert not use_int8_comm, "int8 comm-quant not supported on the ragged return yet"
         assert handle.recv_counts is not None and handle.sent_counts is not None, (
             "ragged combine needs the dispatch counts in the handle"
         )
@@ -451,8 +450,14 @@ def combine_core(
         tgt = jnp.cumsum(occ_d.astype(jnp.int32), axis=1) - occ_d
         tgt = jnp.where(occ_d, tgt, cap)
         rows = yb.transpose(1, 0, 2, 3).reshape(num_ranks, -1, hidden)
+        if use_int8_comm:
+            rows_f = rows.astype(jnp.float32)
+            row_scale = jnp.maximum(
+                jnp.max(jnp.abs(rows_f), axis=-1) / INT8_MAX, 1e-12
+            )                                               # [R, E*seg]
+            rows = saturate_int8(rows_f / row_scale[..., None])
         send_buf = (
-            jnp.zeros((num_ranks, cap + 1, hidden), y.dtype)
+            jnp.zeros((num_ranks, cap + 1, hidden), rows.dtype)
             .at[jnp.arange(num_ranks)[:, None], tgt]
             .set(rows, mode="drop")[:, :cap]
         )
@@ -466,6 +471,20 @@ def combine_core(
             recv, _rcnt = pallas_ragged_all_to_all(
                 send_buf, counts_to_dst, axis_name=axis_name, num_ranks=num_ranks,
             )
+        if use_int8_comm:
+            # scales ride their own ragged exchange (same live-row schedule);
+            # dequantize before the expansion gather — invalid rows are never
+            # gathered, so undefined window memory past the counts is inert.
+            send_scale = (
+                jnp.zeros((num_ranks, cap + 1, 1), jnp.float32)
+                .at[jnp.arange(num_ranks)[:, None], tgt]
+                .set(row_scale[..., None], mode="drop")[:, :cap]
+            )
+            recv_scale, _ = pallas_ragged_all_to_all(
+                send_scale, counts_to_dst, axis_name=axis_name,
+                num_ranks=num_ranks,
+            )
+            recv = recv.astype(jnp.float32) * recv_scale
         # expand: block from d holds MY returned rows in (e, slot) order
         sent = handle.sent_counts                           # [R_dst, E_local]
         occ2 = (seg_pos[None, None, :] < sent[:, :, None]).reshape(num_ranks, -1)

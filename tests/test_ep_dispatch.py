@@ -292,8 +292,10 @@ def test_shared_expert_ranks(mesh8, rng):
 
 
 @pytest.mark.slow
-def test_int8_comm_combine(mesh8, rng, buf):
-    """INT8 comm-quant on the combine payload (reference SCALE_PARAM option)."""
+@pytest.mark.parametrize("backend", ["xla", "pallas_ragged"])
+def test_int8_comm_combine(mesh8, rng, buf, backend):
+    """INT8 comm-quant on the combine payload (reference SCALE_PARAM option),
+    on both the padded collective and the ragged live-rows window return."""
     import jax
     from jax.sharding import PartitionSpec as P
     from sgl_kernel_npu_tpu.parallel import ep_core
@@ -308,7 +310,8 @@ def test_int8_comm_combine(mesh8, rng, buf):
             y = d["recv_x"] * 2.0
             return ep_core.combine_core(
                 y, ws, d["handle"], axis_name="ep", num_ranks=8, seg_capacity=T,
-                out_dtype=jnp.float32, use_int8_comm=use_int8_comm)
+                out_dtype=jnp.float32, use_int8_comm=use_int8_comm,
+                backend=backend)
         return jax.shard_map(body, mesh=mesh8, in_specs=(P("ep"),) * 3,
                              out_specs=P("ep"), check_vma=False)(x, idx, w)
 
