@@ -109,6 +109,20 @@ def main():
                 da.decode_gqa_ref(qa, ka, va, sl, 0.088, bt))
     ok &= check("decode_gqa_hp", da.decode_gqa_high_performance(qa, ka, va, sl, 0.088, bt),
                 da.decode_gqa_ref(qa, ka, va, sl, 0.088, bt))
+    # int8 K/V cache (per-kv-head scales; kernel converts tiles, host folds scale)
+    ksg = jnp.abs(ka.astype(jnp.float32)).max(axis=(0, 2, 3)) / 127.0
+    vsg = jnp.abs(va.astype(jnp.float32)).max(axis=(0, 2, 3)) / 127.0
+    kaq = jnp.clip(jnp.round(ka.astype(jnp.float32) / ksg[None, :, None, None]),
+                   -128, 127).astype(jnp.int8)
+    vaq = jnp.clip(jnp.round(va.astype(jnp.float32) / vsg[None, :, None, None]),
+                   -128, 127).astype(jnp.int8)
+    ok &= check("decode_gqa_int8",
+                da.decode_gqa(qa, kaq, vaq, sl, 0.088, bt, k_scale=ksg, v_scale=vsg),
+                da.decode_gqa_ref(qa, kaq, vaq, sl, 0.088, bt, k_scale=ksg, v_scale=vsg))
+    ok &= check("decode_gqa_hp_int8",
+                da.decode_gqa_high_performance(
+                    qa, kaq, vaq, sl, 0.088, bt, k_scale=ksg, v_scale=vsg),
+                da.decode_gqa_ref(qa, kaq, vaq, sl, 0.088, bt, k_scale=ksg, v_scale=vsg))
 
     from sgl_kernel_npu_tpu.ops.attention import sinks_attention as sa
     qs_ = jnp.asarray(rng.standard_normal((4, hq * dk)) * 0.5, jnp.float32)
@@ -147,6 +161,12 @@ def main():
     slm = jnp.asarray([17, 200, 256, 1], jnp.int32)
     ok &= check("decode_mla", da.decode_mla(qm, knm, krm, slm, 0.042, btm),
                 da.decode_mla_ref(qm, knm, krm, slm, 0.042, btm))
+    # int8 latent cache (int8_nzcache consumer: half the KV HBM traffic)
+    ksm = jnp.float32(float(jnp.abs(knm.astype(jnp.float32)).max()) / 127.0)
+    knq = jnp.clip(jnp.round(knm.astype(jnp.float32) / ksm), -128, 127).astype(jnp.int8)
+    ok &= check("decode_mla_int8",
+                da.decode_mla(qm, knq, krm, slm, 0.042, btm, k_scale=ksm),
+                da.decode_mla_ref(qm, knq, krm, slm, 0.042, btm, k_scale=ksm))
 
     from sgl_kernel_npu_tpu.ops.attention import mla_prefill as mpre
     sqm = jnp.asarray([2, 100, 30, 1], jnp.int32)
@@ -156,6 +176,11 @@ def main():
                 mpre.mla_prefill_pallas(qpre, knm, krm, sqm, btm, slm, 0.042,
                                         max_q=128),
                 mpre.mla_prefill_ref(qpre, knm, krm, sqm, btm, slm, 0.042))
+    ok &= check("mla_prefill_int8",
+                mpre.mla_prefill_pallas(qpre, knq, krm, sqm, btm, slm, 0.042,
+                                        max_q=128, k_scale=ksm),
+                mpre.mla_prefill_ref(qpre, knq, krm, sqm, btm, slm, 0.042,
+                                     k_scale=ksm))
     # DSA pruned prefill with ALL causal pages selected == the dense kernel
     n_pg_smoke = btm.shape[1]
     cq_smoke = 64

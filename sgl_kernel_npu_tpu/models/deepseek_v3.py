@@ -66,6 +66,11 @@ class DeepSeekV3Config:
     # "token": exact reference semantics (token top-k gather — slow on TPU,
     #   XLA lowers token gathers to scalar dynamic reads)
     sparse_granularity: str = "page"
+    # "int8" stores the latent (nope) cache as round(k / ctkv_scale) int8 —
+    # the reference's int8_nzcache mode (mla_preprocess.cpp:610-616) — halving
+    # the decode hot loop's KV HBM traffic; the rope cache stays bf16.
+    kv_cache_dtype: str = "bf16"
+    ctkv_scale: float = 1.0 / 32  # static calibration: rms-normed latent, |k|≲4
 
     @property
     def qk_dim(self):
@@ -162,10 +167,24 @@ def _shared_expert(lw: dict, x: jax.Array):
 # inference: paged decode step
 # ---------------------------------------------------------------------------
 
+def _nope_scale(cfg: DeepSeekV3Config):
+    """Dequant scale for the latent cache, or None on the bf16 path."""
+    return cfg.ctkv_scale if cfg.kv_cache_dtype == "int8" else None
+
+
+def _write_nope(cfg: DeepSeekV3Config, k_lat, cache, slot_mapping):
+    """Write latents into the paged nope cache, quantizing on the int8 path."""
+    if cache.dtype == jnp.int8:
+        k_lat = jnp.clip(
+            jnp.round(k_lat.astype(jnp.float32) / cfg.ctkv_scale), -128, 127)
+    return reshape_and_cache(k_lat[:, None, :].astype(cache.dtype), cache, slot_mapping)
+
+
 def init_kv_cache(cfg: DeepSeekV3Config, num_pages: int, dtype=jnp.bfloat16):
     def layer_cache():
+        nope_dt = jnp.int8 if cfg.kv_cache_dtype == "int8" else dtype
         c = {
-            "nope": jnp.zeros((num_pages, 1, cfg.page_size, cfg.kv_lora_rank), dtype),
+            "nope": jnp.zeros((num_pages, 1, cfg.page_size, cfg.kv_lora_rank), nope_dt),
             "rope": jnp.zeros((num_pages, 1, cfg.qk_rope_dim, cfg.page_size), dtype),
         }
         if cfg.sparse_count > 0:
@@ -199,12 +218,13 @@ def decode_step(
     for li, lw in enumerate(params["layers"]):
         q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(cfg, lw, x, cos, sin)
         cache = kv_caches[li]
-        cache_n = reshape_and_cache(k_lat[:, None, :].astype(cache["nope"].dtype), cache["nope"], slot_mapping)
+        cache_n = _write_nope(cfg, k_lat, cache["nope"], slot_mapping)
         cache_r = reshape_and_cache_transposed(
             kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping
         )
         nc = {"nope": cache_n, "rope": cache_r}
-        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_n.dtype)
+        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_r.dtype)
+        nope_scale = _nope_scale(cfg)
         if cfg.sparse_count > 0:
             # DSA: lightning indexer scores every cached key cheaply (idx_dim
             # wide), attention then reads only the top sparse_count latents
@@ -232,7 +252,8 @@ def decode_step(
                     block_table)
                 attn = decode_mla_block_sparse(
                     q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table,
-                    scores, -(-cfg.sparse_count // cfg.page_size))
+                    scores, -(-cfg.sparse_count // cfg.page_size),
+                    k_scale=nope_scale)
             else:
                 sel = lightning_indexer(
                     qidx[:, None].astype(cache_i.dtype), cache_i,
@@ -240,9 +261,10 @@ def decode_step(
                     sparse_count=cfg.sparse_count)
                 attn = decode_mla_sparse(
                     q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table,
-                    sel.reshape(n, cfg.sparse_count))
+                    sel.reshape(n, cfg.sparse_count), k_scale=nope_scale)
         else:
-            attn = decode_mla(q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table)
+            attn = decode_mla(q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table,
+                              k_scale=nope_scale)
         new_caches.append(nc)
         x = x + _mla_output(cfg, lw, attn.astype(jnp.float32))
 
@@ -299,18 +321,18 @@ def prefill_step(
     for li, lw in enumerate(params["layers"]):
         q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(cfg, lw, x, cos, sin)
         cache = kv_caches[li]
-        cache_n = reshape_and_cache(
-            k_lat[:, None, :].astype(cache["nope"].dtype), cache["nope"], slot_mapping)
+        cache_n = _write_nope(cfg, k_lat, cache["nope"], slot_mapping)
         cache_r = reshape_and_cache_transposed(
             kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping)
         nc = {"nope": cache_n, "rope": cache_r}
+        nope_scale = _nope_scale(cfg)
         if cfg.sparse_count > 0:
             # DSA: cache the index keys (decode scores the prompt through them)
             nc["kidx"] = reshape_and_cache(
                 (h1 @ lw["w_kidx"])[:, None, :].astype(cache["kidx"].dtype),
                 cache["kidx"], slot_mapping)
         new_caches.append(nc)
-        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_n.dtype)
+        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_r.dtype)
         if cfg.sparse_count > 0 and cfg.sparse_granularity == "page":
             # DSA prefill: indexer-pruned page walk — each q-chunk attends only
             # its top pages (+ its own causal diagonal page), O(sel) HBM reads
@@ -346,11 +368,11 @@ def prefill_step(
                 page_size=cfg.page_size, num_sel=num_sel)
             attn = mla_prefill_block_sparse(
                 q, cache_n, cache_r, seq_lens, block_tables, context_lens,
-                cfg.sm_scale, pos_sel, max_q=mq, q_chunk=cq)
+                cfg.sm_scale, pos_sel, max_q=mq, q_chunk=cq, k_scale=nope_scale)
         else:
             attn = mla_prefill_pallas(
                 q, cache_n, cache_r, seq_lens, block_tables, context_lens,
-                cfg.sm_scale, max_q=max_q)
+                cfg.sm_scale, max_q=max_q, k_scale=nope_scale)
         x = x + _mla_output(cfg, lw, attn.astype(jnp.float32))
 
         h2 = rms_norm_ref(x, lw["ln2"])
@@ -602,12 +624,12 @@ def tp_attention_block(cfg: DeepSeekV3Config, lw: dict, x, cos, sin, cache,
 
     def body(xs, lww, cos_, sin_, cn, cr, bt, sl, slots):
         q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(local_cfg, lww, xs, cos_, sin_)
-        cn2 = reshape_and_cache(
-            k_lat[:, None, :].astype(cn.dtype), cn, slots)
+        cn2 = _write_nope(cfg, k_lat, cn, slots)
         cr2 = reshape_and_cache_transposed(
             kpe[:, None, :].astype(cr.dtype), cr, slots)
-        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cn2.dtype)
-        attn = decode_mla(q, cn2, cr2, sl, cfg.sm_scale, bt)
+        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cr2.dtype)
+        attn = decode_mla(q, cn2, cr2, sl, cfg.sm_scale, bt,
+                          k_scale=_nope_scale(cfg))
         o = _mla_output(local_cfg, lww, attn.astype(jnp.float32))
         return jax.lax.psum(o, axis), cn2, cr2
 

@@ -55,15 +55,21 @@ def _gather_pages(buffer: jax.Array, block_table: jax.Array, max_len: int) -> ja
     return pages.transpose(0, 2, 1, 3, 4).reshape(b, h, n_pages * page_size, d)[:, :, :max_len]
 
 
-def decode_mla_ref(q, k_nope_buffer, k_rope_buffer, kv_seq_lens, sm_scale, block_table):
+def decode_mla_ref(q, k_nope_buffer, k_rope_buffer, kv_seq_lens, sm_scale, block_table,
+                   k_scale=None):
     """Pure-jnp paged MLA decode attention (golden).
 
-    ``k_rope_buffer`` uses the transposed layout [pages, 1, rope, page]."""
+    ``k_rope_buffer`` uses the transposed layout [pages, 1, rope, page].
+    An int8 ``k_nope_buffer`` holds ``round(k / k_scale)`` levels (the
+    ``int8_nzcache`` mode written by :func:`mla_preprocess`)."""
     b, hq, _ = q.shape
     d_nope = k_nope_buffer.shape[-1]
     max_len = int(block_table.shape[1] * k_nope_buffer.shape[2])
     q_nope, q_pe = q[..., :d_nope], q[..., d_nope:]
     k_nope = _gather_pages(k_nope_buffer, block_table, max_len)[:, 0]  # [B, L, 512]
+    if k_nope_buffer.dtype == jnp.int8:
+        k_nope = k_nope.astype(jnp.float32) * jnp.float32(
+            1.0 if k_scale is None else k_scale)
     k_rope = _gather_pages(
         k_rope_buffer.swapaxes(-1, -2), block_table, max_len
     )[:, 0]                                                            # [B, L, 64]
@@ -77,14 +83,27 @@ def decode_mla_ref(q, k_nope_buffer, k_rope_buffer, kv_seq_lens, sm_scale, block
     return out.astype(q.dtype)
 
 
-def decode_gqa_ref(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table):
-    """Pure-jnp paged GQA decode attention (golden)."""
+def _kv_head_scale(scale, hkv):
+    """Normalize an int8-cache dequant scale (scalar or per-kv-head [Hkv]) to
+    a [Hkv, 1, 1] f32 broadcastable over [B, Hkv, ·, ·]."""
+    s = jnp.asarray(1.0 if scale is None else scale, jnp.float32)
+    return jnp.broadcast_to(s.reshape(-1, 1, 1) if s.ndim else s, (hkv, 1, 1))
+
+
+def decode_gqa_ref(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table,
+                   k_scale=None, v_scale=None):
+    """Pure-jnp paged GQA decode attention (golden).  Int8 K/V buffers hold
+    ``round(x / scale)`` levels; scales are scalar or per-kv-head [Hkv]."""
     b, hq, dk = q.shape
     hkv = k_buffer.shape[1]
     group = hq // hkv
     max_len = int(block_table.shape[1] * k_buffer.shape[2])
     k = _gather_pages(k_buffer, block_table, max_len)  # [B, Hkv, L, Dk]
     v = _gather_pages(v_buffer, block_table, max_len)  # [B, Hkv, L, Dv]
+    if k_buffer.dtype == jnp.int8:
+        k = k.astype(jnp.float32) * _kv_head_scale(k_scale, hkv)[None]
+    if v_buffer.dtype == jnp.int8:
+        v = v.astype(jnp.float32) * _kv_head_scale(v_scale, hkv)[None]
     qg = q.reshape(b, hkv, group, dk).astype(jnp.float32)
     qk = jnp.einsum("bkgd,bkld->bkgl", qg, k.astype(jnp.float32)) * sm_scale
     mask = jnp.arange(max_len)[None, None, None, :] < kv_seq_lens[:, None, None, None]
@@ -200,6 +219,12 @@ def _mla_kernel(
             q_nope = q_nope_ref[i]
             q_pe = q_pe_ref[i]
             k_nope = kn_buf[slot]                                # [G·page, 512]
+            if k_nope.dtype == jnp.int8:
+                # int8 KV cache: levels convert exactly to bf16 (|k| ≤ 128);
+                # the dequant scale is folded into q / the output by the host
+                # wrapper, so the kernel stays scale-free.  The convert is
+                # ~half the step's DMA time and shadows under the pipeline.
+                k_nope = k_nope.astype(jnp.bfloat16)
             k_rope_t = kr_buf[slot]                              # [rope, G·page]
             qk = jax.lax.dot_general(
                 q_nope, k_nope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -218,7 +243,7 @@ def _mla_kernel(
             l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
             m_ref[:, :1] = m_new
             pv = jax.lax.dot_general(
-                probs.astype(kn_buf.dtype), k_nope, (((1,), (0,)), ((), ())),
+                probs.astype(k_nope.dtype), k_nope, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc_ref[...] = acc_ref[...] * alpha + pv
@@ -241,18 +266,27 @@ def decode_mla(
     sm_scale,
     block_table,
     *,
+    k_scale=None,
     interpret=None,
 ):
     """Paged MLA decode attention (reference decode_attention.py:166).
 
     Args:
         q: ``[B, Hq, Lkv + Lrope]`` queries (nope ‖ rope on the last dim).
-        k_nope_buffer: ``[num_pages, 1, page_size, Lkv]`` paged latent cache.
+        k_nope_buffer: ``[num_pages, 1, page_size, Lkv]`` paged latent cache —
+            bf16, or **int8** holding ``round(k / k_scale)`` levels (the
+            ``int8_nzcache`` cache written by :func:`mla_preprocess`; reference
+            mla_preprocess.cpp:610-616 pairs that cache mode with an int8
+            attention consumer).  Int8 halves the decode loop's KV HBM traffic.
         k_rope_buffer: ``[num_pages, 1, Lrope, page_size]`` paged rope cache
-            (*transposed* layout — see module docstring).
+            (*transposed* layout — see module docstring; stays bf16, matching
+            the reference's krope handling).
         kv_seq_lens: ``[B]`` int32 current lengths.
         sm_scale: softmax scale.
         block_table: ``[B, max_pages]`` logical→physical page map.
+        k_scale: scalar dequant scale for the int8 cache (``ctkv_scale``).
+            Folded into q (for the scores) and the output (for PV, since V
+            aliases K) on the host — the kernel never sees it.
 
     Returns:
         ``[B, Hq, Lkv]`` attention output (V aliases K_nope, reference :123).
@@ -264,14 +298,21 @@ def decode_mla(
     d_rope = k_rope_buffer.shape[-2]
     assert hkv == 1, "MLA latent cache has a single KV head"
     assert k_rope_buffer.shape[-1] == page_size, "rope cache must be transposed [*, rope, page]"
+    is_int8 = k_nope_buffer.dtype == jnp.int8
+    ks = jnp.float32(1.0 if k_scale is None else k_scale) if is_int8 else None
     if not interpret and (page_size % 128 != 0 or d_nope % 128 != 0):
         # compiled path DMA-slices HBM pages: both dims must be lane/tile aligned.
-        return decode_mla_ref(q, k_nope_buffer, k_rope_buffer, kv_seq_lens, sm_scale, block_table)
+        return decode_mla_ref(q, k_nope_buffer, k_rope_buffer, kv_seq_lens, sm_scale,
+                              block_table, k_scale=k_scale)
     max_pages = block_table.shape[1]
     hq_orig = hq
     hq = max(8, -(-hq // 8) * 8)  # pad heads to a sublane tile
     q_nope = q[..., :d_nope]
     q_pe = q[..., d_nope:]
+    if is_int8:
+        # scores see q·(k_int·s) = (q·s)·k_int; PV magnitude is restored on the
+        # output below.  Both folds touch only [B, Hq, ·] tensors.
+        q_nope = (q_nope.astype(jnp.float32) * ks).astype(q.dtype)
     if hq != hq_orig:
         pad = ((0, 0), (0, hq - hq_orig), (0, 0))
         q_nope, q_pe = jnp.pad(q_nope, pad), jnp.pad(q_pe, pad)
@@ -305,7 +346,10 @@ def decode_mla(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), q_nope, q_pe, kn, kr)
-    return out[:, :hq_orig]
+    out = out[:, :hq_orig]
+    if is_int8:
+        out = (out.astype(jnp.float32) * ks).astype(q.dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -407,6 +451,10 @@ def _gqa_flat_kernel(
             q = q_ref[i, h]
             k = k_buf[slot]
             v = v_buf[slot]
+            if k.dtype == jnp.int8:   # int8 KV cache: scale folded by the host
+                k = k.astype(jnp.bfloat16)
+            if v.dtype == jnp.int8:
+                v = v.astype(jnp.bfloat16)
             qk = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * sm_scale
@@ -419,7 +467,7 @@ def _gqa_flat_kernel(
             l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(probs, axis=-1, keepdims=True)
             m_ref[:, :1] = m_new
             acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-                probs.astype(v_buf.dtype), v, (((1,), (0,)), ((), ())),
+                probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -434,12 +482,16 @@ def _gqa_flat_kernel(
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
 def decode_gqa_high_performance(
-    q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *, interpret=None
+    q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *,
+    k_scale=None, v_scale=None, interpret=None,
 ):
     """Flat-pipeline paged GQA decode (reference decode_attention.py:646 analogue).
 
     Same signature/layout as :func:`decode_gqa`; requires lane-aligned head dims
-    (falls back to :func:`decode_gqa` otherwise).
+    (falls back to :func:`decode_gqa` otherwise).  Int8 K/V buffers hold
+    ``round(x / scale)`` levels; ``k_scale``/``v_scale`` are scalar or per-kv-head
+    ``[Hkv]`` and are folded into q / the output on the host (the kernel only
+    converts the int8 tiles) — int8 KV halves the decode loop's HBM traffic.
     """
     if interpret is None:
         interpret = interpret_default()
@@ -448,10 +500,13 @@ def decode_gqa_high_performance(
     dv = v_buffer.shape[-1]
     if not interpret and (dk % 128 or dv % 128 or page_size % 8):
         return decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table,
-                          interpret=interpret)
+                          k_scale=k_scale, v_scale=v_scale, interpret=interpret)
     group = hq // hkv
     group_p = max(8, -(-group // 8) * 8)
     qg = q.reshape(b, hkv, group, dk)
+    if k_buffer.dtype == jnp.int8:
+        ksb = _kv_head_scale(k_scale, hkv)
+        qg = (qg.astype(jnp.float32) * ksb[None]).astype(q.dtype)
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
     max_pages = block_table.shape[1]
@@ -482,7 +537,10 @@ def decode_gqa_high_performance(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), qg, k_buffer, v_buffer)
-    return out[:, :, :group].reshape(b, hq, dv)
+    out = out[:, :, :group]
+    if v_buffer.dtype == jnp.int8:
+        out = (out.astype(jnp.float32) * _kv_head_scale(v_scale, hkv)[None]).astype(q.dtype)
+    return out.reshape(b, hq, dv)
 
 
 # ---------------------------------------------------------------------------
@@ -522,6 +580,10 @@ def _gqa_kernel(
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
+        if k.dtype == jnp.int8:   # int8 KV cache: scale folded by the host
+            k = k.astype(jnp.bfloat16)
+        if v.dtype == jnp.int8:
+            v = v.astype(jnp.bfloat16)
         # Split-K dot (DeepSeek 576 = 512 + 64) falls out of a single dot here since
         # both parts share the contraction; no special case needed on TPU.
         qk = jax.lax.dot_general(
@@ -548,12 +610,15 @@ def _gqa_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
-def decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *, interpret=None):
+def decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *,
+               k_scale=None, v_scale=None, interpret=None):
     """Paged GQA decode attention (reference decode_attention.py:373).
 
     Args:
         q: ``[B, Hq, Dk]``; k_buffer/v_buffer: ``[pages, Hkv, page_size, D{k,v}]``
             (TPU-first layout — kv-head dim before token dim, see module docstring).
+            Int8 buffers hold ``round(x / scale)`` levels; ``k_scale``/``v_scale``
+            are scalar or per-kv-head ``[Hkv]`` (see decode_gqa_high_performance).
 
     Returns ``[B, Hq, Dv]``.
     """
@@ -570,6 +635,8 @@ def decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *, int
     # that is sliced away (q=0 rows stay finite through the online softmax).
     group_p = max(8, -(-group // 8) * 8)
     qg = q.reshape(b, hkv, group, dk)
+    if k_buffer.dtype == jnp.int8:
+        qg = (qg.astype(jnp.float32) * _kv_head_scale(k_scale, hkv)[None]).astype(q.dtype)
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
     group = group_p
@@ -626,7 +693,10 @@ def decode_gqa(q, k_buffer, v_buffer, kv_seq_lens, sm_scale, block_table, *, int
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, dv), q.dtype),
         interpret=interpret,
     )(block_table.astype(jnp.int32), kv_seq_lens.astype(jnp.int32), qg, k_buffer, v_buffer)
-    return out[:, :, : hq // hkv].reshape(b, hq, dv)
+    out = out[:, :, : hq // hkv]
+    if v_buffer.dtype == jnp.int8:
+        out = (out.astype(jnp.float32) * _kv_head_scale(v_scale, hkv)[None]).astype(q.dtype)
+    return out.reshape(b, hq, dv)
 
 
 def decode_mla_sparse(
@@ -637,6 +707,7 @@ def decode_mla_sparse(
     sm_scale,
     block_table,          # [B, max_pages]
     topk_index,           # [B, K] token positions from the lightning indexer (−1 = pad)
+    k_scale=None,         # int8-cache dequant scale (see decode_mla)
 ):
     """Sparse MLA decode attention over indexer-selected positions
     (DeepSeek-V3.2 DSA: the lightning indexer picks ``K`` keys per query, so
@@ -654,14 +725,16 @@ def decode_mla_sparse(
     slot = safe % page_size
     kn = k_nope_buffer[phys, 0, slot, :]                        # [B, K, Lkv]
     kr = k_rope_buffer[phys, 0, :, slot]                        # [B, K, Lrope]
+    kn = kn.astype(jnp.float32)
+    if k_nope_buffer.dtype == jnp.int8:
+        kn = kn * jnp.float32(1.0 if k_scale is None else k_scale)
     q_nope, q_pe = q[..., :d_nope], q[..., d_nope:]
-    qk = jnp.einsum("bhd,bkd->bhk", q_nope.astype(jnp.float32),
-                    kn.astype(jnp.float32))
+    qk = jnp.einsum("bhd,bkd->bhk", q_nope.astype(jnp.float32), kn)
     qk += jnp.einsum("bhd,bkd->bhk", q_pe.astype(jnp.float32),
                      kr.astype(jnp.float32))
     qk = jnp.where(live[:, None, :], qk * sm_scale, NEG_INF)
     p = jax.nn.softmax(qk, axis=-1)
-    out = jnp.einsum("bhk,bkd->bhd", p, kn.astype(jnp.float32))
+    out = jnp.einsum("bhk,bkd->bhd", p, kn)
     return out.astype(q.dtype)
 
 
@@ -674,6 +747,7 @@ def decode_mla_block_sparse(
     block_table,          # [B, max_pages]
     token_scores,         # [B, max_len] indexer scores (−inf beyond ctx is fine)
     num_sel_pages: int,
+    k_scale=None,         # int8-cache dequant scale (see decode_mla)
 ):
     """Block-sparse MLA decode: top pages by (page-max of token scores), then
     the regular Pallas paged kernel over a PRUNED block table.
@@ -706,4 +780,5 @@ def decode_mla_block_sparse(
     bt_sel = block_table[rows, sel_pages]
     vp = jnp.clip(sl[:, None] - sel_pages * page, 0, page)     # valid tokens/page
     seq_sel = jnp.sum(vp, axis=-1).astype(jnp.int32)
-    return decode_mla(q, k_nope_buffer, k_rope_buffer, seq_sel, sm_scale, bt_sel)
+    return decode_mla(q, k_nope_buffer, k_rope_buffer, seq_sel, sm_scale, bt_sel,
+                      k_scale=k_scale)

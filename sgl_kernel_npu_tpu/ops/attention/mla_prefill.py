@@ -28,9 +28,11 @@ from sgl_kernel_npu_tpu.utils.common import interpret_default
 
 
 def mla_prefill_ref(
-    q, k_nope_buffer, k_rope_buffer, seq_lens, block_tables, context_lens, sm_scale
+    q, k_nope_buffer, k_rope_buffer, seq_lens, block_tables, context_lens, sm_scale,
+    k_scale=None,
 ):
-    """Golden varlen causal MLA prefill. q [S, H, 576] → [S, H, 512]."""
+    """Golden varlen causal MLA prefill. q [S, H, 576] → [S, H, 512].  An int8
+    ``k_nope_buffer`` holds ``round(k / k_scale)`` levels (int8_nzcache mode)."""
     s, h, _ = q.shape
     d_nope = k_nope_buffer.shape[-1]
     bsz = seq_lens.shape[0]
@@ -44,13 +46,16 @@ def mla_prefill_ref(
     kn = _gather_pages(k_nope_buffer, block_tables, max_len)[:, 0][req]  # [S, L, 512]
     kr = _gather_pages(
         k_rope_buffer.swapaxes(-1, -2), block_tables, max_len)[:, 0][req]
-    qk = jnp.einsum("shd,sld->shl", q_nope.astype(jnp.float32), kn.astype(jnp.float32))
+    kn = kn.astype(jnp.float32)
+    if k_nope_buffer.dtype == jnp.int8:
+        kn = kn * jnp.float32(1.0 if k_scale is None else k_scale)
+    qk = jnp.einsum("shd,sld->shl", q_nope.astype(jnp.float32), kn)
     qk += jnp.einsum("shd,sld->shl", q_pe.astype(jnp.float32), kr.astype(jnp.float32))
     qk *= sm_scale
     mask = jnp.arange(max_len)[None, None, :] <= qpos[:, None, None]
     qk = jnp.where(mask, qk, NEG_INF)
     p = jax.nn.softmax(qk, axis=-1)
-    out = jnp.einsum("shl,sld->shd", p, kn.astype(jnp.float32))
+    out = jnp.einsum("shl,sld->shd", p, kn)
     return out.astype(q.dtype)
 
 
@@ -100,6 +105,8 @@ def _mla_prefill_kernel(
         qn = qn_ref[0].reshape(rows, dn)
         qp = qp_ref[0].reshape(rows, qp_ref.shape[3])
         kn = kn_ref[0, 0]                            # [page, 512]
+        if kn.dtype == jnp.int8:  # int8 latent cache: scale folded by the host
+            kn = kn.astype(jnp.bfloat16)
         kr = kr_ref[0, 0]                            # [64, page]
         qk = jax.lax.dot_general(
             qn, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -128,11 +135,13 @@ def _mla_prefill_kernel(
 
 def mla_prefill_pallas(
     q, k_nope_buffer, k_rope_buffer, seq_lens, block_tables, context_lens, sm_scale,
-    *, max_q: int | None = None, q_chunk: int = 64, interpret=None,
+    *, max_q: int | None = None, q_chunk: int = 64, k_scale=None, interpret=None,
 ):
     """Varlen paged MLA prefill: q [S, H, 576] (absorbed nope ‖ rope) → [S, H, 512].
 
     ``max_q``: static per-request new-token bound (defaults to the packed total).
+    ``k_scale``: dequant scale when ``k_nope_buffer`` is int8 (int8_nzcache);
+    folded into q / the output on the host, like :func:`decode_mla`.
     """
     if interpret is None:
         interpret = interpret_default()
@@ -155,6 +164,10 @@ def mla_prefill_pallas(
         .set(q, mode="drop")
     )
     qn, qp = qd[..., :dn], qd[..., dn:]
+    is_int8 = k_nope_buffer.dtype == jnp.int8
+    ks = jnp.float32(1.0 if k_scale is None else k_scale) if is_int8 else None
+    if is_int8:
+        qn = (qn.astype(jnp.float32) * ks).astype(qd.dtype)
 
     def _kv_page(b, qc, pc, sl, cl, bt):
         lo_page, hi_page = _prefill_page_bounds(
@@ -200,7 +213,10 @@ def mla_prefill_pallas(
         k_nope_buffer,
         k_rope_buffer,
     )
-    return od[req, j]
+    out = od[req, j]
+    if is_int8:
+        out = (out.astype(jnp.float32) * ks).astype(q.dtype)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +271,8 @@ def _mla_prefill_pruned_kernel(
         qn = qn_ref[0].reshape(rows, dn)
         qp = qp_ref[0].reshape(rows, qp_ref.shape[3])
         kn = kn_ref[0, 0]
+        if kn.dtype == jnp.int8:  # int8 latent cache: scale folded by the host
+            kn = kn.astype(jnp.bfloat16)
         kr = kr_ref[0, 0]
         qk = jax.lax.dot_general(
             qn, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -316,7 +334,7 @@ def select_prefill_pages(
 def mla_prefill_block_sparse(
     q, k_nope_buffer, k_rope_buffer, seq_lens, block_tables, context_lens,
     sm_scale, pos_sel,
-    *, max_q: int | None = None, q_chunk: int = 64, interpret=None,
+    *, max_q: int | None = None, q_chunk: int = 64, k_scale=None, interpret=None,
 ):
     """Block-sparse varlen paged MLA prefill over indexer-selected pages.
 
@@ -347,6 +365,10 @@ def mla_prefill_block_sparse(
         .set(q, mode="drop")
     )
     qn, qp = qd[..., :dn], qd[..., dn:]
+    is_int8 = k_nope_buffer.dtype == jnp.int8
+    ks = jnp.float32(1.0 if k_scale is None else k_scale) if is_int8 else None
+    if is_int8:
+        qn = (qn.astype(jnp.float32) * ks).astype(qd.dtype)
     # selected page-pool ids (dead -> page 0; masked in-kernel by pos_sel < 0)
     bt_sel = jnp.take_along_axis(
         block_tables[:, None, :].astype(jnp.int32),
@@ -394,4 +416,7 @@ def mla_prefill_block_sparse(
         k_nope_buffer,
         k_rope_buffer,
     )
-    return od[req, j]
+    out = od[req, j]
+    if is_int8:
+        out = (out.astype(jnp.float32) * ks).astype(q.dtype)
+    return out
