@@ -31,7 +31,8 @@ from sgl_kernel_npu_tpu.ops.rope import rope_cos_sin
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "full"   # full | noattn | nomoe
+    # full | noattn | nomoe | nogmm | oldglue | fusedmoe | int8kv
+    mode = sys.argv[1] if len(sys.argv) > 1 else "full"
     t0 = time.time()
     b, hidden, heads = 128, 7168, 16
     lat, rope = 512, 64
@@ -57,8 +58,15 @@ def main():
             descale2=kf(heads * 192) / 50, bias2=jnp.zeros((heads * 192,), jnp.int32),
             gamma3=kf(lat) + 1,
             wuk=jax.random.normal(next(keys), (heads, 128, lat), jnp.bfloat16) * 0.05,
+            # int8_nzcache calibration (used only in --int8kv mode)
+            qnope_scale=jnp.full((heads,), 100.0, jnp.float32),
+            ctkv_scale=jnp.float32(0.02),
         )
         kv_nope = jax.random.normal(next(keys), (n_pages, 1, page, lat), jnp.bfloat16) * 0.5
+        if mode == "int8kv":
+            # int8 latent cache: half the attention KV traffic (decode_mla int8)
+            kv_nope = jnp.clip(jnp.round(kv_nope.astype(jnp.float32) / 0.02),
+                               -128, 127).astype(jnp.int8)
         kv_rope = jax.random.normal(next(keys), (n_pages, 1, rope, page), jnp.bfloat16) * 0.5
 
         # MoE weights (per-rank slice): GMM1 K=hidden → 2*inter, GMM2 K=inter → hidden
@@ -100,11 +108,16 @@ def main():
         else:
             # 1. fused MLA prologue (writes paged cache, makes absorbed q)
             q_nope, q_pe, kvn, kvr = mp.mla_preprocess(
-                h_in, w, cos_sin, kvn, kvr, slots)
+                h_in, w, cos_sin, kvn, kvr, slots,
+                cache_mode="int8_nzcache" if mode == "int8kv" else "krope_ctkv")
+            if mode == "int8kv":
+                # per-head q dequant ([B,H,512], tiny) then the int8 kernel
+                q_nope = q_nope.astype(jnp.float32) / w.qnope_scale[None, :, None]
             q = jnp.concatenate(
                 [q_nope.astype(jnp.bfloat16), q_pe.astype(jnp.bfloat16)], -1)
             # 2. paged MLA decode attention (flat DMA pipeline)
-            attn = decode_mla(q, kvn, kvr, seq_lens, 0.042, bt)
+            attn = decode_mla(q, kvn, kvr, seq_lens, 0.042, bt,
+                              k_scale=w.ctkv_scale if mode == "int8kv" else None)
             # 3. V up-proj + output proj
             o = jnp.einsum("nhl,hlv->nhv", attn.astype(jnp.float32),
                            wvu.astype(jnp.float32))
@@ -235,7 +248,7 @@ def main():
     w1_, w2_, wo_, wvu_ = operands[3], operands[5], operands[8], operands[9]
     wbytes = (w.wdqkv.size + w.wuq.size + w1_.size + w2_.size
               + w.wuk.size * 2 + wo_.size * 2 + wvu_.size * 2)
-    kv_bytes = b * seq * (lat + rope) * 2
+    kv_bytes = b * seq * ((lat if mode == "int8kv" else lat * 2) + rope * 2)
     floor = (wbytes + kv_bytes) / 819e9
     print(f"DeepSeek-V3 decode layer, B={b}: {t*1e6:8.1f} us "
           f"({b/t/1e3:.0f} ktok/s/chip/layer)")

@@ -30,6 +30,8 @@ run smoke_model  python scripts/tpu_smoke_model.py
 # 6. VERDICT #4: flagship decode layer (glue now fused into the GMM kernels;
 #    target <= 850 us / >= 80% of the 680 us floor)
 run bench_layer  python scripts/bench_layer.py
+# 6b. same layer with the int8 latent cache (attention KV traffic halves)
+run bench_layer_int8 python scripts/bench_layer.py int8kv
 # 7. VERDICT #8: LoRA bgmv/sgmv vs roofline evidence
 run bench_lora   python scripts/bench_lora.py
 # 8. int8 KV decode bench (new): expect ~1.8-2x decode_mla at DeepSeek shapes

@@ -49,6 +49,81 @@ def test_model_int8_kv_cache_matches_bf16(rng):
     assert np.abs(out_i8 - out_bf).max() > 0
 
 
+def test_mla_preprocess_int8_to_decode_chain(rng):
+    """The bench_layer --int8kv path: mla_preprocess(int8_nzcache) writes the
+    quantized cache and per-head-quantized q; dequantizing q and feeding
+    decode_mla(k_scale=ctkv_scale) matches the bf16 chain within quant error."""
+    from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
+    from sgl_kernel_npu_tpu.ops.attention import mla_preprocess as mp
+
+    heads, hid, lat, rope, page = 4, 128, 512, 64, 16
+    b, max_pages = 3, 2
+    n_pages = b * max_pages + 1
+    kf = lambda *s, sc=0.05: jnp.asarray(rng.standard_normal(s) * sc, jnp.float32)
+    ki = lambda *s: jnp.asarray(rng.integers(-16, 16, s), jnp.int8)
+    base = dict(
+        gamma1=kf(hid) + 1, beta1=kf(hid), qscale1=jnp.float32(0.02),
+        qoffset1=jnp.float32(0), wdqkv=ki(lat + rope + 192, hid),
+        descale1=kf(lat + rope + 192, sc=0.002),
+        bias1=jnp.zeros((lat + rope + 192,), jnp.int32),
+        gamma2=kf(192) + 1, beta2=kf(192), qscale2=jnp.float32(0.02),
+        qoffset2=jnp.float32(0), wuq=ki(heads * 192, 192),
+        descale2=kf(heads * 192, sc=0.002),
+        bias2=jnp.zeros((heads * 192,), jnp.int32),
+        gamma3=kf(lat) + 1, wuk=kf(heads, 128, lat, sc=0.1),
+        qnope_scale=jnp.full((heads,), 400.0, jnp.float32),
+        ctkv_scale=jnp.float32(0.01),
+    )
+    w = mp.MlaPreprocessWeights(**base)
+    hidden = kf(b, hid, sc=0.3)
+    posn = jnp.arange(b, dtype=jnp.int32) + 3
+    cos_sin = __import__(
+        "sgl_kernel_npu_tpu.ops.rope", fromlist=["rope_cos_sin"]
+    ).rope_cos_sin(posn, rope)
+    bt = jnp.arange(1, 1 + b * max_pages, dtype=jnp.int32).reshape(b, max_pages)
+    slots = bt[:, 0] * page + 3
+    sl = jnp.full((b,), 4, jnp.int32)
+    # random test weights give |q|~16σ, |k|~3σ: the physical 1/√d scale would
+    # saturate the softmax and int8 noise would flip one-hot winners — use a
+    # scale that keeps logits O(1) so closeness is meaningful
+    sm = 5e-4
+    hist = kf(b * 3, hid, sc=0.3)
+
+    outs = {}
+    for name in ("bf16", "int8"):
+        if name == "int8":
+            # calibrate from the bf16 run (kvn_bf / qn_bf captured below)
+            base["ctkv_scale"] = jnp.float32(
+                float(np.abs(kvn_bf).max()) / 127.0)
+            base["qnope_scale"] = jnp.asarray(
+                126.0 / np.abs(qn_bf).max(axis=(0, 2)), jnp.float32)
+            w = mp.MlaPreprocessWeights(**base)
+        nd = jnp.int8 if name == "int8" else jnp.float32
+        kvn = jnp.zeros((n_pages, 1, page, lat), nd)
+        kvr = jnp.zeros((n_pages, 1, rope, page), jnp.float32)
+        # pre-fill slots 0..2 of each request with history
+        cm = "int8_nzcache" if name == "int8" else "krope_ctkv"
+        hslots = jnp.asarray([int(bt[i, 0]) * page + t
+                              for i in range(b) for t in range(3)], jnp.int32)
+        hcs = __import__(
+            "sgl_kernel_npu_tpu.ops.rope", fromlist=["rope_cos_sin"]
+        ).rope_cos_sin(jnp.tile(jnp.arange(3, dtype=jnp.int32), b), rope)
+        _, _, kvn, kvr = mp.mla_preprocess(hist, w, hcs, kvn, kvr, hslots,
+                                           cache_mode=cm)
+        qn, qp, kvn, kvr = mp.mla_preprocess(hidden, w, cos_sin, kvn, kvr, slots,
+                                             cache_mode=cm)
+        if name == "int8":
+            qn = qn.astype(jnp.float32) / w.qnope_scale[None, :, None]
+            ksc = w.ctkv_scale
+        else:
+            kvn_bf, qn_bf = np.asarray(kvn), np.asarray(qn)
+            ksc = None
+        q = jnp.concatenate([qn.astype(jnp.float32), qp.astype(jnp.float32)], -1)
+        outs[name] = np.asarray(
+            da.decode_mla(q, kvn, kvr, sl, sm, bt, k_scale=ksc), np.float32)
+    np.testing.assert_allclose(outs["int8"], outs["bf16"], rtol=0.1, atol=0.1)
+
+
 def test_model_int8_kv_cache_dsa(rng):
     """Int8 latent cache composes with the DSA sparse branch (page top-k)."""
     cfg = m.DeepSeekV3Config(num_layers=1, page_size=16, vocab_size=61,
