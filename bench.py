@@ -137,6 +137,7 @@ def main():
             ("a2a", _window_a2a_secondary),
             ("fused", _fused_gmm1_secondary),
             ("gqa", _gqa_secondary),
+            ("int8kv", _int8kv_secondary),
             ("layer", _layer_secondary),
         ):
             try:
@@ -355,6 +356,38 @@ def _gqa_secondary(rng):
     return {
         "gqa_decode_us": round(t * 1e6, 1),
         "gqa_decode_gbps": round(kv_bytes / t / 1e9, 1),
+    }
+
+
+def _int8kv_secondary(rng):
+    """Int8 latent KV cache decode (the int8_nzcache consumer): decode_mla
+    reading int8 pages vs the bf16 headline shapes — expect ~1.5-1.9x from
+    halved KV HBM traffic (scripts/bench_int8_kv.py measures the sweep)."""
+    from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
+
+    b, hq, d_nope, d_rope, page, seq = 128, 16, 512, 64, 128, 1024
+    max_pages = seq // page
+    n_pages = b * max_pages + 1
+    mk = jax.jit(lambda key, s: jax.random.normal(key, s, jnp.bfloat16) * 0.5,
+                 static_argnums=1)
+    kn8 = jnp.asarray(
+        rng.integers(-100, 100, (n_pages, 1, page, d_nope)), jnp.int8)
+    kr = mk(jax.random.key(1), (n_pages, 1, d_rope, page))
+    bt = jnp.asarray(
+        rng.permutation(n_pages - 1)[: b * max_pages].reshape(b, max_pages) + 1,
+        jnp.int32)
+    sl = jnp.full((b,), seq, jnp.int32)
+    sm_scale = float(1 / np.sqrt(d_nope + d_rope))
+    qs_small = mk(jax.random.key(2), (8, b, hq, d_nope + d_rope))
+    qs_big = mk(jax.random.key(3), (136, b, hq, d_nope + d_rope))
+    t = _bench_scanned(
+        lambda q, kn_, kr_, sl_, bt_: da.decode_mla(
+            q, kn_, kr_, sl_, sm_scale, bt_, k_scale=1 / 64),
+        qs_small, qs_big, (kn8, kr, sl, bt), repeats=5)
+    kv_bytes = b * seq * (d_nope * 1 + d_rope * 2)  # int8 nope + bf16 rope
+    return {
+        "mla_decode_int8kv_us": round(t * 1e6, 1),
+        "mla_decode_int8kv_gbps": round(kv_bytes / t / 1e9, 1),
     }
 
 

@@ -150,6 +150,25 @@ def main():
                 sa.attention_sinks_prefill(
                     qp, ka.astype(jnp.float32), va.astype(jnp.float32),
                     None, sq, bt, sl, 0.088, 0, hq, hkv))
+    # int8 K/V through the sinks family (decode + packed decode + prefill)
+    ok &= check("sinks_int8",
+                sa.attention_sinks(qs_, kaq, vaq, sinks, bt, sl, 0.088, 64,
+                                   hq, hkv, k_scale=ksg, v_scale=vsg),
+                sa.attention_sinks_ref(qs_, kaq, vaq, sinks, bt, sl, 0.088, 64,
+                                       hq, hkv, k_scale=ksg, v_scale=vsg))
+    ok &= check("sinks_packed_int8",
+                sa.attention_sinks_packed(
+                    qs_, sa.pack_kv_sinks(kaq), sa.pack_kv_sinks(vaq), sinks,
+                    bt, sl, 0.088, 64, hq, hkv, k_scale=ksg, v_scale=vsg),
+                sa.attention_sinks_ref(qs_, kaq, vaq, sinks, bt, sl, 0.088, 64,
+                                       hq, hkv, k_scale=ksg, v_scale=vsg))
+    ok &= check("sinks_prefill_int8",
+                sa.attention_sinks_prefill_pallas(
+                    qp, kaq, vaq, sinks, sq, bt, sl, 0.088, 64, hq, hkv,
+                    k_scale=ksg, v_scale=vsg, max_q=128),
+                sa.attention_sinks_prefill(
+                    qp, kaq, vaq, sinks, sq, bt, sl, 0.088, 64, hq, hkv,
+                    k_scale=ksg, v_scale=vsg))
 
     # --- MLA decode (the bench kernel, 512+64 latent layout) ---
     dn, dr = 512, 64

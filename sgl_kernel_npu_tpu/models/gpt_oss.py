@@ -47,6 +47,11 @@ class GptOssConfig:
     limit: float = 7.0
     packed_kv: bool = False        # two heads per 128-lane KV row (d<128: ~1.5x
                                    # decode bandwidth; needs even num_kv_heads)
+    # "int8" stores K/V pages as round(x / kv_scale) int8 — half the decode KV
+    # HBM traffic (quarter combined with packed_kv at d=64).  kv_scale is a
+    # static calibration constant (~|k|max/127 of representative activations).
+    kv_cache_dtype: str = "bf16"
+    kv_scale: float = 1.0 / 64
 
 
 def init_weights(key, cfg: GptOssConfig, dtype=jnp.float32) -> dict:
@@ -92,10 +97,25 @@ def init_kv_cache(cfg: GptOssConfig, num_pages: int, dtype=jnp.float32):
         shape = (num_pages, cfg.num_kv_heads // 2, cfg.page_size, 2 * cfg.head_dim)
     else:
         shape = (num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
+    if cfg.kv_cache_dtype == "int8":
+        dtype = jnp.int8
     return [
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(cfg.num_layers)
     ]
+
+
+def _kv_scale(cfg: GptOssConfig):
+    """Dequant scale for int8 K/V caches, or None on the full-precision path."""
+    return cfg.kv_scale if cfg.kv_cache_dtype == "int8" else None
+
+
+def _write_kv(cfg: GptOssConfig, kv, cache, slot_mapping):
+    """Write K or V rows (already in cache layout) into the paged cache,
+    quantizing on the int8 path."""
+    if cache.dtype == jnp.int8:
+        kv = jnp.clip(jnp.round(kv.astype(jnp.float32) / cfg.kv_scale), -128, 127)
+    return reshape_and_cache(kv.astype(cache.dtype), cache, slot_mapping)
 
 
 def _cache_rows(cfg: GptOssConfig, kv: jax.Array) -> jax.Array:
@@ -131,14 +151,15 @@ def decode_step(
         v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_cache = reshape_and_cache(_cache_rows(cfg, k), k_cache, slot_mapping)
-        v_cache = reshape_and_cache(_cache_rows(cfg, v), v_cache, slot_mapping)
+        k_cache = _write_kv(cfg, _cache_rows(cfg, k), k_cache, slot_mapping)
+        v_cache = _write_kv(cfg, _cache_rows(cfg, v), v_cache, slot_mapping)
         window = cfg.sliding_window if li % 2 == 0 else 0  # GPT-OSS alternation
         attend_d = attention_sinks_packed if cfg.packed_kv else attention_sinks
         attn = attend_d(
             q.reshape(b, cfg.num_heads * d), k_cache, v_cache, lw["sinks"],
             block_tables, context_lens, scale, window,
             cfg.num_heads, cfg.num_kv_heads,
+            k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg),
         )
         x = x + attn.reshape(b, -1) @ lw["wo"]
         mlp_in = rms_norm(x, lw["ln2"])
@@ -189,13 +210,14 @@ def prefill_step(
         v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_cache = reshape_and_cache(_cache_rows(cfg, k), k_cache, slot_mapping)
-        v_cache = reshape_and_cache(_cache_rows(cfg, v), v_cache, slot_mapping)
+        k_cache = _write_kv(cfg, _cache_rows(cfg, k), k_cache, slot_mapping)
+        v_cache = _write_kv(cfg, _cache_rows(cfg, v), v_cache, slot_mapping)
         window = cfg.sliding_window if li % 2 == 0 else 0
         attn = attend(
             q.reshape(s, cfg.num_heads * d), k_cache, v_cache, lw["sinks"],
             seq_lens, block_tables, context_lens, scale, window,
-            cfg.num_heads, cfg.num_kv_heads, **kw,
+            cfg.num_heads, cfg.num_kv_heads,
+            k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg), **kw,
         )
         x = x + attn.reshape(s, -1) @ lw["wo"]
         mlp_in = rms_norm(x, lw["ln2"])

@@ -42,6 +42,11 @@ class LlamaConfig:
     page_size: int = 16
     rope_theta: float = 10000.0
     rms_eps: float = 1e-6
+    # "int8" stores K/V pages as round(x / kv_scale) int8 — half the decode
+    # KV HBM traffic.  kv_scale is a static calibration constant (set it from
+    # a calibration pass: ~|k|max/127 of representative activations).
+    kv_cache_dtype: str = "bf16"
+    kv_scale: float = 1.0 / 64
 
 
 def init_weights(key, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
@@ -85,10 +90,24 @@ def lm_head(params: dict, x: jax.Array) -> jax.Array:
 
 def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.float32):
     shape = (num_pages, cfg.num_kv_heads, cfg.page_size, cfg.head_dim)
+    if cfg.kv_cache_dtype == "int8":
+        dtype = jnp.int8
     return [
         (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
         for _ in range(cfg.num_layers)
     ]
+
+
+def _kv_scale(cfg: LlamaConfig):
+    """Dequant scale for int8 K/V caches, or None on the full-precision path."""
+    return cfg.kv_scale if cfg.kv_cache_dtype == "int8" else None
+
+
+def _write_kv(cfg: LlamaConfig, kv, cache, slot_mapping):
+    """Write K or V rows into the paged cache, quantizing on the int8 path."""
+    if cache.dtype == jnp.int8:
+        kv = jnp.clip(jnp.round(kv.astype(jnp.float32) / cfg.kv_scale), -128, 127)
+    return reshape_and_cache(kv.astype(cache.dtype), cache, slot_mapping)
 
 
 def _mlp(lw, x):
@@ -155,9 +174,10 @@ def decode_step(
         q = apply_rope(qp.reshape(b, cfg.num_heads, d), cos, sin)
         k = apply_rope((hidden_n @ lw["wk"]).reshape(b, cfg.num_kv_heads, d), cos, sin)
         v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
-        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
-        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
-        attn = decode_gqa(q, k_cache, v_cache, context_lens, scale, block_tables)
+        k_cache = _write_kv(cfg, k, k_cache, slot_mapping)
+        v_cache = _write_kv(cfg, v, v_cache, slot_mapping)
+        attn = decode_gqa(q, k_cache, v_cache, context_lens, scale, block_tables,
+                          k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg))
         attn = attn.reshape(b, -1)
         op = attn @ lw["wo"]
         if lora is not None:
@@ -207,12 +227,13 @@ def prefill_step(
         q = apply_rope(qp.reshape(s, cfg.num_heads, d), cos, sin)
         k = apply_rope((hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d), cos, sin)
         v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
-        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
-        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        k_cache = _write_kv(cfg, k, k_cache, slot_mapping)
+        v_cache = _write_kv(cfg, v, v_cache, slot_mapping)
         attn = attend(
             q.reshape(s, cfg.num_heads * d), k_cache, v_cache, None,
             seq_lens, block_tables, context_lens, scale, 0,
-            cfg.num_heads, cfg.num_kv_heads, **kw,
+            cfg.num_heads, cfg.num_kv_heads,
+            k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg), **kw,
         ).reshape(s, -1)
         op = attn @ lw["wo"]
         if lora is not None:
@@ -270,8 +291,10 @@ def prefill_step_cp(
         q = apply_rope((hidden_n @ lw["wq"]).reshape(s, cfg.num_heads, d), cos, sin)
         k = apply_rope((hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d), cos, sin)
         v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
-        k_cache = reshape_and_cache(k, k_cache, slot_mapping)
-        v_cache = reshape_and_cache(v, v_cache, slot_mapping)
+        # CP attention runs on the fresh (full-precision) K/V; the cache write
+        # quantizes so later decode steps read a consistent int8 cache
+        k_cache = _write_kv(cfg, k, k_cache, slot_mapping)
+        v_cache = _write_kv(cfg, v, v_cache, slot_mapping)
         attn = ring_attention_sharded(
             q[None], k[None], v[None], mesh=mesh, axis_name=axis_name,
             sm_scale=scale, causal=True)[0].reshape(s, -1)

@@ -220,11 +220,12 @@ def _mla_kernel(
             q_pe = q_pe_ref[i]
             k_nope = kn_buf[slot]                                # [G·page, 512]
             if k_nope.dtype == jnp.int8:
-                # int8 KV cache: levels convert exactly to bf16 (|k| ≤ 128);
-                # the dequant scale is folded into q / the output by the host
-                # wrapper, so the kernel stays scale-free.  The convert is
-                # ~half the step's DMA time and shadows under the pipeline.
-                k_nope = k_nope.astype(jnp.bfloat16)
+                # int8 KV cache: levels convert exactly (|k| ≤ 128); the dequant
+                # scale is folded into q / the output by the host wrapper, so
+                # the kernel stays scale-free.  Convert to q's dtype (bf16 in
+                # production) so the MXU dots see matching operands; the
+                # convert shadows under the halved DMA.
+                k_nope = k_nope.astype(q_nope_ref.dtype)
             k_rope_t = kr_buf[slot]                              # [rope, G·page]
             qk = jax.lax.dot_general(
                 q_nope, k_nope, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -452,9 +453,9 @@ def _gqa_flat_kernel(
             k = k_buf[slot]
             v = v_buf[slot]
             if k.dtype == jnp.int8:   # int8 KV cache: scale folded by the host
-                k = k.astype(jnp.bfloat16)
+                k = k.astype(q.dtype)
             if v.dtype == jnp.int8:
-                v = v.astype(jnp.bfloat16)
+                v = v.astype(q.dtype)
             qk = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * sm_scale
@@ -581,9 +582,9 @@ def _gqa_kernel(
         k = k_ref[0]
         v = v_ref[0]
         if k.dtype == jnp.int8:   # int8 KV cache: scale folded by the host
-            k = k.astype(jnp.bfloat16)
+            k = k.astype(q.dtype)
         if v.dtype == jnp.int8:
-            v = v.astype(jnp.bfloat16)
+            v = v.astype(q.dtype)
         # Split-K dot (DeepSeek 576 = 512 + 64) falls out of a single dot here since
         # both parts share the contraction; no special case needed on TPU.
         qk = jax.lax.dot_general(

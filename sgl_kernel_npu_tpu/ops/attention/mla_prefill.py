@@ -106,7 +106,7 @@ def _mla_prefill_kernel(
         qp = qp_ref[0].reshape(rows, qp_ref.shape[3])
         kn = kn_ref[0, 0]                            # [page, 512]
         if kn.dtype == jnp.int8:  # int8 latent cache: scale folded by the host
-            kn = kn.astype(jnp.bfloat16)
+            kn = kn.astype(qn_ref.dtype)
         kr = kr_ref[0, 0]                            # [64, page]
         qk = jax.lax.dot_general(
             qn, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -272,7 +272,7 @@ def _mla_prefill_pruned_kernel(
         qp = qp_ref[0].reshape(rows, qp_ref.shape[3])
         kn = kn_ref[0, 0]
         if kn.dtype == jnp.int8:  # int8 latent cache: scale folded by the host
-            kn = kn.astype(jnp.bfloat16)
+            kn = kn.astype(qn_ref.dtype)
         kr = kr_ref[0, 0]
         qk = jax.lax.dot_general(
             qn, kn, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)

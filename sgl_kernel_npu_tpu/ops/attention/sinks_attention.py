@@ -24,15 +24,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sgl_kernel_npu_tpu.ops.attention.decode_attention import NEG_INF, _gather_pages
+from sgl_kernel_npu_tpu.ops.attention.decode_attention import (
+    NEG_INF,
+    _gather_pages,
+    _kv_head_scale,
+)
 from sgl_kernel_npu_tpu.utils.common import interpret_default
 
 
 def attention_sinks_ref(
     query, k_cache, v_cache, sinks, block_tables, context_lens, scale,
     sliding_window_size: int, q_head_num: int, k_head_num: int,
+    k_scale=None, v_scale=None,
 ):
-    """Golden decode path.  query [S, Hq*D] → [S, Hq*Dv]."""
+    """Golden decode path.  query [S, Hq*D] → [S, Hq*Dv].  Int8 caches hold
+    ``round(x / scale)`` levels; scales scalar or per-kv-head [Hkv]."""
     s = query.shape[0]
     d = query.shape[-1] // q_head_num
     dv = v_cache.shape[-1]
@@ -40,6 +46,10 @@ def attention_sinks_ref(
     q = query.reshape(s, q_head_num, d).astype(jnp.float32)
     k = _gather_pages(k_cache, block_tables, max_len).astype(jnp.float32)  # [S,Hkv,L,D]
     v = _gather_pages(v_cache, block_tables, max_len).astype(jnp.float32)
+    if k_cache.dtype == jnp.int8:
+        k = k * _kv_head_scale(k_scale, k_head_num)[None]
+    if v_cache.dtype == jnp.int8:
+        v = v * _kv_head_scale(v_scale, k_head_num)[None]
     group = q_head_num // k_head_num
     qg = q.reshape(s, k_head_num, group, d)
     logits = jnp.einsum("skgd,skld->skgl", qg, k) * scale
@@ -100,11 +110,16 @@ def _sinks_kernel(
 
     @pl.when(has_work)
     def _step():
+        k_blk, v_blk = k_ref[0], v_ref[0]
+        if k_blk.dtype == jnp.int8:  # int8 KV cache: scale folded by the host
+            k_blk = k_blk.astype(q_ref.dtype)
+        if v_blk.dtype == jnp.int8:
+            v_blk = v_blk.astype(q_ref.dtype)
         for h in range(hkv):                         # static unroll
             rows = pl.ds(h * g, g)
             # native-precision MXU dots (cf. decode_attention._mla_kernel)
             qk = jax.lax.dot_general(
-                q_ref[0, h], k_ref[0, h], (((1,), (1,)), ((), ())),
+                q_ref[0, h], k_blk[h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             pos = page_start + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
             mask = pos < ctx
@@ -119,7 +134,7 @@ def _sinks_kernel(
                 probs, axis=-1, keepdims=True)
             m_ref[rows, :1] = m_new
             acc_ref[rows, :] = acc_ref[rows, :] * alpha + jax.lax.dot_general(
-                probs.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+                probs.astype(v_blk.dtype), v_blk[h], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -142,9 +157,16 @@ def _sinks_kernel(
 )
 def attention_sinks(
     query, k_cache, v_cache, sinks, block_tables, context_lens, scale,
-    sliding_window_size: int, q_head_num: int, k_head_num: int, *, interpret=None,
+    sliding_window_size: int, q_head_num: int, k_head_num: int, *,
+    k_scale=None, v_scale=None, interpret=None,
 ):
-    """Paged decode attention with sinks + sliding window (reference :90)."""
+    """Paged decode attention with sinks + sliding window (reference :90).
+
+    Int8 K/V caches hold ``round(x / scale)`` levels (half the KV HBM traffic);
+    ``k_scale``/``v_scale`` (scalar or per-kv-head [Hkv]) fold into q / the
+    output on the host — the kernel only converts the int8 tiles.  The sink
+    logit is untouched: folding k_scale into q keeps the score magnitudes
+    physical, and V's scale multiplies after the (sink-weighted) normalize."""
     if interpret is None:
         interpret = interpret_default()
     s = query.shape[0]
@@ -155,6 +177,9 @@ def attention_sinks(
     group = q_head_num // k_head_num
     group_p = max(8, -(-group // 8) * 8)
     qg = query.reshape(s, k_head_num, group, d)
+    if k_cache.dtype == jnp.int8:
+        qg = (qg.astype(jnp.float32) * _kv_head_scale(k_scale, hkv)[None]
+              ).astype(query.dtype)
     sk = sinks.reshape(k_head_num, group)
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
@@ -207,7 +232,11 @@ def attention_sinks(
         interpret=interpret,
     )(block_tables.astype(jnp.int32), context_lens.astype(jnp.int32),
       qg, sk[:, None], k_cache, v_cache)
-    return out[:, :, :group].reshape(s, q_head_num * dv)
+    out = out[:, :, :group]
+    if v_cache.dtype == jnp.int8:
+        out = (out.astype(jnp.float32) * _kv_head_scale(v_scale, hkv)[None]
+               ).astype(query.dtype)
+    return out.reshape(s, q_head_num * dv)
 
 
 def pack_kv_sinks(cache):
@@ -256,10 +285,15 @@ def _sinks_packed_kernel(
 
     @pl.when(has_work)
     def _step():
+        k_blk, v_blk = k_ref[0], v_ref[0]
+        if k_blk.dtype == jnp.int8:  # int8 KV cache: scale folded by the host
+            k_blk = k_blk.astype(q_ref.dtype)
+        if v_blk.dtype == jnp.int8:
+            v_blk = v_blk.astype(q_ref.dtype)
         for j in range(hkv2):                        # static unroll (half of hkv)
             rows = pl.ds(j * g2, g2)
             qk = jax.lax.dot_general(
-                q_ref[0, j], k_ref[0, j], (((1,), (1,)), ((), ())),
+                q_ref[0, j], k_blk[j], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             pos = page_start + jax.lax.broadcasted_iota(jnp.int32, qk.shape, 1)
             mask = pos < ctx
@@ -274,7 +308,7 @@ def _sinks_packed_kernel(
                 probs, axis=-1, keepdims=True)
             m_ref[rows, :1] = m_new
             acc_ref[rows, :] = acc_ref[rows, :] * alpha + jax.lax.dot_general(
-                probs.astype(v_ref.dtype), v_ref[0, j], (((1,), (0,)), ((), ())),
+                probs.astype(v_blk.dtype), v_blk[j], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -296,12 +330,15 @@ def _sinks_packed_kernel(
 )
 def attention_sinks_packed(
     query, k_packed, v_packed, sinks, block_tables, context_lens, scale,
-    sliding_window_size: int, q_head_num: int, k_head_num: int, *, interpret=None,
+    sliding_window_size: int, q_head_num: int, k_head_num: int, *,
+    k_scale=None, v_scale=None, interpret=None,
 ):
     """Paged sinks decode over the PACKED cache (``pack_kv_sinks`` layout).
 
     Same semantics as :func:`attention_sinks`, but KV rides 128-lane-full
-    blocks — half the HBM traffic at d=64 (GPT-OSS shapes)."""
+    blocks — half the HBM traffic at d=64 (GPT-OSS shapes).  Int8 packed
+    caches compose (quarter traffic at d=64): per-ORIGINAL-kv-head scales fold
+    into q before the zero-interleave pack / into the unpacked output."""
     if interpret is None:
         interpret = interpret_default()
     s = query.shape[0]
@@ -312,6 +349,9 @@ def attention_sinks_packed(
     group = q_head_num // k_head_num
     group_p = max(8, -(-group // 8) * 8)
     qg = query.reshape(s, k_head_num, group, d)
+    if k_packed.dtype == jnp.int8:
+        qg = (qg.astype(jnp.float32) * _kv_head_scale(k_scale, k_head_num)[None]
+              ).astype(query.dtype)
     sk = sinks.reshape(k_head_num, group)
     if group_p != group:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, group_p - group), (0, 0)))
@@ -370,7 +410,11 @@ def attention_sinks_packed(
     # de-interleave via the shared helper, then drop the group padding
     o = _unpack_outputs(out, s, k_head_num, group_p, dv).reshape(
         s, k_head_num, group_p, dv)
-    return o[:, :, :group].reshape(s, q_head_num * dv)
+    o = o[:, :, :group]
+    if v_packed.dtype == jnp.int8:
+        o = (o.astype(jnp.float32) * _kv_head_scale(v_scale, k_head_num)[None]
+             ).astype(query.dtype)
+    return o.reshape(s, q_head_num * dv)
 
 
 def _pack_queries(query, hq, hkv, d):
@@ -399,17 +443,25 @@ def _unpack_outputs(out2, s, hkv, g, dv):
 
 def attention_sinks_prefill_packed(
     query, k_packed, v_packed, sinks, seq_lens, block_tables, context_lens,
-    scale, sliding_window_size: int, q_head_num: int, k_head_num: int, **kw,
+    scale, sliding_window_size: int, q_head_num: int, k_head_num: int,
+    k_scale=None, v_scale=None, **kw,
 ):
     """Varlen prefill over the PACKED cache (``pack_kv_sinks`` layout).
 
     The packed cache IS a GQA problem with ``hkv/2`` kv-heads of dim ``2d``;
     zero-interleaved queries (group ``2g``) make the existing prefill kernel
     compute both heads of each pair from one 128-lane-full KV block — no new
-    kernel, half the HBM traffic at d=64."""
+    kernel, half the HBM traffic at d=64.  Int8 packed caches compose: the
+    per-ORIGINAL-kv-head scales fold here (before the pack / after the
+    unpack), so the inner call sees plain int8 tiles with scale 1."""
     s = query.shape[0]
     d = query.shape[-1] // q_head_num
     hkv2 = k_head_num // 2
+    if k_packed.dtype == jnp.int8:
+        g0 = q_head_num // k_head_num
+        qs = query.reshape(s, k_head_num, g0, d).astype(jnp.float32)
+        qs = qs * _kv_head_scale(k_scale, k_head_num)[None]
+        query = qs.astype(query.dtype).reshape(s, -1)
     q2, g = _pack_queries(query, q_head_num, k_head_num, d)
     if sinks is not None:
         sk = sinks.reshape(k_head_num, g)
@@ -418,7 +470,12 @@ def attention_sinks_prefill_packed(
         q2.reshape(s, -1), k_packed, v_packed, sinks, seq_lens, block_tables,
         context_lens, scale, sliding_window_size, hkv2 * 2 * g, hkv2, **kw)
     dv = v_packed.shape[-1] // 2
-    return _unpack_outputs(out2.reshape(s, hkv2, 2 * g, 2 * dv), s, k_head_num, g, dv)
+    out = _unpack_outputs(out2.reshape(s, hkv2, 2 * g, 2 * dv), s, k_head_num, g, dv)
+    if v_packed.dtype == jnp.int8:
+        o = out.reshape(s, k_head_num, g, dv).astype(jnp.float32)
+        o = o * _kv_head_scale(v_scale, k_head_num)[None]
+        out = o.astype(out.dtype).reshape(s, k_head_num * g * dv)
+    return out
 
 
 def _prefill_page_bounds(seq_len, ctx, qc, *, cq, window, page_size, max_pages):
@@ -486,6 +543,10 @@ def _sinks_prefill_kernel(
         q = q_ref[0, 0].reshape(rows, dk)            # merge leading dims only
         k = k_ref[0, 0]
         v = v_ref[0, 0]
+        if k.dtype == jnp.int8:   # int8 KV cache: scale folded by the host
+            k = k.astype(q.dtype)
+        if v.dtype == jnp.int8:
+            v = v.astype(q.dtype)
         qk = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -525,7 +586,8 @@ def _sinks_prefill_kernel(
 def attention_sinks_prefill_pallas(
     query, k_cache, v_cache, sinks, seq_lens, block_tables, context_lens, scale,
     sliding_window_size: int, q_head_num: int, k_head_num: int,
-    *, max_q: int | None = None, q_chunk: int = 128, interpret=None,
+    *, max_q: int | None = None, q_chunk: int = 128,
+    k_scale=None, v_scale=None, interpret=None,
 ):
     """Pallas varlen prefill with sinks + sliding window — the device-kernel
     counterpart of :func:`attention_sinks_prefill` (the reference ships this as
@@ -558,6 +620,9 @@ def attention_sinks_prefill_pallas(
     req = jnp.clip(jnp.searchsorted(ends, jnp.arange(s), side="right"), 0, bsz - 1)
     j = jnp.arange(s) - (ends[req] - seq_lens[req])
     qg = query.reshape(s, k_head_num, group, d)
+    if k_cache.dtype == jnp.int8:   # int8 cache: fold the dequant scale into q
+        qg = (qg.astype(jnp.float32) * _kv_head_scale(k_scale, hkv)[None]
+              ).astype(query.dtype)
     qd = (
         jnp.zeros((bsz, max_q, k_head_num, group, d), query.dtype)
         .at[req, j]
@@ -646,12 +711,16 @@ def attention_sinks_prefill_pallas(
         v_cache,
     )
     out = od.transpose(0, 2, 1, 3, 4)[req, j]          # [S, Hkv, G, Dv]
+    if v_cache.dtype == jnp.int8:
+        out = (out.astype(jnp.float32) * _kv_head_scale(v_scale, hkv)[None]
+               ).astype(query.dtype)
     return out.reshape(s, q_head_num * dv)
 
 
 def attention_sinks_prefill(
     query, k_cache, v_cache, sinks, seq_lens, block_tables, context_lens, scale,
     sliding_window_size: int, q_head_num: int, k_head_num: int,
+    k_scale=None, v_scale=None,
 ):
     """Varlen prefill with sinks (reference :241): query rows are the concatenation
     of each request's last ``seq_lens[b]`` positions; token j of request b attends
@@ -669,6 +738,10 @@ def attention_sinks_prefill(
     q = query.reshape(s, k_head_num, q_head_num // k_head_num, d).astype(jnp.float32)
     k = _gather_pages(k_cache, block_tables, max_len).astype(jnp.float32)[req]
     v = _gather_pages(v_cache, block_tables, max_len).astype(jnp.float32)[req]
+    if k_cache.dtype == jnp.int8:
+        k = k * _kv_head_scale(k_scale, k_head_num)[None]
+    if v_cache.dtype == jnp.int8:
+        v = v * _kv_head_scale(v_scale, k_head_num)[None]
     logits = jnp.einsum("skgd,skld->skgl", q, k) * scale
     pos = jnp.arange(max_len)[None, None, None, :]
     hi = (qpos + 1)[:, None, None, None]

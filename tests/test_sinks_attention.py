@@ -129,3 +129,78 @@ def test_attention_sinks_prefill_matches_decode_lastrow(rng):
     last_rows = np.asarray(out)[[2, 7]]
     dec = sa.attention_sinks_ref(q[jnp.asarray([2, 7])], k, v, sinks, bt, ctx, scale, 0, hq, hkv)
     np.testing.assert_allclose(last_rows, np.asarray(dec), rtol=1e-4, atol=1e-4)
+
+
+def _quant8(x, scale):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127).astype(jnp.int8)
+
+
+def _head_scales(k, v):
+    ks = jnp.abs(k.astype(jnp.float32)).max(axis=(0, 2, 3)) / 127.0
+    vs = jnp.abs(v.astype(jnp.float32)).max(axis=(0, 2, 3)) / 127.0
+    return ks, vs
+
+
+@pytest.mark.parametrize("window", [0, 24])
+@pytest.mark.parametrize("packed", [False, True])
+def test_attention_sinks_decode_int8(rng, window, packed):
+    """Int8 K/V (per-kv-head scales) through both decode kernels: matches the
+    int8-aware golden tightly and the f32 truth within quant error."""
+    s, hq, hkv, d, dv, page, max_pages = 3, 8, 2, 64, 64, 16, 4
+    q, k, v, sinks, bt = _setup(rng, s, hq, hkv, d, dv, page, max_pages)
+    ctx = jnp.asarray([5, 33, 64], jnp.int32)
+    scale = 1 / np.sqrt(d)
+    ks, vs = _head_scales(k, v)
+    kq = _quant8(k, ks[None, :, None, None])
+    vq = _quant8(v, vs[None, :, None, None])
+    if packed:
+        got = sa.attention_sinks_packed(
+            q, sa.pack_kv_sinks(kq), sa.pack_kv_sinks(vq), sinks, bt, ctx,
+            scale, window, hq, hkv, k_scale=ks, v_scale=vs)
+    else:
+        got = sa.attention_sinks(q, kq, vq, sinks, bt, ctx, scale, window,
+                                 hq, hkv, k_scale=ks, v_scale=vs)
+    want_q = sa.attention_sinks_ref(q, kq, vq, sinks, bt, ctx, scale, window,
+                                    hq, hkv, k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_q),
+                               rtol=2e-2, atol=2e-2)
+    want_f = sa.attention_sinks_ref(q, k, v, sinks, bt, ctx, scale, window, hq, hkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_f),
+                               rtol=8e-2, atol=8e-2)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_attention_sinks_prefill_int8(rng, packed):
+    """Int8 K/V through the varlen prefill kernel (and its packed wrapper)."""
+    hq, hkv, d, dv, page, max_pages, window = 8, 4, 32, 32, 16, 4, 24
+    bsz = 3
+    n_pages = bsz * max_pages
+    k = jnp.asarray(rng.standard_normal((n_pages, hkv, page, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n_pages, hkv, page, dv)) * 0.5, jnp.float32)
+    sinks = jnp.asarray(rng.standard_normal(hq), jnp.float32)
+    bt = jnp.asarray(rng.permutation(n_pages).reshape(bsz, max_pages), jnp.int32)
+    ctx = jnp.asarray([40, 25, 64], jnp.int32)
+    seq_lens = jnp.asarray([3, 25, 10], jnp.int32)
+    s = int(seq_lens.sum())
+    q = jnp.asarray(rng.standard_normal((s, hq * d)) * 0.5, jnp.float32)
+    scale = 1 / np.sqrt(d)
+    ks, vs = _head_scales(k, v)
+    kq = _quant8(k, ks[None, :, None, None])
+    vq = _quant8(v, vs[None, :, None, None])
+    if packed:
+        got = sa.attention_sinks_prefill_packed(
+            q, sa.pack_kv_sinks(kq), sa.pack_kv_sinks(vq), sinks, seq_lens, bt,
+            ctx, scale, window, hq, hkv, k_scale=ks, v_scale=vs, max_q=32)
+    else:
+        got = sa.attention_sinks_prefill_pallas(
+            q, kq, vq, sinks, seq_lens, bt, ctx, scale, window, hq, hkv,
+            k_scale=ks, v_scale=vs, max_q=32)
+    want_q = sa.attention_sinks_prefill(
+        q, kq, vq, sinks, seq_lens, bt, ctx, scale, window, hq, hkv,
+        k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_q),
+                               rtol=2e-2, atol=2e-2)
+    want_f = sa.attention_sinks_prefill(
+        q, k, v, sinks, seq_lens, bt, ctx, scale, window, hq, hkv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want_f),
+                               rtol=8e-2, atol=8e-2)
