@@ -36,6 +36,8 @@ run bench_layer_int8 python scripts/bench_layer.py int8kv
 run bench_lora   python scripts/bench_lora.py
 # 8. int8 KV decode bench (new): expect ~1.8-2x decode_mla at DeepSeek shapes
 run bench_int8   python scripts/bench_int8_kv.py
+# 8b. W8A8 dense decode layer (new): Llama-8B shapes, bf16 vs int8 weights
+run bench_w8a8   python scripts/bench_w8a8.py
 # 9. driver-bench preview (BENCH_r02 twin)
 run bench        python bench.py
 

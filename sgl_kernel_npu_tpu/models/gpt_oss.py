@@ -127,6 +127,54 @@ def _cache_rows(cfg: GptOssConfig, kv: jax.Array) -> jax.Array:
     return kv
 
 
+def quantize_weights(cfg: GptOssConfig, params: dict) -> dict:
+    """Per-out-channel int8 quant of every projection (W8A8 serving mode;
+    see models/w8a8.py).  ``w_gate_up`` stays interleaved — swiglu_oai
+    de-interleaves after the dequantized GEMM."""
+    from sgl_kernel_npu_tpu.models.w8a8 import quantize_matrix
+
+    return {
+        "layers": [
+            {name: quantize_matrix(lw[name])
+             for name in ("wq", "wk", "wv", "wo", "w_gate_up", "w_down")}
+            for lw in params["layers"]
+        ]
+    }
+
+
+def _proj_qkv(lw, lq, hidden_n, s, cfg):
+    """q/k/v projections — W8A8 (one shared per-token quant) when ``lq``."""
+    d = cfg.head_dim
+    if lq is not None:
+        from sgl_kernel_npu_tpu.models.w8a8 import qmm
+        from sgl_kernel_npu_tpu.ops.quant import quant_per_token
+
+        x_q, sx = quant_per_token(hidden_n)
+        qp, kp, vp = (qmm(x_q, sx, lq[nm], hidden_n.dtype)
+                      for nm in ("wq", "wk", "wv"))
+    else:
+        qp, kp, vp = (hidden_n @ lw[nm] for nm in ("wq", "wk", "wv"))
+    return (qp.reshape(s, cfg.num_heads, d),
+            kp.reshape(s, cfg.num_kv_heads, d),
+            vp.reshape(s, cfg.num_kv_heads, d))
+
+
+def _out_mlp(lw, lq, cfg, x, attn):
+    """Output projection + clamped-SwiGLU MLP — W8A8 when ``lq``."""
+    if lq is not None:
+        from sgl_kernel_npu_tpu.models.w8a8 import project
+
+        x = x + project(attn, lq["wo"], x.dtype)
+        mlp_in = rms_norm(x, lw["ln2"])
+        act = swiglu_oai(project(mlp_in, lq["w_gate_up"], jnp.bfloat16),
+                         cfg.alpha, cfg.limit)
+        return x + project(act, lq["w_down"], x.dtype)
+    x = x + attn @ lw["wo"]
+    mlp_in = rms_norm(x, lw["ln2"])
+    act = swiglu_oai(mlp_in @ lw["w_gate_up"], cfg.alpha, cfg.limit)
+    return x + act @ lw["w_down"]
+
+
 def decode_step(
     cfg: GptOssConfig,
     params: dict,
@@ -136,6 +184,8 @@ def decode_step(
     block_tables: jax.Array, # [B, max_pages]
     context_lens: jax.Array, # [B] lengths INCLUDING the new token
     slot_mapping: jax.Array, # [B] global cache slots for the new token
+    *,
+    weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
 ):
     """One decode step over the full layer stack; returns (hidden, new_caches)."""
     b = x.shape[0]
@@ -144,11 +194,10 @@ def decode_step(
     new_caches = []
     scale = 1.0 / math.sqrt(d)
     for li, lw in enumerate(params["layers"]):
+        lq = weights_q["layers"][li] if weights_q is not None else None
         k_cache, v_cache = caches[li]
         hidden_n = rms_norm(x, lw["ln1"])
-        q = (hidden_n @ lw["wq"]).reshape(b, cfg.num_heads, d)
-        k = (hidden_n @ lw["wk"]).reshape(b, cfg.num_kv_heads, d)
-        v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
+        q, k, v = _proj_qkv(lw, lq, hidden_n, b, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         k_cache = _write_kv(cfg, _cache_rows(cfg, k), k_cache, slot_mapping)
@@ -161,10 +210,7 @@ def decode_step(
             cfg.num_heads, cfg.num_kv_heads,
             k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg),
         )
-        x = x + attn.reshape(b, -1) @ lw["wo"]
-        mlp_in = rms_norm(x, lw["ln2"])
-        act = swiglu_oai(mlp_in @ lw["w_gate_up"], cfg.alpha, cfg.limit)
-        x = x + act @ lw["w_down"]
+        x = _out_mlp(lw, lq, cfg, x, attn.reshape(b, -1))
         new_caches.append((k_cache, v_cache))
     return x, new_caches
 
@@ -181,6 +227,7 @@ def prefill_step(
     *,
     max_q: int | None = None,
     use_pallas: bool = True,
+    weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
 ):
     """Varlen (chunked) prefill over the layer stack: rows are the concatenation
     of each request's last ``seq_lens[b]`` tokens.  KV is written to the paged
@@ -203,11 +250,10 @@ def prefill_step(
     new_caches = []
     scale = 1.0 / math.sqrt(d)
     for li, lw in enumerate(params["layers"]):
+        lq = weights_q["layers"][li] if weights_q is not None else None
         k_cache, v_cache = caches[li]
         hidden_n = rms_norm(x, lw["ln1"])
-        q = (hidden_n @ lw["wq"]).reshape(s, cfg.num_heads, d)
-        k = (hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d)
-        v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
+        q, k, v = _proj_qkv(lw, lq, hidden_n, s, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         k_cache = _write_kv(cfg, _cache_rows(cfg, k), k_cache, slot_mapping)
@@ -219,10 +265,7 @@ def prefill_step(
             cfg.num_heads, cfg.num_kv_heads,
             k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg), **kw,
         )
-        x = x + attn.reshape(s, -1) @ lw["wo"]
-        mlp_in = rms_norm(x, lw["ln2"])
-        act = swiglu_oai(mlp_in @ lw["w_gate_up"], cfg.alpha, cfg.limit)
-        x = x + act @ lw["w_down"]
+        x = _out_mlp(lw, lq, cfg, x, attn.reshape(s, -1))
         new_caches.append((k_cache, v_cache))
     return x, new_caches
 

@@ -115,6 +115,52 @@ def _mlp(lw, x):
     return (jax.nn.silu(g) * (x @ lw["w_up"])) @ lw["w_down"]
 
 
+def quantize_weights(cfg: LlamaConfig, params: dict) -> dict:
+    """Per-out-channel int8 quant of every projection (W8A8 serving mode —
+    the reference's mla_preprocess/fused-MoE recipe applied to the dense
+    stack; see models/w8a8.py).  Gate|up stack into ONE matrix so the MLP
+    front half is a single GEMM feeding the fused swiglu_quant kernel."""
+    from sgl_kernel_npu_tpu.models.w8a8 import quantize_matrix
+
+    return {
+        "layers": [
+            {
+                "wq": quantize_matrix(lw["wq"]),
+                "wk": quantize_matrix(lw["wk"]),
+                "wv": quantize_matrix(lw["wv"]),
+                "wo": quantize_matrix(lw["wo"]),
+                "w_gate_up": quantize_matrix(
+                    jnp.concatenate([lw["w_gate"], lw["w_up"]], axis=1)),
+                "w_down": quantize_matrix(lw["w_down"]),
+            }
+            for lw in params["layers"]
+        ]
+    }
+
+
+def _mlp_q(lq, x):
+    """W8A8 MLP: GEMM(gate|up) → fused SwiGLU+requant → GEMM(down) — the
+    reference's GMM1 → swiglu_quant → GMM2 chain, dense."""
+    from sgl_kernel_npu_tpu.models.w8a8 import project, qmm
+    from sgl_kernel_npu_tpu.ops.activation import swiglu_quant
+
+    gu = project(x, lq["w_gate_up"])
+    a_q, sa = swiglu_quant(gu.astype(jnp.bfloat16))
+    return qmm(a_q, sa, lq["w_down"], x.dtype)
+
+
+def _qkv_attn_proj(lq, hidden_n):
+    """W8A8 q/k/v projections off ONE per-token quantization of the normed
+    hidden state."""
+    from sgl_kernel_npu_tpu.models.w8a8 import qmm
+    from sgl_kernel_npu_tpu.ops.quant import quant_per_token
+
+    x_q, sx = quant_per_token(hidden_n)
+    dt = hidden_n.dtype
+    return (qmm(x_q, sx, lq["wq"], dt), qmm(x_q, sx, lq["wk"], dt),
+            qmm(x_q, sx, lq["wv"], dt))
+
+
 def init_lora(key, cfg: LlamaConfig, num_adapters: int, rank: int,
               dtype=jnp.float32) -> dict:
     """Per-layer LoRA on the q and o projections.  Adapter 0 is all-zeros (the
@@ -157,6 +203,7 @@ def decode_step(
     *,
     lora: dict | None = None,
     lora_idx: jax.Array | None = None,  # [B] adapter id per request (0 = none)
+    weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
 ):
     """One decode step over the stack; returns (hidden, new_caches)."""
     b = x.shape[0]
@@ -165,25 +212,34 @@ def decode_step(
     scale = 1.0 / math.sqrt(d)
     new_caches = []
     for li, lw in enumerate(params["layers"]):
+        lq = weights_q["layers"][li] if weights_q is not None else None
         k_cache, v_cache = caches[li]
         hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
-        qp = hidden_n @ lw["wq"]
+        if lq is not None:
+            qp, kp, vp = _qkv_attn_proj(lq, hidden_n)
+        else:
+            qp, kp, vp = hidden_n @ lw["wq"], hidden_n @ lw["wk"], hidden_n @ lw["wv"]
         if lora is not None:
             la = lora["layers"][li]
             qp = qp + _lora_delta(hidden_n, la["qA"], la["qB"], lora_idx)
         q = apply_rope(qp.reshape(b, cfg.num_heads, d), cos, sin)
-        k = apply_rope((hidden_n @ lw["wk"]).reshape(b, cfg.num_kv_heads, d), cos, sin)
-        v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
+        k = apply_rope(kp.reshape(b, cfg.num_kv_heads, d), cos, sin)
+        v = vp.reshape(b, cfg.num_kv_heads, d)
         k_cache = _write_kv(cfg, k, k_cache, slot_mapping)
         v_cache = _write_kv(cfg, v, v_cache, slot_mapping)
         attn = decode_gqa(q, k_cache, v_cache, context_lens, scale, block_tables,
                           k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg))
         attn = attn.reshape(b, -1)
-        op = attn @ lw["wo"]
+        if lq is not None:
+            from sgl_kernel_npu_tpu.models.w8a8 import project
+            op = project(attn, lq["wo"], x.dtype)
+        else:
+            op = attn @ lw["wo"]
         if lora is not None:
             op = op + _lora_delta(attn, la["oA"], la["oB"], lora_idx)
         x = x + op
-        x = x + _mlp(lw, rms_norm(x, lw["ln2"], cfg.rms_eps))
+        mlp_in = rms_norm(x, lw["ln2"], cfg.rms_eps)
+        x = x + (_mlp_q(lq, mlp_in) if lq is not None else _mlp(lw, mlp_in))
         new_caches.append((k_cache, v_cache))
     return rms_norm(x, params["ln_f"], cfg.rms_eps), new_caches
 
@@ -202,6 +258,7 @@ def prefill_step(
     use_pallas: bool = True,
     lora: dict | None = None,
     lora_idx: jax.Array | None = None,  # [S] adapter id per TOKEN (0 = none)
+    weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
 ):
     """Varlen (chunked) prefill; rows are each request's last ``seq_lens[b]``
     tokens.  KV lands in the paged cache first; attention reads it back."""
@@ -218,15 +275,19 @@ def prefill_step(
     scale = 1.0 / math.sqrt(d)
     new_caches = []
     for li, lw in enumerate(params["layers"]):
+        lq = weights_q["layers"][li] if weights_q is not None else None
         k_cache, v_cache = caches[li]
         hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
-        qp = hidden_n @ lw["wq"]
+        if lq is not None:
+            qp, kp, vp = _qkv_attn_proj(lq, hidden_n)
+        else:
+            qp, kp, vp = hidden_n @ lw["wq"], hidden_n @ lw["wk"], hidden_n @ lw["wv"]
         if lora is not None:
             la = lora["layers"][li]
             qp = qp + _lora_delta(hidden_n, la["qA"], la["qB"], lora_idx)
         q = apply_rope(qp.reshape(s, cfg.num_heads, d), cos, sin)
-        k = apply_rope((hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d), cos, sin)
-        v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
+        k = apply_rope(kp.reshape(s, cfg.num_kv_heads, d), cos, sin)
+        v = vp.reshape(s, cfg.num_kv_heads, d)
         k_cache = _write_kv(cfg, k, k_cache, slot_mapping)
         v_cache = _write_kv(cfg, v, v_cache, slot_mapping)
         attn = attend(
@@ -235,11 +296,16 @@ def prefill_step(
             cfg.num_heads, cfg.num_kv_heads,
             k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg), **kw,
         ).reshape(s, -1)
-        op = attn @ lw["wo"]
+        if lq is not None:
+            from sgl_kernel_npu_tpu.models.w8a8 import project
+            op = project(attn, lq["wo"], x.dtype)
+        else:
+            op = attn @ lw["wo"]
         if lora is not None:
             op = op + _lora_delta(attn, la["oA"], la["oB"], lora_idx)
         x = x + op
-        x = x + _mlp(lw, rms_norm(x, lw["ln2"], cfg.rms_eps))
+        mlp_in = rms_norm(x, lw["ln2"], cfg.rms_eps)
+        x = x + (_mlp_q(lq, mlp_in) if lq is not None else _mlp(lw, mlp_in))
         new_caches.append((k_cache, v_cache))
     return rms_norm(x, params["ln_f"], cfg.rms_eps), new_caches
 

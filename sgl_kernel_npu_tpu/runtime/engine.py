@@ -71,9 +71,11 @@ def paged_scatter_pages(caches, page_ids, payload):
         lambda a, p: a.at[page_ids].set(p.astype(a.dtype)), caches, payload)
 
 
-def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None) -> ModelAdapter:
+def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None,
+                  weights_q: dict | None = None) -> ModelAdapter:
     """``lora``: optional multi-adapter weights (models.llama.init_lora);
-    requests select adapters via ``Engine.add_request(lora_id=…)``."""
+    requests select adapters via ``Engine.add_request(lora_id=…)``.
+    ``weights_q`` (models.llama.quantize_weights) serves W8A8."""
     from sgl_kernel_npu_tpu.models import llama as m
 
     return ModelAdapter(
@@ -82,9 +84,10 @@ def llama_adapter(cfg, params, dtype=jnp.float32, lora: dict | None = None) -> M
         lm_head=lambda x: m.lm_head(params, x),
         prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0],
-            lora=lora, lora_idx=li),
+            lora=lora, lora_idx=li, weights_q=weights_q),
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
-            cfg, params, x, pos, c, bt, ctx, slots, lora=lora, lora_idx=li),
+            cfg, params, x, pos, c, bt, ctx, slots, lora=lora, lora_idx=li,
+            weights_q=weights_q),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
         gather_pages=paged_gather_pages,
         scatter_pages=paged_scatter_pages,
@@ -149,7 +152,9 @@ def llama_pp_adapter(cfg, params, mesh, dtype=jnp.float32,
     )
 
 
-def gpt_oss_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
+def gpt_oss_adapter(cfg, params, dtype=jnp.float32,
+                    weights_q: dict | None = None) -> ModelAdapter:
+    """``weights_q`` (models.gpt_oss.quantize_weights) serves W8A8."""
     from sgl_kernel_npu_tpu.models import gpt_oss as m
 
     return ModelAdapter(
@@ -157,9 +162,10 @@ def gpt_oss_adapter(cfg, params, dtype=jnp.float32) -> ModelAdapter:
         embed=lambda ids: m.embed(params, ids),
         lm_head=lambda x: m.lm_head(params, x),
         prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.prefill_step(
-            cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0]),
+            cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0],
+            weights_q=weights_q),
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
-            cfg, params, x, pos, c, bt, ctx, slots),
+            cfg, params, x, pos, c, bt, ctx, slots, weights_q=weights_q),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
         gather_pages=paged_gather_pages,
         scatter_pages=paged_scatter_pages,
