@@ -143,6 +143,83 @@ def _mla_qkv(cfg: DeepSeekV3Config, lw: dict, x: jax.Array, cos, sin):
     return q_lat, qpe, k_lat, kpe, h1
 
 
+def make_mla_preprocess_weights(cfg: DeepSeekV3Config, params: dict,
+                                sample_hidden: jax.Array) -> list:
+    """Convert the float MLA prologue weights of every layer into
+    :class:`ops.attention.mla_preprocess.MlaPreprocessWeights` (W8A8) — the
+    model then runs the reference's fused mla_preprocess op (reference
+    csrc/mla_preprocess/op_host/mla_preprocess.cpp:623) instead of the unfused
+    float prologue (``decode_step(mla_wq=...)``).
+
+    ``sample_hidden [N, hidden]`` calibrates the two static activation-quant
+    scales and (int8 cache mode) the per-head q_nope scales.  Both quantized
+    activations are POST-RMSNORM, whose magnitude is depth-stable, so one
+    representative sample serves every layer (each layer's scales still use
+    that layer's own weights); production calibration can pass per-layer
+    activations through repeated calls instead.
+    """
+    from sgl_kernel_npu_tpu.ops.attention import mla_preprocess as mp
+
+    lat, rope = cfg.kv_lora_rank, cfg.qk_rope_dim
+    margin = 1.25     # headroom over the calibration sample's max
+    out = []
+
+    def quantize_rows(w):   # w [K, N] -> int8 [N, K], per-row scale [N]
+        wf = w.astype(jnp.float32)
+        s = jnp.maximum(jnp.abs(wf).max(axis=0) / 127.0, 1e-12)
+        return jnp.clip(jnp.round(wf / s[None]), -128, 127).astype(jnp.int8).T, s
+
+    for lw in params["layers"]:
+        h1 = rms_norm_ref(sample_hidden.astype(jnp.float32), lw["ln1"])
+        qs1 = jnp.abs(h1).max() / 127.0 * margin
+        wd_q, sw1 = quantize_rows(lw["wdqkv"])
+        fused = h1 @ lw["wdqkv"].astype(jnp.float32)
+        cq = rms_norm_ref(fused[:, lat + rope :], lw["q_ln"])
+        qs2 = jnp.abs(cq).max() / 127.0 * margin
+        wuq_q, sw2 = quantize_rows(lw["wuq"])
+        nout = lw["wdqkv"].shape[1]
+        if cfg.kv_cache_dtype == "int8":
+            q_nope = (cq @ lw["wuq"].astype(jnp.float32)).reshape(
+                cq.shape[0], cfg.num_heads, cfg.qk_dim)[..., : cfg.qk_nope_dim]
+            q_lat = jnp.einsum("nhk,hkl->nhl", q_nope,
+                               lw["wuk"].astype(jnp.float32))
+            qnope_scale = 126.0 / (jnp.abs(q_lat).max(axis=(0, 2)) * margin + 1e-12)
+        else:
+            qnope_scale = None
+        out.append(mp.MlaPreprocessWeights(
+            gamma1=lw["ln1"], beta1=jnp.zeros_like(lw["ln1"]),
+            qscale1=qs1.astype(jnp.float32), qoffset1=jnp.float32(0),
+            wdqkv=wd_q, descale1=(sw1 * qs1).astype(jnp.float32),
+            bias1=jnp.zeros((nout,), jnp.int32),
+            gamma2=lw["q_ln"], beta2=jnp.zeros_like(lw["q_ln"]),
+            qscale2=qs2.astype(jnp.float32), qoffset2=jnp.float32(0),
+            wuq=wuq_q, descale2=(sw2 * qs2).astype(jnp.float32),
+            bias2=jnp.zeros((lw["wuq"].shape[1],), jnp.int32),
+            gamma3=lw["kv_ln"], wuk=lw["wuk"],
+            qnope_scale=qnope_scale,
+            ctkv_scale=jnp.float32(cfg.ctkv_scale),
+        ))
+    return out
+
+
+def _mla_preprocess_qkv(cfg: DeepSeekV3Config, w, x, cos, sin, cache,
+                        slot_mapping):
+    """Run the fused W8A8 prologue; returns (q [N,H,lat+rope] float,
+    cache_n, cache_r) with int8-mode q_nope dequantized for the attention
+    kernels (which re-fold ctkv_scale via ``k_scale``)."""
+    from sgl_kernel_npu_tpu.ops.attention import mla_preprocess as mp
+
+    cm = "int8_nzcache" if cfg.kv_cache_dtype == "int8" else "krope_ctkv"
+    qn, qpe, cache_n, cache_r = mp.mla_preprocess(
+        x, w, (cos, sin), cache["nope"], cache["rope"], slot_mapping,
+        cache_mode=cm)
+    if cm == "int8_nzcache":
+        qn = qn.astype(jnp.float32) / w.qnope_scale[None, :, None]
+    q = jnp.concatenate(
+        [qn.astype(jnp.float32), qpe.astype(jnp.float32)], axis=-1)
+    return q.astype(cache_r.dtype), cache_n, cache_r
+
+
 def _mla_output(cfg: DeepSeekV3Config, lw: dict, attn_lat: jax.Array):
     """Latent attention output → hidden (absorbed V up-proj + output proj)."""
     o = jnp.einsum("nhl,hlv->nhv", attn_lat, lw["wvu"])
@@ -207,23 +284,31 @@ def decode_step(
     moe_weights_q: list[tuple] | None = None,   # per-layer quantized expert weights
     ep_buffer: Buffer | None = None,
     use_int8_dispatch: bool = True,
+    mla_wq: list | None = None,   # make_mla_preprocess_weights(...) → fused prologue
 ):
     """One decode step over all layers (single chip unless ep_buffer is given).
 
     ``use_int8_dispatch=False`` moves the EP dispatch wire at BF16 (accuracy
-    baseline for the reference's "INT8 dispatch Δppl ≈ 0" bar, BASELINE.md)."""
+    baseline for the reference's "INT8 dispatch Δppl ≈ 0" bar, BASELINE.md).
+    ``mla_wq`` switches the MLA prologue to the fused W8A8 mla_preprocess op."""
     cos, sin = rope_cos_sin(positions, cfg.qk_rope_dim)
     x = hidden
     new_caches = []
     for li, lw in enumerate(params["layers"]):
-        q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(cfg, lw, x, cos, sin)
         cache = kv_caches[li]
-        cache_n = _write_nope(cfg, k_lat, cache["nope"], slot_mapping)
-        cache_r = reshape_and_cache_transposed(
-            kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping
-        )
+        if mla_wq is not None:
+            q, cache_n, cache_r = _mla_preprocess_qkv(
+                cfg, mla_wq[li], x, cos, sin, cache, slot_mapping)
+            h1 = (rms_norm_ref(x, lw["ln1"])
+                  if cfg.sparse_count > 0 else None)  # only the DSA taps need it
+        else:
+            q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(cfg, lw, x, cos, sin)
+            cache_n = _write_nope(cfg, k_lat, cache["nope"], slot_mapping)
+            cache_r = reshape_and_cache_transposed(
+                kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"],
+                slot_mapping)
+            q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_r.dtype)
         nc = {"nope": cache_n, "rope": cache_r}
-        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_r.dtype)
         nope_scale = _nope_scale(cfg)
         if cfg.sparse_count > 0:
             # DSA: lightning indexer scores every cached key cheaply (idx_dim
@@ -304,6 +389,7 @@ def prefill_step(
     slot_mapping: jax.Array,    # [S]
     *,
     max_q: int | None = None,
+    mla_wq: list | None = None,   # make_mla_preprocess_weights(...) → fused prologue
 ):
     """Varlen (chunked) prefill over all layers — the decode_step twin built on
     :func:`ops.attention.mla_prefill.mla_prefill_pallas` (single-chip MoE)."""
@@ -319,11 +405,19 @@ def prefill_step(
     x = hidden
     new_caches = []
     for li, lw in enumerate(params["layers"]):
-        q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(cfg, lw, x, cos, sin)
         cache = kv_caches[li]
-        cache_n = _write_nope(cfg, k_lat, cache["nope"], slot_mapping)
-        cache_r = reshape_and_cache_transposed(
-            kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"], slot_mapping)
+        if mla_wq is not None:
+            q, cache_n, cache_r = _mla_preprocess_qkv(
+                cfg, mla_wq[li], x, cos, sin, cache, slot_mapping)
+            h1 = (rms_norm_ref(x, lw["ln1"])
+                  if cfg.sparse_count > 0 else None)
+        else:
+            q_lat, qpe, k_lat, kpe, h1 = _mla_qkv(cfg, lw, x, cos, sin)
+            cache_n = _write_nope(cfg, k_lat, cache["nope"], slot_mapping)
+            cache_r = reshape_and_cache_transposed(
+                kpe[:, None, :].astype(cache["rope"].dtype), cache["rope"],
+                slot_mapping)
+            q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_r.dtype)
         nc = {"nope": cache_n, "rope": cache_r}
         nope_scale = _nope_scale(cfg)
         if cfg.sparse_count > 0:
@@ -332,7 +426,6 @@ def prefill_step(
                 (h1 @ lw["w_kidx"])[:, None, :].astype(cache["kidx"].dtype),
                 cache["kidx"], slot_mapping)
         new_caches.append(nc)
-        q = jnp.concatenate([q_lat, qpe], axis=-1).astype(cache_r.dtype)
         if cfg.sparse_count > 0 and cfg.sparse_granularity == "page":
             # DSA prefill: indexer-pruned page walk — each q-chunk attends only
             # its top pages (+ its own causal diagonal page), O(sel) HBM reads

@@ -118,16 +118,23 @@ def mla_preprocess(
     x1q = quant_per_tensor(x1, w.qscale1, w.qoffset1)
     fused = gemm(x1q, w.wdqkv, w.descale1, w.bias1, out_dtype=jnp.float32)  # [N, 2112]
 
-    ckv = fused[:, :K_NOPE]
-    k_pe = fused[:, K_NOPE : K_NOPE + K_PE][:, None, :]   # [N, 1, 64]
-    cq = fused[:, K_NOPE + K_PE :]                        # [N, 1536]
+    # dims from the weights (full scale: 512 / 64 / 1536 — the module
+    # constants; the model wiring passes its own scaled-down shapes)
+    k_nope_d = w.gamma3.shape[0]
+    q_rms_d = w.gamma2.shape[0]
+    k_pe_d = fused.shape[1] - k_nope_d - q_rms_d
+    ckv = fused[:, :k_nope_d]
+    k_pe = fused[:, k_nope_d : k_nope_d + k_pe_d][:, None, :]   # [N, 1, 64]
+    cq = fused[:, k_nope_d + k_pe_d :]                          # [N, 1536]
 
     # q path: RMSNorm(+beta) → quant → W8A8 wuq → per-head split
     q = rms_norm_ref(cq.astype(dtype), w.gamma2, 1e-6) + w.beta2.astype(jnp.float32)
     qq = quant_per_tensor(q, w.qscale2, w.qoffset2)
     q_out = gemm(qq, w.wuq, w.descale2, w.bias2, out_dtype=jnp.float32)
-    q_out = q_out.reshape(n, heads, Q_DIM)
-    q_nope, q_pe = q_out[..., :Q_NOPE_DIM], q_out[..., Q_NOPE_DIM:]
+    q_dim = w.wuq.shape[0] // heads
+    q_nope_d = w.wuk.shape[1]
+    q_out = q_out.reshape(n, heads, q_dim)
+    q_nope, q_pe = q_out[..., :q_nope_d], q_out[..., q_nope_d:]
 
     # RoPE on q_pe / k_pe (rotate-half, golden apply_rope_half)
     q_pe = apply_rope(q_pe.astype(dtype), cos, sin)
