@@ -105,16 +105,29 @@ def init_kv_cache(cfg: GptOssConfig, num_pages: int, dtype=jnp.float32):
     ]
 
 
-def _kv_scale(cfg: GptOssConfig):
-    """Dequant scale for int8 K/V caches, or None on the full-precision path."""
-    return cfg.kv_scale if cfg.kv_cache_dtype == "int8" else None
+def _kv_scale(cfg: GptOssConfig, scale=None):
+    """Dequant scale for int8 K/V caches (scalar default or calibrated
+    per-ORIGINAL-kv-head array), or None on the full-precision path."""
+    if cfg.kv_cache_dtype != "int8":
+        return None
+    return cfg.kv_scale if scale is None else scale
 
 
-def _write_kv(cfg: GptOssConfig, kv, cache, slot_mapping):
+def _write_kv(cfg: GptOssConfig, kv, cache, slot_mapping, scale=None):
     """Write K or V rows (already in cache layout) into the paged cache,
-    quantizing on the int8 path."""
+    quantizing on the int8 path.  ``scale``: optional per-ORIGINAL-kv-head
+    [Hkv] array; in the packed layout each pair's scales expand across the
+    two d-wide halves of the shared 128-lane row (pack_kv_sinks order)."""
     if cache.dtype == jnp.int8:
-        kv = jnp.clip(jnp.round(kv.astype(jnp.float32) / cfg.kv_scale), -128, 127)
+        if scale is None:
+            s = cfg.kv_scale
+        elif cfg.packed_kv:
+            h2, d2 = kv.shape[1], kv.shape[2]
+            s = jnp.broadcast_to(
+                scale.reshape(h2, 2, 1), (h2, 2, d2 // 2)).reshape(1, h2, d2)
+        else:
+            s = scale[None, :, None]
+        kv = jnp.clip(jnp.round(kv.astype(jnp.float32) / s), -128, 127)
     return reshape_and_cache(kv.astype(cache.dtype), cache, slot_mapping)
 
 
@@ -186,6 +199,7 @@ def decode_step(
     slot_mapping: jax.Array, # [B] global cache slots for the new token
     *,
     weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
+    kv_scales: list | None = None,      # per-layer (k_scale[Hkv], v_scale[Hkv])
 ):
     """One decode step over the full layer stack; returns (hidden, new_caches)."""
     b = x.shape[0]
@@ -200,15 +214,16 @@ def decode_step(
         q, k, v = _proj_qkv(lw, lq, hidden_n, b, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_cache = _write_kv(cfg, _cache_rows(cfg, k), k_cache, slot_mapping)
-        v_cache = _write_kv(cfg, _cache_rows(cfg, v), v_cache, slot_mapping)
+        lks, lvs = kv_scales[li] if kv_scales is not None else (None, None)
+        k_cache = _write_kv(cfg, _cache_rows(cfg, k), k_cache, slot_mapping, lks)
+        v_cache = _write_kv(cfg, _cache_rows(cfg, v), v_cache, slot_mapping, lvs)
         window = cfg.sliding_window if li % 2 == 0 else 0  # GPT-OSS alternation
         attend_d = attention_sinks_packed if cfg.packed_kv else attention_sinks
         attn = attend_d(
             q.reshape(b, cfg.num_heads * d), k_cache, v_cache, lw["sinks"],
             block_tables, context_lens, scale, window,
             cfg.num_heads, cfg.num_kv_heads,
-            k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg),
+            k_scale=_kv_scale(cfg, lks), v_scale=_kv_scale(cfg, lvs),
         )
         x = _out_mlp(lw, lq, cfg, x, attn.reshape(b, -1))
         new_caches.append((k_cache, v_cache))
@@ -228,6 +243,7 @@ def prefill_step(
     max_q: int | None = None,
     use_pallas: bool = True,
     weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
+    kv_scales: list | None = None,      # per-layer (k_scale[Hkv], v_scale[Hkv])
 ):
     """Varlen (chunked) prefill over the layer stack: rows are the concatenation
     of each request's last ``seq_lens[b]`` tokens.  KV is written to the paged
@@ -256,14 +272,15 @@ def prefill_step(
         q, k, v = _proj_qkv(lw, lq, hidden_n, s, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_cache = _write_kv(cfg, _cache_rows(cfg, k), k_cache, slot_mapping)
-        v_cache = _write_kv(cfg, _cache_rows(cfg, v), v_cache, slot_mapping)
+        lks, lvs = kv_scales[li] if kv_scales is not None else (None, None)
+        k_cache = _write_kv(cfg, _cache_rows(cfg, k), k_cache, slot_mapping, lks)
+        v_cache = _write_kv(cfg, _cache_rows(cfg, v), v_cache, slot_mapping, lvs)
         window = cfg.sliding_window if li % 2 == 0 else 0
         attn = attend(
             q.reshape(s, cfg.num_heads * d), k_cache, v_cache, lw["sinks"],
             seq_lens, block_tables, context_lens, scale, window,
             cfg.num_heads, cfg.num_kv_heads,
-            k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg), **kw,
+            k_scale=_kv_scale(cfg, lks), v_scale=_kv_scale(cfg, lvs), **kw,
         )
         x = _out_mlp(lw, lq, cfg, x, attn.reshape(s, -1))
         new_caches.append((k_cache, v_cache))

@@ -98,15 +98,20 @@ def init_kv_cache(cfg: LlamaConfig, num_pages: int, dtype=jnp.float32):
     ]
 
 
-def _kv_scale(cfg: LlamaConfig):
-    """Dequant scale for int8 K/V caches, or None on the full-precision path."""
-    return cfg.kv_scale if cfg.kv_cache_dtype == "int8" else None
+def _kv_scale(cfg: LlamaConfig, scale=None):
+    """Dequant scale for int8 K/V caches (scalar config default or a
+    calibrated per-kv-head array), or None on the full-precision path."""
+    if cfg.kv_cache_dtype != "int8":
+        return None
+    return cfg.kv_scale if scale is None else scale
 
 
-def _write_kv(cfg: LlamaConfig, kv, cache, slot_mapping):
-    """Write K or V rows into the paged cache, quantizing on the int8 path."""
+def _write_kv(cfg: LlamaConfig, kv, cache, slot_mapping, scale=None):
+    """Write K or V rows into the paged cache, quantizing on the int8 path.
+    ``scale``: optional per-kv-head [Hkv] array (w8a8.calibrate_kv_scales)."""
     if cache.dtype == jnp.int8:
-        kv = jnp.clip(jnp.round(kv.astype(jnp.float32) / cfg.kv_scale), -128, 127)
+        s = cfg.kv_scale if scale is None else scale[None, :, None]
+        kv = jnp.clip(jnp.round(kv.astype(jnp.float32) / s), -128, 127)
     return reshape_and_cache(kv.astype(cache.dtype), cache, slot_mapping)
 
 
@@ -204,6 +209,7 @@ def decode_step(
     lora: dict | None = None,
     lora_idx: jax.Array | None = None,  # [B] adapter id per request (0 = none)
     weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
+    kv_scales: list | None = None,      # per-layer (k_scale[Hkv], v_scale[Hkv])
 ):
     """One decode step over the stack; returns (hidden, new_caches)."""
     b = x.shape[0]
@@ -225,10 +231,11 @@ def decode_step(
         q = apply_rope(qp.reshape(b, cfg.num_heads, d), cos, sin)
         k = apply_rope(kp.reshape(b, cfg.num_kv_heads, d), cos, sin)
         v = vp.reshape(b, cfg.num_kv_heads, d)
-        k_cache = _write_kv(cfg, k, k_cache, slot_mapping)
-        v_cache = _write_kv(cfg, v, v_cache, slot_mapping)
+        lks, lvs = kv_scales[li] if kv_scales is not None else (None, None)
+        k_cache = _write_kv(cfg, k, k_cache, slot_mapping, lks)
+        v_cache = _write_kv(cfg, v, v_cache, slot_mapping, lvs)
         attn = decode_gqa(q, k_cache, v_cache, context_lens, scale, block_tables,
-                          k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg))
+                          k_scale=_kv_scale(cfg, lks), v_scale=_kv_scale(cfg, lvs))
         attn = attn.reshape(b, -1)
         if lq is not None:
             from sgl_kernel_npu_tpu.models.w8a8 import project
@@ -259,6 +266,7 @@ def prefill_step(
     lora: dict | None = None,
     lora_idx: jax.Array | None = None,  # [S] adapter id per TOKEN (0 = none)
     weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
+    kv_scales: list | None = None,      # per-layer (k_scale[Hkv], v_scale[Hkv])
 ):
     """Varlen (chunked) prefill; rows are each request's last ``seq_lens[b]``
     tokens.  KV lands in the paged cache first; attention reads it back."""
@@ -288,13 +296,14 @@ def prefill_step(
         q = apply_rope(qp.reshape(s, cfg.num_heads, d), cos, sin)
         k = apply_rope(kp.reshape(s, cfg.num_kv_heads, d), cos, sin)
         v = vp.reshape(s, cfg.num_kv_heads, d)
-        k_cache = _write_kv(cfg, k, k_cache, slot_mapping)
-        v_cache = _write_kv(cfg, v, v_cache, slot_mapping)
+        lks, lvs = kv_scales[li] if kv_scales is not None else (None, None)
+        k_cache = _write_kv(cfg, k, k_cache, slot_mapping, lks)
+        v_cache = _write_kv(cfg, v, v_cache, slot_mapping, lvs)
         attn = attend(
             q.reshape(s, cfg.num_heads * d), k_cache, v_cache, None,
             seq_lens, block_tables, context_lens, scale, 0,
             cfg.num_heads, cfg.num_kv_heads,
-            k_scale=_kv_scale(cfg), v_scale=_kv_scale(cfg), **kw,
+            k_scale=_kv_scale(cfg, lks), v_scale=_kv_scale(cfg, lvs), **kw,
         ).reshape(s, -1)
         if lq is not None:
             from sgl_kernel_npu_tpu.models.w8a8 import project

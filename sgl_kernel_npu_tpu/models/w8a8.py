@@ -49,3 +49,25 @@ def project(x: jax.Array, wq_s, out_dtype=jnp.float32) -> jax.Array:
     """Per-token quantize ``x`` then W8A8-project it (one fresh quant)."""
     x_q, sx = quant_per_token(x)
     return qmm(x_q, sx, wq_s, out_dtype)
+
+
+def calibrate_kv_scales(caches) -> list:
+    """Per-kv-head int8 cache scales from a FLOAT-run paged cache.
+
+    Run a representative prefill with the full-precision cache, then read the
+    per-head maxima straight off the written pages (unwritten pages are zeros
+    and cannot raise a max).  Returns ``[(k_scale [Hkv], v_scale [Hkv])]`` per
+    layer, for the models' ``kv_scales=`` argument — tighter than the single
+    static ``cfg.kv_scale`` when head magnitudes differ (they usually do).
+
+    ``caches``: list of ``(k_cache, v_cache)`` with layout ``[P, Hkv, pg, d]``
+    (the Llama / unpacked GPT-OSS layout).
+    """
+    out = []
+    for k, v in caches:
+        ks = jnp.maximum(jnp.abs(k.astype(jnp.float32)).max(axis=(0, 2, 3)),
+                         1e-6) / 127.0
+        vs = jnp.maximum(jnp.abs(v.astype(jnp.float32)).max(axis=(0, 2, 3)),
+                         1e-6) / 127.0
+        out.append((ks, vs))
+    return out

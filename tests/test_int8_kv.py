@@ -130,7 +130,7 @@ def test_mla_preprocess_int8_to_decode_chain(rng):
     np.testing.assert_allclose(outs["int8"], outs["bf16"], rtol=0.1, atol=0.1)
 
 
-def _run_gqa_model(mod, cfg, params, rng, max_q=16):
+def _run_gqa_model(mod, cfg, params, rng, max_q=16, **kw):
     """Shared prefill→decode driver for the dense-GQA model families
     (llama / gpt_oss share the step signatures)."""
     bsz, max_pages, n = 2, 2, 7
@@ -142,11 +142,11 @@ def _run_gqa_model(mod, cfg, params, rng, max_q=16):
                          for b in range(bsz) for t in range(n)], jnp.int32)
     x = jnp.asarray(rng.standard_normal((bsz * n, cfg.hidden)) * 0.3, jnp.float32)
     _, caches = mod.prefill_step(cfg, params, x, seq_lens, caches, bt,
-                                 seq_lens, slots, max_q=max_q)
+                                 seq_lens, slots, max_q=max_q, **kw)
     xd = jnp.asarray(rng.standard_normal((bsz, cfg.hidden)) * 0.3, jnp.float32)
     out, caches = mod.decode_step(
         cfg, params, xd, jnp.full((bsz,), n, jnp.int32), caches, bt,
-        jnp.full((bsz,), n + 1, jnp.int32), bt[:, 0] * cfg.page_size + n)
+        jnp.full((bsz,), n + 1, jnp.int32), bt[:, 0] * cfg.page_size + n, **kw)
     return np.asarray(out), caches
 
 
@@ -182,6 +182,47 @@ def test_gpt_oss_int8_kv_cache_matches_bf16(rng):
         assert caches[0][0].dtype == jnp.int8
         np.testing.assert_allclose(out_i8, out_bf, rtol=0.08, atol=0.08)
         assert np.abs(out_i8 - out_bf).max() > 0
+
+
+def test_calibrated_kv_scales(rng):
+    """Per-kv-head calibrated scales (w8a8.calibrate_kv_scales off a float
+    run's cache) beat the static scalar when head magnitudes differ, and work
+    through both families incl. the packed GPT-OSS layout."""
+    from sgl_kernel_npu_tpu.models import gpt_oss as gm
+    from sgl_kernel_npu_tpu.models import llama as lm
+    from sgl_kernel_npu_tpu.models.w8a8 import calibrate_kv_scales
+
+    # Llama with artificially skewed per-head K magnitudes: scale head 1's wk
+    # rows up 8x so a single static scale must either clip or waste levels
+    cfg = lm.LlamaConfig(num_layers=1, num_kv_heads=2, head_dim=32)
+    params = lm.init_weights(jax.random.key(31), cfg, jnp.float32)
+    d = cfg.head_dim
+    wk = params["layers"][0]["wk"]
+    params["layers"][0]["wk"] = wk.at[:, d:].multiply(8.0)
+
+    out_f, caches_f = _run_gqa_model(lm, cfg, params, np.random.default_rng(11))
+    scales = calibrate_kv_scales(caches_f)
+    cfg_i8 = dataclasses.replace(cfg, kv_cache_dtype="int8", kv_scale=1 / 64)
+    out_cal, _ = _run_gqa_model(lm, cfg_i8, params, np.random.default_rng(11),
+                                kv_scales=scales)
+    out_static, _ = _run_gqa_model(lm, cfg_i8, params, np.random.default_rng(11))
+    err_cal = np.abs(out_cal - out_f).max()
+    err_static = np.abs(out_static - out_f).max()
+    assert err_cal < err_static, (err_cal, err_static)   # calibration helps
+    assert err_cal < 0.05, err_cal
+
+    # GPT-OSS packed: calibrate on the unpacked float layout, serve packed
+    gcfg = gm.GptOssConfig(num_layers=1, head_dim=64, num_kv_heads=2,
+                           num_heads=8)
+    gparams = gm.init_weights(jax.random.key(32), gcfg, jnp.float32)
+    out_gf, gcaches_f = _run_gqa_model(gm, gcfg, gparams,
+                                       np.random.default_rng(12))
+    gscales = calibrate_kv_scales(gcaches_f)
+    gcfg_i8 = dataclasses.replace(gcfg, kv_cache_dtype="int8", packed_kv=True)
+    out_gq, gc = _run_gqa_model(gm, gcfg_i8, gparams, np.random.default_rng(12),
+                                kv_scales=gscales)
+    assert gc[0][0].dtype == jnp.int8
+    np.testing.assert_allclose(out_gq, out_gf, rtol=0.05, atol=0.05)
 
 
 def test_model_int8_kv_cache_dsa(rng):
