@@ -144,14 +144,10 @@ def quantize_weights(cfg: LlamaConfig, params: dict) -> dict:
 
 
 def _mlp_q(lq, x):
-    """W8A8 MLP: GEMM(gate|up) → fused SwiGLU+requant → GEMM(down) — the
-    reference's GMM1 → swiglu_quant → GMM2 chain, dense."""
-    from sgl_kernel_npu_tpu.models.w8a8 import project, qmm
-    from sgl_kernel_npu_tpu.ops.activation import swiglu_quant
+    """W8A8 MLP (w8a8.mlp_swiglu over the stacked gate|up matrix)."""
+    from sgl_kernel_npu_tpu.models.w8a8 import mlp_swiglu
 
-    gu = project(x, lq["w_gate_up"])
-    a_q, sa = swiglu_quant(gu.astype(jnp.bfloat16))
-    return qmm(a_q, sa, lq["w_down"], x.dtype)
+    return mlp_swiglu(x, lq["w_gate_up"], lq["w_down"], x.dtype)
 
 
 def _qkv_attn_proj(lq, hidden_n):

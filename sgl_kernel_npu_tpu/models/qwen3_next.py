@@ -66,9 +66,13 @@ def init_weights(key, cfg: Qwen3NextConfig, dtype=jnp.float32) -> dict:
     }
 
 
-def _project(cfg, w, x_flat):
+def _project(cfg, w, x_flat, lq=None):
     h1 = rms_norm_ref(x_flat, w["ln1"])
-    qkvz = h1 @ w["w_qkvz"]
+    if lq is not None:   # W8A8: the wide qkvz GEMM quantizes; tiny ba stays float
+        from sgl_kernel_npu_tpu.models.w8a8 import project as w8a8_project
+        qkvz = w8a8_project(h1, lq["w_qkvz"], h1.dtype)
+    else:
+        qkvz = h1 @ w["w_qkvz"]
     ba = h1 @ w["w_ba"]
     qkv = qkvz[:, : cfg.qkv_dim]
     z = qkvz[:, cfg.qkv_dim :]
@@ -89,12 +93,18 @@ def _split_heads(cfg, qkv):
     )
 
 
-def _finish(cfg, w, core_out, z, x):
+def _finish(cfg, w, core_out, z, x, lq=None):
     n = core_out.shape[0]
     o = layernorm_gated(
         core_out.reshape(n, -1), w["gn_w"], None, z,
         group_size=cfg.head_v_dim, norm_before_gate=True, is_rms_norm=True,
     )
+    if lq is not None:
+        from sgl_kernel_npu_tpu.models.w8a8 import mlp_swiglu, project
+
+        x = x + project(o, lq["w_out"], x.dtype)
+        return x + mlp_swiglu(rms_norm_ref(x, w["ln2"]), lq["w_gate_up"],
+                              lq["w_down"], x.dtype)
     x = x + o @ w["w_out"]
     h2 = rms_norm_ref(x, w["ln2"])
     gu = h2 @ w["w_gate_up"]
@@ -222,6 +232,22 @@ def init_hybrid_weights(key, cfg: Qwen3NextHybridConfig, dtype=jnp.float32) -> d
     }
 
 
+def quantize_hybrid_weights(cfg: Qwen3NextHybridConfig, params: dict) -> dict:
+    """Per-out-channel int8 quant of every wide projection (W8A8 serving;
+    models/w8a8.py): attention layers quantize q/k/v/o + the MLP pair; GDN
+    layers quantize the qkvz in-projection, the out-projection, and the MLP
+    pair (the tiny b/a gate GEMM and the conv/gating internals stay float)."""
+    from sgl_kernel_npu_tpu.models.w8a8 import quantize_matrix
+
+    layers_q = []
+    for li, lw in enumerate(params["layers"]):
+        names = (("wq", "wk", "wv", "wo", "w_gate_up", "w_down")
+                 if cfg.is_attn(li) else
+                 ("w_qkvz", "w_out", "w_gate_up", "w_down"))
+        layers_q.append({nm: quantize_matrix(lw[nm]) for nm in names})
+    return {"layers": layers_q}
+
+
 def hybrid_embed(params, ids):
     return params["wte"][ids]
 
@@ -248,8 +274,38 @@ def init_hybrid_cache(cfg: Qwen3NextHybridConfig, num_pages: int,
     return caches
 
 
+def _attn_projections(cfg, lw, lq, hidden_n, s):
+    d = cfg.head_dim
+    if lq is not None:
+        from sgl_kernel_npu_tpu.models.w8a8 import qmm
+        from sgl_kernel_npu_tpu.ops.quant import quant_per_token
+
+        x_q, sx = quant_per_token(hidden_n)
+        qp, kp, vp = (qmm(x_q, sx, lq[nm], hidden_n.dtype)
+                      for nm in ("wq", "wk", "wv"))
+    else:
+        qp, kp, vp = (hidden_n @ lw[nm] for nm in ("wq", "wk", "wv"))
+    return (qp.reshape(s, cfg.num_heads, d),
+            kp.reshape(s, cfg.num_kv_heads, d),
+            vp.reshape(s, cfg.num_kv_heads, d))
+
+
+def _attn_out_mlp(lw, lq, x, attn):
+    if lq is not None:
+        from sgl_kernel_npu_tpu.models.w8a8 import mlp_swiglu, project
+
+        x = x + project(attn, lq["wo"], x.dtype)
+        return x + mlp_swiglu(rms_norm_ref(x, lw["ln2"]), lq["w_gate_up"],
+                              lq["w_down"], x.dtype)
+    x = x + attn @ lw["wo"]
+    h2 = rms_norm_ref(x, lw["ln2"])
+    gu = h2 @ lw["w_gate_up"]
+    g, u = jnp.split(gu, 2, axis=-1)
+    return x + (g * jax.nn.sigmoid(g) * u) @ lw["w_down"]
+
+
 def _attn_layer_prefill(cfg, lw, x, seq_lens, block_tables, context_lens,
-                        slot_mapping, cos, sin, max_q):
+                        slot_mapping, cos, sin, max_q, lq=None):
     from sgl_kernel_npu_tpu.ops.attention.sinks_attention import (
         attention_sinks_prefill_pallas)
     from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
@@ -258,20 +314,16 @@ def _attn_layer_prefill(cfg, lw, x, seq_lens, block_tables, context_lens,
     d = cfg.head_dim
     hidden_n = rms_norm_ref(x, lw["ln1"])
     from sgl_kernel_npu_tpu.ops.rope import apply_rope
-    q = apply_rope((hidden_n @ lw["wq"]).reshape(s, cfg.num_heads, d), cos, sin)
-    k = apply_rope((hidden_n @ lw["wk"]).reshape(s, cfg.num_kv_heads, d), cos, sin)
-    v = (hidden_n @ lw["wv"]).reshape(s, cfg.num_kv_heads, d)
+    q, k, v = _attn_projections(cfg, lw, lq, hidden_n, s)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
     k_cache = reshape_and_cache(k, lw["_kc"], slot_mapping)
     v_cache = reshape_and_cache(v, lw["_vc"], slot_mapping)
     attn = attention_sinks_prefill_pallas(
         q.reshape(s, cfg.num_heads * d), k_cache, v_cache, None,
         seq_lens, block_tables, context_lens, 1.0 / (d ** 0.5), 0,
         cfg.num_heads, cfg.num_kv_heads, max_q=max_q)
-    x = x + attn.reshape(s, -1) @ lw["wo"]
-    h2 = rms_norm_ref(x, lw["ln2"])
-    gu = h2 @ lw["w_gate_up"]
-    g, u = jnp.split(gu, 2, axis=-1)
-    return x + (g * jax.nn.sigmoid(g) * u) @ lw["w_down"], k_cache, v_cache
+    return _attn_out_mlp(lw, lq, x, attn.reshape(s, -1)), k_cache, v_cache
 
 
 def hybrid_prefill_step(
@@ -286,6 +338,7 @@ def hybrid_prefill_step(
     state_idx: jax.Array,    # [1] GDN state-pool slot
     *,
     max_q: int | None = None,
+    weights_q: dict | None = None,   # quantize_hybrid_weights(...) → W8A8 mode
 ):
     """Chunked varlen prefill with GDN state resume (one request per call: GDN
     recurrence is per-request; attention layers are varlen-general)."""
@@ -300,16 +353,17 @@ def hybrid_prefill_step(
     slot0 = state_idx[0]
     new_caches = []
     for li, lw in enumerate(params["layers"]):
+        lq = weights_q["layers"][li] if weights_q is not None else None
         cache = caches[li]
         if cfg.is_attn(li):
             lw = dict(lw, _kc=cache["k"], _vc=cache["v"])
             x, kc, vc = _attn_layer_prefill(
                 cfg, lw, x, seq_lens, block_tables, context_lens, slot_mapping,
-                cos, sin, max_q or s)
+                cos, sin, max_q or s, lq=lq)
             new_caches.append({"k": kc, "v": vc})
             continue
         # --- GDN layer with state resume ---
-        qkv, z, b, a = _project(gd, lw, x)
+        qkv, z, b, a = _project(gd, lw, x, lq=lq)
         qkv = jnp.where(mask[:, None], qkv, 0.0)          # pads must not touch state
         qkv_seq = qkv[None].swapaxes(1, 2)                # [1, D, S]
         conv_init = cache["conv"][slot0][None].astype(jnp.float32)
@@ -331,7 +385,7 @@ def hybrid_prefill_step(
             chunk_size=gd.chunk_size,
             initial_state=cache["ssm"][slot0][None],
             use_qk_l2norm_in_kernel=True)
-        x = _finish(gd, lw, o[0], z, x)
+        x = _finish(gd, lw, o[0], z, x, lq=lq)
         new_caches.append({
             "conv": cache["conv"].at[slot0].set(new_conv.astype(cache["conv"].dtype)),
             "ssm": cache["ssm"].at[slot0].set(final[0]),
@@ -349,6 +403,8 @@ def hybrid_decode_step(
     context_lens: jax.Array, # [B]
     slot_mapping: jax.Array, # [B]
     state_idx: jax.Array,    # [B] GDN pool slots
+    *,
+    weights_q: dict | None = None,   # quantize_hybrid_weights(...) → W8A8 mode
 ):
     from sgl_kernel_npu_tpu.ops.attention.decode_attention import decode_gqa
     from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
@@ -360,23 +416,20 @@ def hybrid_decode_step(
     cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
     new_caches = []
     for li, lw in enumerate(params["layers"]):
+        lq = weights_q["layers"][li] if weights_q is not None else None
         cache = caches[li]
         if cfg.is_attn(li):
             hidden_n = rms_norm_ref(x, lw["ln1"])
-            q = apply_rope((hidden_n @ lw["wq"]).reshape(bsz, cfg.num_heads, d), cos, sin)
-            k = apply_rope((hidden_n @ lw["wk"]).reshape(bsz, cfg.num_kv_heads, d), cos, sin)
-            v = (hidden_n @ lw["wv"]).reshape(bsz, cfg.num_kv_heads, d)
+            q, k, v = _attn_projections(cfg, lw, lq, hidden_n, bsz)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
             kc = reshape_and_cache(k, cache["k"], slot_mapping)
             vc = reshape_and_cache(v, cache["v"], slot_mapping)
             attn = decode_gqa(q, kc, vc, context_lens, 1.0 / (d ** 0.5), block_tables)
-            x = x + attn.reshape(bsz, -1) @ lw["wo"]
-            h2 = rms_norm_ref(x, lw["ln2"])
-            gu = h2 @ lw["w_gate_up"]
-            g, u = jnp.split(gu, 2, axis=-1)
-            x = x + (g * jax.nn.sigmoid(g) * u) @ lw["w_down"]
+            x = _attn_out_mlp(lw, lq, x, attn.reshape(bsz, -1))
             new_caches.append({"k": kc, "v": vc})
             continue
-        qkv, z, b, a = _project(gd, lw, x)
+        qkv, z, b, a = _project(gd, lw, x, lq=lq)
         qkv_tok, conv_pool = causal_conv1d_update(
             qkv, cache["conv"], lw["conv_w"], lw["conv_b"], activation="silu",
             conv_state_indices=state_idx)
@@ -385,7 +438,7 @@ def hybrid_decode_step(
             lw["A_log"], a[:, None, :], lw["dt_bias"],
             q[:, None], k[:, None], v[:, None], b[:, None, :],
             cache["ssm"], state_idx, use_qk_l2norm_in_kernel=True)
-        x = _finish(gd, lw, o[:, 0], z, x)
+        x = _finish(gd, lw, o[:, 0], z, x, lq=lq)
         new_caches.append({"conv": conv_pool, "ssm": ssm_pool})
     return x, new_caches
 

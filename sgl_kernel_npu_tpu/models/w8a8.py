@@ -51,6 +51,16 @@ def project(x: jax.Array, wq_s, out_dtype=jnp.float32) -> jax.Array:
     return qmm(x_q, sx, wq_s, out_dtype)
 
 
+def mlp_swiglu(x: jax.Array, w_gate_up_q, w_down_q, out_dtype) -> jax.Array:
+    """W8A8 SwiGLU MLP: GEMM(gate|up halves) → fused SwiGLU+requant → GEMM
+    (down) — the reference's GMM1 → swiglu_quant → GMM2 chain, dense."""
+    from sgl_kernel_npu_tpu.ops.activation import swiglu_quant
+
+    gu = project(x, w_gate_up_q)
+    a_q, sa = swiglu_quant(gu.astype(jnp.bfloat16))
+    return qmm(a_q, sa, w_down_q, out_dtype)
+
+
 def calibrate_kv_scales(caches) -> list:
     """Per-kv-head int8 cache scales from a FLOAT-run paged cache.
 

@@ -114,6 +114,43 @@ def test_gpt_oss_w8a8_matches_float(rng):
         assert np.abs(got - want).max() > 0
 
 
+def test_qwen3_hybrid_w8a8_matches_float(rng):
+    """W8A8 through the hybrid stack: GDN in/out projections + MLPs and the
+    attention layers' projections quantize; the recurrence itself stays float."""
+    from sgl_kernel_npu_tpu.models import qwen3_next as qm
+
+    cfg = qm.Qwen3NextHybridConfig(vocab_size=61, num_layers=2, page_size=4,
+                                   attn_every=2)
+    params = qm.init_hybrid_weights(jax.random.key(15), cfg, jnp.float32)
+    wq = qm.quantize_hybrid_weights(cfg, params)
+
+    n = 6
+    rng2 = np.random.default_rng(7)
+    x = jnp.asarray(rng2.standard_normal((n, cfg.hidden)) * 0.3, jnp.float32)
+    bt = jnp.arange(1, 9, dtype=jnp.int32).reshape(1, 8)
+    slots = jnp.asarray([int(bt[0, t // cfg.page_size]) * cfg.page_size
+                         + t % cfg.page_size for t in range(n)], jnp.int32)
+    seq = jnp.asarray([n], jnp.int32)
+    sidx = jnp.asarray([0], jnp.int32)
+
+    xd = jnp.asarray(rng2.standard_normal((1, cfg.hidden)) * 0.3, jnp.float32)
+    outs = {}
+    for name, kw in (("f", {}), ("q", {"weights_q": wq})):
+        caches = qm.init_hybrid_cache(cfg, 32, 2)
+        pre, caches = qm.hybrid_prefill_step(
+            cfg, params, x, seq, caches, bt, seq, slots, sidx, max_q=8, **kw)
+        dec, _ = qm.hybrid_decode_step(
+            cfg, params, xd, jnp.asarray([n], jnp.int32), caches, bt,
+            jnp.asarray([n + 1], jnp.int32),
+            jnp.asarray([int(bt[0, n // cfg.page_size]) * cfg.page_size
+                         + n % cfg.page_size], jnp.int32), sidx, **kw)
+        outs[name] = (np.asarray(pre), np.asarray(dec))
+    for got, want in zip(outs["q"], outs["f"]):
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() < 0.06 * scale + 0.06
+        assert np.abs(got - want).max() > 0
+
+
 def test_engine_serves_w8a8(rng):
     """The serving engine runs end-to-end on the quantized adapter and emits
     the same greedy tokens as the float engine on an easy (deterministic
