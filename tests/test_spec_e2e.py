@@ -146,6 +146,33 @@ def test_engine_spec_decode_weak_draft_still_greedy(setup):
     assert eng.cm.free_pages + eng.cm.cached_pages == 64
 
 
+def test_engine_spec_decode_deepseek_self_draft(rng):
+    """MTP-style self-drafting for the flagship family: a 1-layer DeepSeek
+    (the target's own first layer's worth of weights, separate KV pool) drafts
+    for the full target — greedy output must match the plain engine exactly
+    (docs/serving.md's self-draft recipe)."""
+    import dataclasses
+
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, deepseek_adapter
+
+    cfg = m.DeepSeekV3Config(num_layers=2, page_size=4, vocab_size=61)
+    params = m.init_weights(jax.random.key(41), cfg, jnp.float32)
+    dcfg = dataclasses.replace(cfg, num_layers=1)
+    dparams = {"embed": params["embed"], "final_ln": params["final_ln"],
+               "layers": params["layers"][:1]}
+    prompt = [5, 9, 2, 33, 17, 4]
+    plain = Engine(deepseek_adapter(cfg, params), num_pages=64,
+                   max_batch=2, max_pages_per_req=16, prefill_chunk=8)
+    want = plain.run([prompt], 6)[0]
+    eng = Engine(deepseek_adapter(cfg, params), num_pages=64,
+                 max_batch=2, max_pages_per_req=16, prefill_chunk=8,
+                 spec_k=2, draft_adapter=deepseek_adapter(dcfg, dparams))
+    got = eng.run([prompt], 6)[0]
+    assert got == want
+    assert eng.stats["spec_rounds"] > 0
+
+
 def test_rejected_draft_falls_back_to_greedy(setup):
     """A corrupted draft stops acceptance; the bonus token is the greedy one."""
     cfg, params = setup
