@@ -71,6 +71,14 @@ class DeepSeekV3Config:
     # the decode hot loop's KV HBM traffic; the rope cache stays bf16.
     kv_cache_dtype: str = "bf16"
     ctkv_scale: float = 1.0 / 32  # static calibration: rms-normed latent, |k|≲4
+    # routing: "softmax" (this framework's default) or "sigmoid_v3" — the real
+    # DeepSeek-V3 scheme (HF DeepseekV3TopkRouter): sigmoid scores, per-layer
+    # choice-bias, node-limited group top-k, un-softmaxed weights × scaling
+    router_scoring: str = "softmax"
+    n_group: int = 1
+    topk_group: int = 1
+    routed_scaling_factor: float = 1.0
+    norm_topk_prob: bool = True
 
     @property
     def qk_dim(self):
@@ -227,11 +235,35 @@ def _mla_output(cfg: DeepSeekV3Config, lw: dict, attn_lat: jax.Array):
 
 
 def _router(cfg: DeepSeekV3Config, lw: dict, x: jax.Array):
-    """Top-k softmax routing (normalized over the selected experts)."""
-    logits = (x @ lw["router"]).astype(jnp.float32)
-    topw, topi = jax.lax.top_k(logits, cfg.topk)
-    topw = jax.nn.softmax(topw, axis=-1)
-    return topi.astype(jnp.int32), topw
+    """Top-k routing.  ``softmax``: normalized softmax over the selected
+    experts.  ``sigmoid_v3``: the real DeepSeek-V3 scheme (HF
+    DeepseekV3TopkRouter) — sigmoid scores; choice ranks scores + a per-layer
+    correction bias under node-limited routing (keep the ``topk_group`` best
+    groups by their top-2 sums); weights are the RAW sigmoid scores of the
+    chosen experts (bias excluded), optionally sum-normalized, scaled by
+    ``routed_scaling_factor``."""
+    logits = (x.astype(jnp.float32) @ lw["router"].astype(jnp.float32))
+    if cfg.router_scoring == "softmax":
+        topw, topi = jax.lax.top_k(logits, cfg.topk)
+        topw = jax.nn.softmax(topw, axis=-1)
+        return topi.astype(jnp.int32), topw
+    assert cfg.router_scoring == "sigmoid_v3", cfg.router_scoring
+    n, e = logits.shape
+    scores = jax.nn.sigmoid(logits)
+    choice = scores + lw["router_bias"].astype(jnp.float32)[None, :]
+    if cfg.n_group > 1:
+        g = choice.reshape(n, cfg.n_group, e // cfg.n_group)
+        group_scores = jax.lax.top_k(g, 2)[0].sum(axis=-1)        # [N, G]
+        _, gi = jax.lax.top_k(group_scores, cfg.topk_group)
+        gmask = jnp.zeros((n, cfg.n_group), bool).at[
+            jnp.arange(n)[:, None], gi].set(True)
+        choice = jnp.where(
+            jnp.repeat(gmask, e // cfg.n_group, axis=1), choice, 0.0)
+    _, topi = jax.lax.top_k(choice, cfg.topk)
+    topw = jnp.take_along_axis(scores, topi, axis=1)
+    if cfg.norm_topk_prob:
+        topw = topw / (topw.sum(axis=-1, keepdims=True) + 1e-20)
+    return topi.astype(jnp.int32), topw * cfg.routed_scaling_factor
 
 
 def _shared_expert(lw: dict, x: jax.Array):
@@ -375,7 +407,8 @@ def embed(params: dict, ids: jax.Array) -> jax.Array:
 
 
 def lm_head(params: dict, x: jax.Array) -> jax.Array:
-    return rms_norm_ref(x, params["final_ln"]) @ params["embed"].T
+    w = params["w_lm"] if "w_lm" in params else params["embed"].T
+    return rms_norm_ref(x, params["final_ln"]) @ w
 
 
 def prefill_step(

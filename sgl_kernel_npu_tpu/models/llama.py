@@ -84,7 +84,11 @@ def embed(params: dict, ids: jax.Array) -> jax.Array:
 
 
 def lm_head(params: dict, x: jax.Array) -> jax.Array:
-    """Hidden states (already final-normed by the steps) → logits."""
+    """Hidden states (already final-normed by the steps) → logits.
+    Tied to the embedding unless the checkpoint carries a separate head
+    (``w_lm``, utils/hf_loader)."""
+    if "w_lm" in params:
+        return x @ params["w_lm"]
     return x @ params["wte"].T
 
 

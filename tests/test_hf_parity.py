@@ -1,0 +1,133 @@
+"""Third-party correctness anchors: our models vs upstream ``transformers``.
+
+A tiny randomly-initialized HF model is converted (utils/hf_loader) and our
+paged varlen prefill must reproduce the HF torch forward's logits — this
+pins rope convention, norm eps, GQA semantics, and weight layout against an
+independent implementation (something the reference, as a kernel library,
+delegates to SGLang).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _prefill_logits_llama(cfg, params, ids):
+    from sgl_kernel_npu_tpu.models import llama as lm
+
+    n = len(ids)
+    max_pages = -(-n // cfg.page_size)
+    caches = lm.init_kv_cache(cfg, max_pages + 1)
+    bt = jnp.arange(1, max_pages + 1, dtype=jnp.int32).reshape(1, max_pages)
+    seq = jnp.asarray([n], jnp.int32)
+    slots = jnp.asarray([int(bt[0, t // cfg.page_size]) * cfg.page_size
+                         + t % cfg.page_size for t in range(n)], jnp.int32)
+    x = lm.embed(params, jnp.asarray(ids, jnp.int32))
+    h, _ = lm.prefill_step(cfg, params, x, seq, caches, bt, seq, slots,
+                           max_q=max(8, n))
+    return np.asarray(lm.lm_head(params, h))
+
+
+@pytest.mark.parametrize("tied", [True, False])
+def test_llama_matches_transformers(tied):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from sgl_kernel_npu_tpu.utils.hf_loader import llama_from_hf
+
+    hf_cfg = LlamaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=tied, attention_bias=False, mlp_bias=False)
+    torch.manual_seed(3)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    ids = [1, 5, 9, 2, 33, 17, 4, 60, 21, 7]
+    with torch.no_grad():
+        want = model(torch.tensor([ids])).logits[0].float().numpy()
+
+    cfg, params = llama_from_hf(model, page_size=4)
+    got = _prefill_logits_llama(cfg, params, ids)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def _prefill_logits_deepseek(cfg, params, ids):
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+
+    n = len(ids)
+    max_pages = -(-n // cfg.page_size)
+    caches = m.init_kv_cache(cfg, max_pages + 1, jnp.float32)
+    bt = jnp.arange(1, max_pages + 1, dtype=jnp.int32).reshape(1, max_pages)
+    seq = jnp.asarray([n], jnp.int32)
+    slots = jnp.asarray([int(bt[0, t // cfg.page_size]) * cfg.page_size
+                         + t % cfg.page_size for t in range(n)], jnp.int32)
+    x = m.embed(params, jnp.asarray(ids, jnp.int32))
+    h, _ = m.prefill_step(cfg, params, x, seq, caches, bt, seq, slots,
+                          max_q=max(8, n))
+    return np.asarray(m.lm_head(params, h))
+
+
+def test_deepseek_v3_matches_transformers():
+    """Flagship anchor: converted DeepSeek-V3 (MLA absorption, interleaved
+    rope folded into weights, sigmoid_v3 group-limited router) reproduces the
+    upstream torch logits."""
+    from transformers import DeepseekV3Config as HfDs
+    from transformers import DeepseekV3ForCausalLM
+
+    from sgl_kernel_npu_tpu.utils.hf_loader import deepseek_v3_from_hf
+
+    hf_cfg = HfDs(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        n_group=2, topk_group=1, routed_scaling_factor=2.5,
+        norm_topk_prob=True, first_k_dense_replace=0,
+        kv_lora_rank=32, q_lora_rank=48, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=32,
+        max_position_embeddings=128, rope_theta=10000.0)
+    torch.manual_seed(11)
+    model = DeepseekV3ForCausalLM(hf_cfg).eval()
+    # non-zero router choice bias to pin the bias-in-choice/not-in-weights rule
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.05, 0.05)
+    ids = [1, 5, 9, 2, 33, 17, 4, 60, 21, 7]
+    with torch.no_grad():
+        want = model(torch.tensor([ids])).logits[0].float().numpy()
+
+    cfg, params = deepseek_v3_from_hf(model, page_size=4)
+    assert cfg.router_scoring == "sigmoid_v3"
+    got = _prefill_logits_deepseek(cfg, params, ids)
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_llama_hf_weights_through_engine():
+    """Converted weights serve through the engine; greedy continuation equals
+    HF greedy generate."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+    from sgl_kernel_npu_tpu.utils.hf_loader import llama_from_hf
+
+    hf_cfg = LlamaConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=True)
+    torch.manual_seed(5)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    prompt = [2, 11, 29, 7, 5]
+    k = 6
+    with torch.no_grad():
+        hf_out = model.generate(
+            torch.tensor([prompt]), max_new_tokens=k, do_sample=False,
+            pad_token_id=0)
+    want = hf_out[0, len(prompt):].tolist()
+
+    cfg, params = llama_from_hf(model, page_size=4)
+    got = Engine(llama_adapter(cfg, params), num_pages=64,
+                 prefill_chunk=8).run([prompt], k)[0]
+    assert got == want
