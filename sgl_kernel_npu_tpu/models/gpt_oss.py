@@ -45,6 +45,13 @@ class GptOssConfig:
     rope_theta: float = 10000.0
     alpha: float = 1.702
     limit: float = 7.0
+    rms_eps: float = 1e-6          # HF GPT-OSS checkpoints use 1e-5
+    # the real GPT-OSS MLP is MoE (HF GptOssExperts: interleaved gate|up with
+    # biases, clamped activation, softmax top-k router WITH bias): num_experts
+    # > 0 switches to it; 0 keeps the dense clamped-SwiGLU MLP
+    num_experts: int = 0
+    topk: int = 4
+    attention_bias: bool = False   # q/k/v/o biases (GPT-OSS checkpoints: True)
     packed_kv: bool = False        # two heads per 128-lane KV row (d<128: ~1.5x
                                    # decode bandwidth; needs even num_kv_heads)
     # "int8" stores K/V pages as round(x / kv_scale) int8 — half the decode KV
@@ -64,7 +71,7 @@ def init_weights(key, cfg: GptOssConfig, dtype=jnp.float32) -> dict:
     layers = []
     h, d = cfg.hidden, cfg.head_dim
     for _ in range(cfg.num_layers):
-        layers.append({
+        lw = {
             "ln1": jnp.ones((h,), dtype),
             "wq": rnd(h, cfg.num_heads * d),
             "wk": rnd(h, cfg.num_kv_heads * d),
@@ -72,9 +79,29 @@ def init_weights(key, cfg: GptOssConfig, dtype=jnp.float32) -> dict:
             "wo": rnd(cfg.num_heads * d, h),
             "sinks": rnd(cfg.num_heads, scale=1.0),
             "ln2": jnp.ones((h,), dtype),
-            "w_gate_up": rnd(h, 2 * cfg.intermediate),   # interleaved gate/up
-            "w_down": rnd(cfg.intermediate, h),
-        })
+        }
+        if cfg.num_experts > 0:
+            lw.update({
+                "router_w": rnd(h, cfg.num_experts),
+                "router_b": jnp.zeros((cfg.num_experts,), dtype),
+                "w_gate_up": rnd(cfg.num_experts, h, 2 * cfg.intermediate),
+                "b_gate_up": jnp.zeros((cfg.num_experts, 2 * cfg.intermediate), dtype),
+                "w_down": rnd(cfg.num_experts, cfg.intermediate, h),
+                "b_down": jnp.zeros((cfg.num_experts, h), dtype),
+            })
+        else:
+            lw.update({
+                "w_gate_up": rnd(h, 2 * cfg.intermediate),   # interleaved gate/up
+                "w_down": rnd(cfg.intermediate, h),
+            })
+        if cfg.attention_bias:
+            lw.update({
+                "bq": jnp.zeros((cfg.num_heads * d,), dtype),
+                "bk": jnp.zeros((cfg.num_kv_heads * d,), dtype),
+                "bv": jnp.zeros((cfg.num_kv_heads * d,), dtype),
+                "bo": jnp.zeros((h,), dtype),
+            })
+        layers.append(lw)
     return {
         "layers": layers,
         "ln_f": jnp.ones((h,), dtype),
@@ -87,8 +114,22 @@ def embed(params: dict, ids: jax.Array) -> jax.Array:
 
 
 def lm_head(params: dict, x: jax.Array) -> jax.Array:
-    """Final norm + tied lm head (the steps return un-normed hidden)."""
-    return rms_norm(x, params["ln_f"]) @ params["wte"].T
+    """Final norm + lm head (tied unless the checkpoint carries ``w_lm``)."""
+    w = params["w_lm"] if "w_lm" in params else params["wte"].T
+    return rms_norm(x, params["ln_f"], params.get("rms_eps", 1e-6)) @ w
+
+
+def _rope_tables(cfg: GptOssConfig, params: dict, positions: jax.Array):
+    """cos/sin for the current positions.  Checkpoints with scaled rope (the
+    real GPT-OSS ships YaRN) carry ``rope_inv_freq`` [d/2] +
+    ``rope_attention_scaling`` in params (utils/hf_loader reads them off the
+    HF rotary module); otherwise the standard neox tables."""
+    if "rope_inv_freq" in params:
+        freqs = positions.astype(jnp.float32)[:, None] * params["rope_inv_freq"][None]
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
+        f = params["rope_attention_scaling"]
+        return jnp.cos(emb) * f, jnp.sin(emb) * f
+    return rope_cos_sin(positions, cfg.head_dim, base=cfg.rope_theta)
 
 
 def init_kv_cache(cfg: GptOssConfig, num_pages: int, dtype=jnp.float32):
@@ -143,13 +184,16 @@ def _cache_rows(cfg: GptOssConfig, kv: jax.Array) -> jax.Array:
 def quantize_weights(cfg: GptOssConfig, params: dict) -> dict:
     """Per-out-channel int8 quant of every projection (W8A8 serving mode;
     see models/w8a8.py).  ``w_gate_up`` stays interleaved — swiglu_oai
-    de-interleaves after the dequantized GEMM."""
+    de-interleaves after the dequantized GEMM.  In MoE mode only the
+    attention projections quantize (expert weights stay float here; EP
+    serving quantizes experts via parallel.fused_moe.quantize_expert_weights)."""
     from sgl_kernel_npu_tpu.models.w8a8 import quantize_matrix
 
+    names = (("wq", "wk", "wv", "wo") if cfg.num_experts > 0 else
+             ("wq", "wk", "wv", "wo", "w_gate_up", "w_down"))
     return {
         "layers": [
-            {name: quantize_matrix(lw[name])
-             for name in ("wq", "wk", "wv", "wo", "w_gate_up", "w_down")}
+            {name: quantize_matrix(lw[name]) for name in names}
             for lw in params["layers"]
         ]
     }
@@ -167,23 +211,50 @@ def _proj_qkv(lw, lq, hidden_n, s, cfg):
                       for nm in ("wq", "wk", "wv"))
     else:
         qp, kp, vp = (hidden_n @ lw[nm] for nm in ("wq", "wk", "wv"))
+    if cfg.attention_bias:
+        qp, kp, vp = qp + lw["bq"], kp + lw["bk"], vp + lw["bv"]
     return (qp.reshape(s, cfg.num_heads, d),
             kp.reshape(s, cfg.num_kv_heads, d),
             vp.reshape(s, cfg.num_kv_heads, d))
 
 
+def _moe_mlp(cfg: GptOssConfig, lw, x):
+    """GPT-OSS MoE MLP (HF GptOssExperts semantics): softmax top-k over biased
+    router logits; experts run biased gate|up (interleaved) → clamped SwiGLU →
+    biased down; weighted one-hot combine (dense-einsum small-model path, cf.
+    deepseek_v3._dense_moe — EP serving routes through parallel.Buffer)."""
+    logits = x @ lw["router_w"] + lw["router_b"]
+    topw, topi = jax.lax.top_k(logits, cfg.topk)
+    topw = jax.nn.softmax(topw, axis=-1)
+    gu = jnp.einsum("nh,ehi->nei", x, lw["w_gate_up"]) + lw["b_gate_up"][None]
+    n, e = x.shape[0], cfg.num_experts
+    act = swiglu_oai(gu.reshape(n * e, -1), cfg.alpha, cfg.limit).reshape(
+        n, e, cfg.intermediate)
+    y = jnp.einsum("nei,eih->neh", act, lw["w_down"]) + lw["b_down"][None]
+    onehot = jax.nn.one_hot(topi, e, dtype=x.dtype)                 # [N, K, E]
+    w = (topw[..., None].astype(x.dtype) * onehot).sum(axis=1)      # [N, E]
+    return jnp.einsum("ne,neh->nh", w, y)
+
+
 def _out_mlp(lw, lq, cfg, x, attn):
-    """Output projection + clamped-SwiGLU MLP — W8A8 when ``lq``."""
+    """Output projection + MLP (dense clamped-SwiGLU or MoE) — W8A8 when
+    ``lq`` (attention projections only in MoE mode; experts stay float)."""
     if lq is not None:
         from sgl_kernel_npu_tpu.models.w8a8 import project
 
-        x = x + project(attn, lq["wo"], x.dtype)
-        mlp_in = rms_norm(x, lw["ln2"])
+        op = project(attn, lq["wo"], x.dtype)
+    else:
+        op = attn @ lw["wo"]
+    if cfg.attention_bias:
+        op = op + lw["bo"]
+    x = x + op
+    mlp_in = rms_norm(x, lw["ln2"], cfg.rms_eps)
+    if cfg.num_experts > 0:
+        return x + _moe_mlp(cfg, lw, mlp_in)
+    if lq is not None:
         act = swiglu_oai(project(mlp_in, lq["w_gate_up"], jnp.bfloat16),
                          cfg.alpha, cfg.limit)
         return x + project(act, lq["w_down"], x.dtype)
-    x = x + attn @ lw["wo"]
-    mlp_in = rms_norm(x, lw["ln2"])
     act = swiglu_oai(mlp_in @ lw["w_gate_up"], cfg.alpha, cfg.limit)
     return x + act @ lw["w_down"]
 
@@ -204,13 +275,13 @@ def decode_step(
     """One decode step over the full layer stack; returns (hidden, new_caches)."""
     b = x.shape[0]
     d = cfg.head_dim
-    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    cos, sin = _rope_tables(cfg, params, positions)
     new_caches = []
     scale = 1.0 / math.sqrt(d)
     for li, lw in enumerate(params["layers"]):
         lq = weights_q["layers"][li] if weights_q is not None else None
         k_cache, v_cache = caches[li]
-        hidden_n = rms_norm(x, lw["ln1"])
+        hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
         q, k, v = _proj_qkv(lw, lq, hidden_n, b, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -256,7 +327,7 @@ def prefill_step(
     req = jnp.clip(jnp.searchsorted(ends, jnp.arange(s), side="right"), 0, bsz - 1)
     j = jnp.arange(s) - (ends[req] - seq_lens[req])
     positions = context_lens[req] - seq_lens[req] + j
-    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    cos, sin = _rope_tables(cfg, params, positions)
     if cfg.packed_kv:
         assert use_pallas, "packed_kv prefill runs the Pallas kernel"
         attend = attention_sinks_prefill_packed
@@ -268,7 +339,7 @@ def prefill_step(
     for li, lw in enumerate(params["layers"]):
         lq = weights_q["layers"][li] if weights_q is not None else None
         k_cache, v_cache = caches[li]
-        hidden_n = rms_norm(x, lw["ln1"])
+        hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
         q, k, v = _proj_qkv(lw, lq, hidden_n, s, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
@@ -295,12 +366,12 @@ def decode_step_ref(cfg, params, x, positions, caches, block_tables, context_len
 
     b = x.shape[0]
     d = cfg.head_dim
-    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    cos, sin = _rope_tables(cfg, params, positions)
     new_caches = []
     scale = 1.0 / math.sqrt(d)
     for li, lw in enumerate(params["layers"]):
         k_cache, v_cache = caches[li]
-        hidden_n = rms_norm(x, lw["ln1"])
+        hidden_n = rms_norm(x, lw["ln1"], cfg.rms_eps)
         q = (hidden_n @ lw["wq"]).reshape(b, cfg.num_heads, d)
         k = (hidden_n @ lw["wk"]).reshape(b, cfg.num_kv_heads, d)
         v = (hidden_n @ lw["wv"]).reshape(b, cfg.num_kv_heads, d)
@@ -315,7 +386,7 @@ def decode_step_ref(cfg, params, x, positions, caches, block_tables, context_len
             cfg.num_heads, cfg.num_kv_heads,
         )
         x = x + attn.reshape(b, -1) @ lw["wo"]
-        mlp_in = rms_norm(x, lw["ln2"])
+        mlp_in = rms_norm(x, lw["ln2"], cfg.rms_eps)
         act = swiglu_oai_ref(mlp_in @ lw["w_gate_up"], cfg.alpha, cfg.limit)
         x = x + act @ lw["w_down"]
         new_caches.append((k_cache, v_cache))

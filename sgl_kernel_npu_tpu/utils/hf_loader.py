@@ -75,6 +75,85 @@ def llama_from_hf(model, page_size: int = 16, dtype=jnp.float32):
     return cfg, params
 
 
+def gpt_oss_from_hf(model, page_size: int = 16, dtype=jnp.float32):
+    """``transformers`` GptOssForCausalLM → (GptOssConfig, params).
+
+    Maps the real GPT-OSS architecture: sinks attention with q/k/v/o biases,
+    alternating sliding/full layers (sliding on even indices — the HF
+    ``layer_types`` default; any other pattern is rejected), MoE MLP with
+    biased interleaved gate|up experts and the clamped activation, and the
+    YaRN rope (``inv_freq`` + ``attention_scaling`` read off the HF rotary
+    module into the params — models.gpt_oss._rope_tables consumes them).
+    """
+    from sgl_kernel_npu_tpu.models.gpt_oss import GptOssConfig
+
+    hf = model.config
+    for i, lt in enumerate(hf.layer_types):
+        want = "sliding_attention" if i % 2 == 0 else "full_attention"
+        if lt != want:
+            raise NotImplementedError(f"layer_types[{i}]={lt}; only the "
+                                      "sliding-on-even alternation is mapped")
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // hf.num_attention_heads
+    cfg = GptOssConfig(
+        vocab_size=hf.vocab_size,
+        hidden=hf.hidden_size,
+        num_layers=hf.num_hidden_layers,
+        num_heads=hf.num_attention_heads,
+        num_kv_heads=hf.num_key_value_heads,
+        head_dim=head_dim,
+        intermediate=hf.intermediate_size,
+        sliding_window=hf.sliding_window,
+        page_size=page_size,
+        rope_theta=float(hf.rope_theta),
+        num_experts=hf.num_local_experts,
+        topk=hf.num_experts_per_tok,
+        attention_bias=bool(hf.attention_bias),
+        rms_eps=float(hf.rms_norm_eps),
+    )
+    sd = model.state_dict()
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        lw = {
+            "ln1": _v(sd, p + "input_layernorm.weight", dtype),
+            "wq": _t(sd, p + "self_attn.q_proj.weight", dtype),
+            "wk": _t(sd, p + "self_attn.k_proj.weight", dtype),
+            "wv": _t(sd, p + "self_attn.v_proj.weight", dtype),
+            "wo": _t(sd, p + "self_attn.o_proj.weight", dtype),
+            "sinks": _v(sd, p + "self_attn.sinks", dtype),
+            "ln2": _v(sd, p + "post_attention_layernorm.weight", dtype),
+            # expert tensors are stored [E, in, out] already (Parameters, not
+            # Linears) — no transpose
+            "router_w": _t(sd, p + "mlp.router.weight", dtype),
+            "router_b": _v(sd, p + "mlp.router.bias", dtype),
+            "w_gate_up": _v(sd, p + "mlp.experts.gate_up_proj", dtype),
+            "b_gate_up": _v(sd, p + "mlp.experts.gate_up_proj_bias", dtype),
+            "w_down": _v(sd, p + "mlp.experts.down_proj", dtype),
+            "b_down": _v(sd, p + "mlp.experts.down_proj_bias", dtype),
+        }
+        if cfg.attention_bias:
+            lw.update({
+                "bq": _v(sd, p + "self_attn.q_proj.bias", dtype),
+                "bk": _v(sd, p + "self_attn.k_proj.bias", dtype),
+                "bv": _v(sd, p + "self_attn.v_proj.bias", dtype),
+                "bo": _v(sd, p + "self_attn.o_proj.bias", dtype),
+            })
+        layers.append(lw)
+    params = {
+        "layers": layers,
+        "ln_f": _v(sd, "model.norm.weight", dtype),
+        "wte": _v(sd, "model.embed_tokens.weight", dtype),
+        "rope_inv_freq": jnp.asarray(
+            model.model.rotary_emb.inv_freq.float().numpy(), jnp.float32),
+        "rope_attention_scaling": jnp.float32(
+            model.model.rotary_emb.attention_scaling),
+        "rms_eps": float(hf.rms_norm_eps),
+    }
+    if not getattr(hf, "tie_word_embeddings", True):
+        params["w_lm"] = _t(sd, "lm_head.weight", dtype)
+    return cfg, params
+
+
 def deepseek_v3_from_hf(model, page_size: int = 16, dtype=jnp.float32):
     """``transformers`` DeepseekV3ForCausalLM → (DeepSeekV3Config, params).
 

@@ -105,6 +105,43 @@ def test_deepseek_v3_matches_transformers():
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
 
+def test_gpt_oss_matches_transformers():
+    """Real-architecture GPT-OSS anchor: sinks + biased projections + MoE
+    (biased interleaved experts, clamped activation) + YaRN rope + an ACTIVE
+    sliding window on the even layers — vs the upstream torch forward."""
+    from transformers import GptOssConfig as HfGo
+    from transformers import GptOssForCausalLM
+
+    from sgl_kernel_npu_tpu.models import gpt_oss as gm
+    from sgl_kernel_npu_tpu.utils.hf_loader import gpt_oss_from_hf
+
+    hf_cfg = HfGo(
+        vocab_size=64, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=6, max_position_embeddings=128,
+        tie_word_embeddings=False)
+    torch.manual_seed(7)
+    model = GptOssForCausalLM(hf_cfg).eval()
+    ids = [1, 5, 9, 2, 33, 17, 4, 60, 21, 7]   # length 10 > window 6
+    with torch.no_grad():
+        want = model(torch.tensor([ids])).logits[0].float().numpy()
+
+    cfg, params = gpt_oss_from_hf(model, page_size=4)
+    assert cfg.num_experts == 4 and cfg.attention_bias
+    n = len(ids)
+    max_pages = -(-n // cfg.page_size)
+    caches = gm.init_kv_cache(cfg, max_pages + 1)
+    bt = jnp.arange(1, max_pages + 1, dtype=jnp.int32).reshape(1, max_pages)
+    seq = jnp.asarray([n], jnp.int32)
+    slots = jnp.asarray([int(bt[0, t // cfg.page_size]) * cfg.page_size
+                         + t % cfg.page_size for t in range(n)], jnp.int32)
+    x = gm.embed(params, jnp.asarray(ids, jnp.int32))
+    h, _ = gm.prefill_step(cfg, params, x, seq, caches, bt, seq, slots, max_q=16)
+    got = np.asarray(gm.lm_head(params, h))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
 def test_llama_hf_weights_through_engine():
     """Converted weights serve through the engine; greedy continuation equals
     HF greedy generate."""
