@@ -71,9 +71,29 @@ def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 10):
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
+def _probe_backend(timeout_s: int = 300) -> None:
+    """The axon TPU plugin hangs on init when the tunnel is down; probe it in
+    a killable subprocess and fall back to CPU so the driver always gets a
+    JSON line (a CPU line beats a hung bench)."""
+    import os
+    import subprocess
+    import sys
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        jax.config.update("jax_platforms", "cpu")
+        return
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main():
     from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
 
+    _probe_backend()
     on_tpu = jax.default_backend() != "cpu"
     # DeepSeek-V3 decode shapes (scaled to fit a single v5e): 128-token batch,
     # 16 q heads (TP-sharded at full scale), latent 512 + rope 64, seq 1024.

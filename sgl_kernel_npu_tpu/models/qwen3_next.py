@@ -35,6 +35,7 @@ class Qwen3NextConfig:
     conv_width: int = 4
     mlp_intermediate: int = 512
     chunk_size: int = 16
+    rms_eps: float = 1e-6       # gated-norm eps (HF rms_norm_eps)
 
     @property
     def qkv_dim(self):
@@ -93,12 +94,20 @@ def _split_heads(cfg, qkv):
     )
 
 
-def _finish(cfg, w, core_out, z, x, lq=None):
+def _finish(cfg, w, core_out, z, x, lq=None, hybrid_cfg=None):
     n = core_out.shape[0]
     o = layernorm_gated(
-        core_out.reshape(n, -1), w["gn_w"], None, z,
+        core_out.reshape(n, -1), w["gn_w"], None, z, eps=cfg.rms_eps,
         group_size=cfg.head_v_dim, norm_before_gate=True, is_rms_norm=True,
     )
+    if hybrid_cfg is not None:   # hybrid stack: MLP may be MoE / W8A8
+        if lq is not None:
+            from sgl_kernel_npu_tpu.models.w8a8 import project
+            x = x + project(o, lq["w_out"], x.dtype)
+        else:
+            x = x + o @ w["w_out"]
+        h2 = rms_norm_ref(x, w["ln2"], hybrid_cfg.rms_eps)
+        return x + _hybrid_mlp(hybrid_cfg, w, lq, h2)
     if lq is not None:
         from sgl_kernel_npu_tpu.models.w8a8 import mlp_swiglu, project
 
@@ -184,6 +193,18 @@ class Qwen3NextHybridConfig:
     page_size: int = 16
     rope_theta: float = 10000.0
     mlp_intermediate: int = 512
+    # real-checkpoint (HF Qwen3Next) attention details — all default-off so
+    # the lean hybrid configs stay as they were:
+    rotary_dim: int = 0            # >0: partial rotary (first rotary_dim dims)
+    attn_gate: bool = False        # sigmoid output gate from the q projection
+    qk_norm: bool = False          # per-head RMSNorm on q/k before rope
+    rms_eps: float = 1e-6
+    # MoE MLP (every layer's MLP in real Qwen3-Next): 0 = dense
+    moe_experts: int = 0
+    moe_topk: int = 4
+    moe_intermediate: int = 64
+    shared_expert_intermediate: int = 64
+    norm_topk_prob: bool = True
 
     @property
     def gdn(self) -> Qwen3NextConfig:
@@ -191,7 +212,8 @@ class Qwen3NextHybridConfig:
             hidden=self.hidden, num_k_heads=self.num_k_heads,
             num_v_heads=self.num_v_heads, head_k_dim=self.head_k_dim,
             head_v_dim=self.head_v_dim, conv_width=self.conv_width,
-            mlp_intermediate=self.mlp_intermediate, chunk_size=self.chunk_size)
+            mlp_intermediate=self.mlp_intermediate, chunk_size=self.chunk_size,
+            rms_eps=self.rms_eps)
 
     def is_attn(self, li: int) -> bool:
         return (li + 1) % self.attn_every == 0
@@ -201,10 +223,21 @@ def init_hybrid_weights(key, cfg: Qwen3NextHybridConfig, dtype=jnp.float32) -> d
     ks = iter(jax.random.split(key, cfg.num_layers + 2))
     h, d = cfg.hidden, cfg.head_dim
 
-    def attn_layer(k2):
-        kk = iter(jax.random.split(k2, 8))
-        rnd = lambda *s: (jax.random.normal(next(kk), s) / (s[0] ** 0.5)).astype(dtype)
+    def moe_weights(kk, rnd):
+        e, i = cfg.moe_experts, cfg.moe_intermediate
+        si = cfg.shared_expert_intermediate
         return {
+            "moe_router": rnd(h, e),
+            "moe_gate": rnd(e, h, i), "moe_up": rnd(e, h, i),
+            "moe_down": rnd(e, i, h),
+            "ws_gate": rnd(h, si), "ws_up": rnd(h, si), "ws_down": rnd(si, h),
+            "ws_gate_w": rnd(h, 1),
+        }
+
+    def attn_layer(k2):
+        kk = iter(jax.random.split(k2, 16))
+        rnd = lambda *s: (jax.random.normal(next(kk), s) / (s[0] ** 0.5)).astype(dtype)
+        lw = {
             "kind": "attn",
             "ln1": jnp.ones((h,), dtype),
             "wq": rnd(h, cfg.num_heads * d),
@@ -212,9 +245,18 @@ def init_hybrid_weights(key, cfg: Qwen3NextHybridConfig, dtype=jnp.float32) -> d
             "wv": rnd(h, cfg.num_kv_heads * d),
             "wo": rnd(cfg.num_heads * d, h),
             "ln2": jnp.ones((h,), dtype),
-            "w_gate_up": rnd(h, 2 * cfg.mlp_intermediate),
-            "w_down": rnd(cfg.mlp_intermediate, h),
         }
+        if cfg.attn_gate:
+            lw["wg_attn"] = rnd(h, cfg.num_heads * d)
+        if cfg.qk_norm:
+            lw["q_norm"] = jnp.ones((d,), dtype)
+            lw["k_norm"] = jnp.ones((d,), dtype)
+        if cfg.moe_experts > 0:
+            lw.update(moe_weights(kk, rnd))
+        else:
+            lw.update({"w_gate_up": rnd(h, 2 * cfg.mlp_intermediate),
+                       "w_down": rnd(cfg.mlp_intermediate, h)})
+        return lw
 
     layers = []
     for li in range(cfg.num_layers):
@@ -224,6 +266,12 @@ def init_hybrid_weights(key, cfg: Qwen3NextHybridConfig, dtype=jnp.float32) -> d
         else:
             w = init_weights(k2, cfg.gdn, dtype)
             w["kind"] = "gdn"
+            if cfg.moe_experts > 0:
+                del w["w_gate_up"], w["w_down"]
+                kk = iter(jax.random.split(jax.random.fold_in(k2, 7), 16))
+                rnd = lambda *s: (jax.random.normal(next(kk), s)
+                                  / (s[0] ** 0.5)).astype(dtype)
+                w.update(moe_weights(kk, rnd))
             layers.append(w)
     return {
         "layers": layers,
@@ -240,10 +288,10 @@ def quantize_hybrid_weights(cfg: Qwen3NextHybridConfig, params: dict) -> dict:
     from sgl_kernel_npu_tpu.models.w8a8 import quantize_matrix
 
     layers_q = []
+    mlp = () if cfg.moe_experts > 0 else ("w_gate_up", "w_down")
     for li, lw in enumerate(params["layers"]):
-        names = (("wq", "wk", "wv", "wo", "w_gate_up", "w_down")
-                 if cfg.is_attn(li) else
-                 ("w_qkvz", "w_out", "w_gate_up", "w_down"))
+        names = (("wq", "wk", "wv", "wo") + mlp if cfg.is_attn(li) else
+                 ("w_qkvz", "w_out") + mlp)
         layers_q.append({nm: quantize_matrix(lw[nm]) for nm in names})
     return {"layers": layers_q}
 
@@ -253,7 +301,8 @@ def hybrid_embed(params, ids):
 
 
 def hybrid_lm_head(params, x):
-    return rms_norm_ref(x, params["ln_f"]) @ params["wte"].T
+    w = params["w_lm"] if "w_lm" in params else params["wte"].T
+    return rms_norm_ref(x, params["ln_f"], params.get("rms_eps", 1e-6)) @ w
 
 
 def init_hybrid_cache(cfg: Qwen3NextHybridConfig, num_pages: int,
@@ -275,6 +324,8 @@ def init_hybrid_cache(cfg: Qwen3NextHybridConfig, num_pages: int,
 
 
 def _attn_projections(cfg, lw, lq, hidden_n, s):
+    """q/k/v (+ optional sigmoid output gate) — W8A8 when ``lq``.  Optional
+    per-head q/k RMSNorm (HF Qwen3Next q_norm/k_norm) before rope."""
     d = cfg.head_dim
     if lq is not None:
         from sgl_kernel_npu_tpu.models.w8a8 import qmm
@@ -285,23 +336,66 @@ def _attn_projections(cfg, lw, lq, hidden_n, s):
                       for nm in ("wq", "wk", "wv"))
     else:
         qp, kp, vp = (hidden_n @ lw[nm] for nm in ("wq", "wk", "wv"))
-    return (qp.reshape(s, cfg.num_heads, d),
-            kp.reshape(s, cfg.num_kv_heads, d),
-            vp.reshape(s, cfg.num_kv_heads, d))
+    gate = hidden_n @ lw["wg_attn"] if cfg.attn_gate else None
+    q = qp.reshape(s, cfg.num_heads, d)
+    k = kp.reshape(s, cfg.num_kv_heads, d)
+    if cfg.qk_norm:
+        q = rms_norm_ref(q, lw["q_norm"], cfg.rms_eps)
+        k = rms_norm_ref(k, lw["k_norm"], cfg.rms_eps)
+    return q, k, vp.reshape(s, cfg.num_kv_heads, d), gate
 
 
-def _attn_out_mlp(lw, lq, x, attn):
+def _apply_rope_partial(cfg, x, cos, sin):
+    """Partial rotary (HF Qwen3Next partial_rotary_factor): rope the first
+    ``rotary_dim`` dims, pass the rest through.  rotary_dim=0 ropes the full
+    head dim."""
+    from sgl_kernel_npu_tpu.ops.rope import apply_rope
+
+    rd = cfg.rotary_dim
+    if rd in (0, cfg.head_dim):
+        return apply_rope(x, cos, sin)
+    return jnp.concatenate(
+        [apply_rope(x[..., :rd], cos, sin), x[..., rd:]], axis=-1)
+
+
+def _hybrid_mlp(cfg, lw, lq, x):
+    """The per-layer MLP: dense SwiGLU (optionally W8A8) or — real Qwen3-Next
+    — MoE (softmax-over-ALL-experts then top-k renorm, HF
+    Qwen3NextSparseMoeBlock) plus a sigmoid-gated shared expert."""
+    if cfg.moe_experts > 0:
+        probs = jax.nn.softmax(
+            (x @ lw["moe_router"]).astype(jnp.float32), axis=-1)
+        topw, topi = jax.lax.top_k(probs, cfg.moe_topk)
+        if cfg.norm_topk_prob:
+            topw = topw / topw.sum(axis=-1, keepdims=True)
+        g = jnp.einsum("nh,ehi->nei", x, lw["moe_gate"])
+        u = jnp.einsum("nh,ehi->nei", x, lw["moe_up"])
+        y = jnp.einsum("nei,eih->neh", g * jax.nn.sigmoid(g) * u, lw["moe_down"])
+        onehot = jax.nn.one_hot(topi, cfg.moe_experts, dtype=x.dtype)
+        w = (topw[..., None].astype(x.dtype) * onehot).sum(axis=1)
+        out = jnp.einsum("ne,neh->nh", w, y)
+        sg = x @ lw["ws_gate"]
+        shared = (sg * jax.nn.sigmoid(sg) * (x @ lw["ws_up"])) @ lw["ws_down"]
+        return out + jax.nn.sigmoid(x @ lw["ws_gate_w"]) * shared
     if lq is not None:
-        from sgl_kernel_npu_tpu.models.w8a8 import mlp_swiglu, project
+        from sgl_kernel_npu_tpu.models.w8a8 import mlp_swiglu
+
+        return mlp_swiglu(x, lq["w_gate_up"], lq["w_down"], x.dtype)
+    gu = x @ lw["w_gate_up"]
+    g, u = jnp.split(gu, 2, axis=-1)
+    return (g * jax.nn.sigmoid(g) * u) @ lw["w_down"]
+
+
+def _attn_out_mlp(cfg, lw, lq, x, attn, gate=None):
+    if gate is not None:
+        attn = attn * jax.nn.sigmoid(gate)
+    if lq is not None:
+        from sgl_kernel_npu_tpu.models.w8a8 import project
 
         x = x + project(attn, lq["wo"], x.dtype)
-        return x + mlp_swiglu(rms_norm_ref(x, lw["ln2"]), lq["w_gate_up"],
-                              lq["w_down"], x.dtype)
-    x = x + attn @ lw["wo"]
-    h2 = rms_norm_ref(x, lw["ln2"])
-    gu = h2 @ lw["w_gate_up"]
-    g, u = jnp.split(gu, 2, axis=-1)
-    return x + (g * jax.nn.sigmoid(g) * u) @ lw["w_down"]
+    else:
+        x = x + attn @ lw["wo"]
+    return x + _hybrid_mlp(cfg, lw, lq, rms_norm_ref(x, lw["ln2"], cfg.rms_eps))
 
 
 def _attn_layer_prefill(cfg, lw, x, seq_lens, block_tables, context_lens,
@@ -312,18 +406,18 @@ def _attn_layer_prefill(cfg, lw, x, seq_lens, block_tables, context_lens,
 
     s = x.shape[0]
     d = cfg.head_dim
-    hidden_n = rms_norm_ref(x, lw["ln1"])
-    from sgl_kernel_npu_tpu.ops.rope import apply_rope
-    q, k, v = _attn_projections(cfg, lw, lq, hidden_n, s)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    hidden_n = rms_norm_ref(x, lw["ln1"], cfg.rms_eps)
+    q, k, v, gate = _attn_projections(cfg, lw, lq, hidden_n, s)
+    q = _apply_rope_partial(cfg, q, cos, sin)
+    k = _apply_rope_partial(cfg, k, cos, sin)
     k_cache = reshape_and_cache(k, lw["_kc"], slot_mapping)
     v_cache = reshape_and_cache(v, lw["_vc"], slot_mapping)
     attn = attention_sinks_prefill_pallas(
         q.reshape(s, cfg.num_heads * d), k_cache, v_cache, None,
         seq_lens, block_tables, context_lens, 1.0 / (d ** 0.5), 0,
         cfg.num_heads, cfg.num_kv_heads, max_q=max_q)
-    return _attn_out_mlp(lw, lq, x, attn.reshape(s, -1)), k_cache, v_cache
+    return (_attn_out_mlp(cfg, lw, lq, x, attn.reshape(s, -1), gate),
+            k_cache, v_cache)
 
 
 def hybrid_prefill_step(
@@ -349,7 +443,8 @@ def hybrid_prefill_step(
     n = seq_lens[0]
     mask = jnp.arange(s) < n
     positions = context_lens[0] - n + jnp.arange(s)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, base=cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.rotary_dim or cfg.head_dim,
+                            base=cfg.rope_theta)
     slot0 = state_idx[0]
     new_caches = []
     for li, lw in enumerate(params["layers"]):
@@ -385,7 +480,7 @@ def hybrid_prefill_step(
             chunk_size=gd.chunk_size,
             initial_state=cache["ssm"][slot0][None],
             use_qk_l2norm_in_kernel=True)
-        x = _finish(gd, lw, o[0], z, x, lq=lq)
+        x = _finish(gd, lw, o[0], z, x, lq=lq, hybrid_cfg=cfg)
         new_caches.append({
             "conv": cache["conv"].at[slot0].set(new_conv.astype(cache["conv"].dtype)),
             "ssm": cache["ssm"].at[slot0].set(final[0]),
@@ -419,14 +514,14 @@ def hybrid_decode_step(
         lq = weights_q["layers"][li] if weights_q is not None else None
         cache = caches[li]
         if cfg.is_attn(li):
-            hidden_n = rms_norm_ref(x, lw["ln1"])
-            q, k, v = _attn_projections(cfg, lw, lq, hidden_n, bsz)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
+            hidden_n = rms_norm_ref(x, lw["ln1"], cfg.rms_eps)
+            q, k, v, gate = _attn_projections(cfg, lw, lq, hidden_n, bsz)
+            q = _apply_rope_partial(cfg, q, cos, sin)
+            k = _apply_rope_partial(cfg, k, cos, sin)
             kc = reshape_and_cache(k, cache["k"], slot_mapping)
             vc = reshape_and_cache(v, cache["v"], slot_mapping)
             attn = decode_gqa(q, kc, vc, context_lens, 1.0 / (d ** 0.5), block_tables)
-            x = _attn_out_mlp(lw, lq, x, attn.reshape(bsz, -1))
+            x = _attn_out_mlp(cfg, lw, lq, x, attn.reshape(bsz, -1), gate)
             new_caches.append({"k": kc, "v": vc})
             continue
         qkv, z, b, a = _project(gd, lw, x, lq=lq)
@@ -438,7 +533,7 @@ def hybrid_decode_step(
             lw["A_log"], a[:, None, :], lw["dt_bias"],
             q[:, None], k[:, None], v[:, None], b[:, None, :],
             cache["ssm"], state_idx, use_qk_l2norm_in_kernel=True)
-        x = _finish(gd, lw, o[:, 0], z, x, lq=lq)
+        x = _finish(gd, lw, o[:, 0], z, x, lq=lq, hybrid_cfg=cfg)
         new_caches.append({"conv": conv_pool, "ssm": ssm_pool})
     return x, new_caches
 

@@ -154,6 +154,134 @@ def gpt_oss_from_hf(model, page_size: int = 16, dtype=jnp.float32):
     return cfg, params
 
 
+def qwen3_next_from_hf(model, page_size: int = 16, dtype=jnp.float32):
+    """``transformers`` Qwen3NextForCausalLM → (Qwen3NextHybridConfig, params).
+
+    Maps the full hybrid: GDN layers (the per-k-head-group interleaved
+    ``in_proj_qkvz``/``in_proj_ba`` columns are permuted into this framework's
+    flat q|k|v|z / b|a layout at load time; conv + gating map directly) and
+    gated attention layers (query|gate packed q_proj split, per-head q/k
+    norms, partial rotary), with the MoE MLP (softmax-then-top-k router +
+    sigmoid-gated shared expert) on every layer.
+    """
+    from sgl_kernel_npu_tpu.models.qwen3_next import Qwen3NextHybridConfig
+
+    hf = model.config
+    if getattr(hf, "attention_bias", False):
+        raise NotImplementedError("attention_bias=True is not mapped")
+    try:
+        attn_every = hf.layer_types.index("full_attention") + 1
+    except ValueError as e:
+        raise NotImplementedError("no full_attention layer") from e
+    for i, lt in enumerate(hf.layer_types):
+        want = ("full_attention" if (i + 1) % attn_every == 0 else
+                "linear_attention")
+        if lt != want:
+            raise NotImplementedError(f"layer_types[{i}]={lt}: only the "
+                                      "uniform linear/full interleave is mapped")
+    head_dim = getattr(hf, "head_dim", None) or hf.hidden_size // hf.num_attention_heads
+    hk, hv = hf.linear_num_key_heads, hf.linear_num_value_heads
+    dk, dv = hf.linear_key_head_dim, hf.linear_value_head_dim
+    r = hv // hk
+    cfg = Qwen3NextHybridConfig(
+        vocab_size=hf.vocab_size,
+        hidden=hf.hidden_size,
+        num_layers=hf.num_hidden_layers,
+        attn_every=attn_every,
+        num_k_heads=hk, num_v_heads=hv, head_k_dim=dk, head_v_dim=dv,
+        conv_width=hf.linear_conv_kernel_dim,
+        num_heads=hf.num_attention_heads,
+        num_kv_heads=hf.num_key_value_heads,
+        head_dim=head_dim,
+        page_size=page_size,
+        rope_theta=float(hf.rope_theta),
+        mlp_intermediate=hf.intermediate_size,
+        rotary_dim=int(head_dim * hf.partial_rotary_factor),
+        attn_gate=True, qk_norm=True,
+        rms_eps=float(hf.rms_norm_eps),
+        moe_experts=hf.num_experts,
+        moe_topk=hf.num_experts_per_tok,
+        moe_intermediate=hf.moe_intermediate_size,
+        shared_expert_intermediate=hf.shared_expert_intermediate_size,
+        norm_topk_prob=bool(hf.norm_topk_prob),
+    )
+    # column permutations: HF group-interleaved → our flat q|k|v|z and b|a
+    stride = 2 * dk + 2 * r * dv
+    base = np.arange(hk)[:, None] * stride
+    qcols = (base + np.arange(dk)[None]).reshape(-1)
+    kcols = (base + dk + np.arange(dk)[None]).reshape(-1)
+    vcols = (base + 2 * dk + np.arange(r * dv)[None]).reshape(-1)
+    zcols = (base + 2 * dk + r * dv + np.arange(r * dv)[None]).reshape(-1)
+    qkvz_perm = np.concatenate([qcols, kcols, vcols, zcols])
+    bbase = np.arange(hk)[:, None] * 2 * r
+    ba_perm = np.concatenate([(bbase + np.arange(r)[None]).reshape(-1),
+                              (bbase + r + np.arange(r)[None]).reshape(-1)])
+
+    sd = model.state_dict()
+
+    def moe_weights(p):
+        e = cfg.moe_experts
+        return {
+            "moe_router": _t(sd, p + "mlp.gate.weight", dtype),
+            "moe_gate": jnp.stack([_t(sd, p + f"mlp.experts.{x}.gate_proj.weight", dtype)
+                                   for x in range(e)]),
+            "moe_up": jnp.stack([_t(sd, p + f"mlp.experts.{x}.up_proj.weight", dtype)
+                                 for x in range(e)]),
+            "moe_down": jnp.stack([_t(sd, p + f"mlp.experts.{x}.down_proj.weight", dtype)
+                                   for x in range(e)]),
+            "ws_gate": _t(sd, p + "mlp.shared_expert.gate_proj.weight", dtype),
+            "ws_up": _t(sd, p + "mlp.shared_expert.up_proj.weight", dtype),
+            "ws_down": _t(sd, p + "mlp.shared_expert.down_proj.weight", dtype),
+            "ws_gate_w": _t(sd, p + "mlp.shared_expert_gate.weight", dtype),
+        }
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        if cfg.is_attn(i):
+            wq2 = _t(sd, p + "self_attn.q_proj.weight", dtype).reshape(
+                cfg.hidden, cfg.num_heads, 2 * head_dim)
+            lw = {
+                "kind": "attn",
+                "ln1": 1.0 + _v(sd, p + "input_layernorm.weight", dtype),
+                "wq": wq2[:, :, :head_dim].reshape(cfg.hidden, -1),
+                "wg_attn": wq2[:, :, head_dim:].reshape(cfg.hidden, -1),
+                "wk": _t(sd, p + "self_attn.k_proj.weight", dtype),
+                "wv": _t(sd, p + "self_attn.v_proj.weight", dtype),
+                "wo": _t(sd, p + "self_attn.o_proj.weight", dtype),
+                "q_norm": 1.0 + _v(sd, p + "self_attn.q_norm.weight", dtype),
+                "k_norm": 1.0 + _v(sd, p + "self_attn.k_norm.weight", dtype),
+                "ln2": 1.0 + _v(sd, p + "post_attention_layernorm.weight", dtype),
+            }
+        else:
+            lw = {
+                "kind": "gdn",
+                "ln1": 1.0 + _v(sd, p + "input_layernorm.weight", dtype),
+                "w_qkvz": _t(sd, p + "linear_attn.in_proj_qkvz.weight",
+                             dtype)[:, qkvz_perm],
+                "w_ba": _t(sd, p + "linear_attn.in_proj_ba.weight",
+                           dtype)[:, ba_perm],
+                "conv_w": _v(sd, p + "linear_attn.conv1d.weight", dtype)[:, 0, :],
+                "conv_b": jnp.zeros((cfg.gdn.qkv_dim,), dtype),
+                "A_log": _v(sd, p + "linear_attn.A_log", dtype),
+                "dt_bias": _v(sd, p + "linear_attn.dt_bias", dtype),
+                "gn_w": jnp.tile(_v(sd, p + "linear_attn.norm.weight", dtype), hv),
+                "w_out": _t(sd, p + "linear_attn.out_proj.weight", dtype),
+                "ln2": 1.0 + _v(sd, p + "post_attention_layernorm.weight", dtype),
+            }
+        lw.update(moe_weights(p))
+        layers.append(lw)
+    params = {
+        "layers": layers,
+        "ln_f": 1.0 + _v(sd, "model.norm.weight", dtype),
+        "wte": _v(sd, "model.embed_tokens.weight", dtype),
+        "rms_eps": float(hf.rms_norm_eps),
+    }
+    if not getattr(hf, "tie_word_embeddings", True):
+        params["w_lm"] = _t(sd, "lm_head.weight", dtype)
+    return cfg, params
+
+
 def deepseek_v3_from_hf(model, page_size: int = 16, dtype=jnp.float32):
     """``transformers`` DeepseekV3ForCausalLM → (DeepSeekV3Config, params).
 

@@ -142,6 +142,51 @@ def test_gpt_oss_matches_transformers():
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
 
 
+def test_qwen3_next_matches_transformers():
+    """Hybrid anchor: converted Qwen3-Next (GDN with permuted in-proj columns,
+    gated attention with q/k norms + partial rotary, MoE + gated shared
+    expert) reproduces the upstream torch logits."""
+    from transformers import Qwen3NextConfig as HfQn
+    from transformers import Qwen3NextForCausalLM
+
+    from sgl_kernel_npu_tpu.models import qwen3_next as qm
+    from sgl_kernel_npu_tpu.utils.hf_loader import qwen3_next_from_hf
+
+    hf_cfg = HfQn(
+        vocab_size=64, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=4,
+        layer_types=["linear_attention", "linear_attention",
+                     "linear_attention", "full_attention"],
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.25,
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        shared_expert_intermediate_size=32, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(13)
+    model = Qwen3NextForCausalLM(hf_cfg).eval()
+    ids = [1, 5, 9, 2, 33, 17, 4, 60, 21, 7, 40, 3]
+    with torch.no_grad():
+        want = model(torch.tensor([ids])).logits[0].float().numpy()
+
+    cfg, params = qwen3_next_from_hf(model, page_size=4)
+    assert cfg.attn_every == 4 and cfg.moe_experts == 4 and cfg.rotary_dim == 4
+    n = len(ids)
+    caches = qm.init_hybrid_cache(cfg, 16, 2)
+    bt = jnp.arange(1, 1 + -(-n // cfg.page_size), dtype=jnp.int32)[None]
+    seq = jnp.asarray([n], jnp.int32)
+    slots = jnp.asarray([int(bt[0, t // cfg.page_size]) * cfg.page_size
+                         + t % cfg.page_size for t in range(n)], jnp.int32)
+    x = qm.hybrid_embed(params, jnp.asarray(ids, jnp.int32))
+    h, _ = qm.hybrid_prefill_step(cfg, params, x, seq, caches, bt, seq, slots,
+                                  jnp.asarray([0], jnp.int32), max_q=16)
+    got = np.asarray(qm.hybrid_lm_head(params, h))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_llama_hf_weights_through_engine():
     """Converted weights serve through the engine; greedy continuation equals
     HF greedy generate."""
