@@ -508,7 +508,8 @@ def hybrid_decode_step(
     gd = cfg.gdn
     bsz = x.shape[0]
     d = cfg.head_dim
-    cos, sin = rope_cos_sin(positions, d, base=cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.rotary_dim or cfg.head_dim,
+                            base=cfg.rope_theta)
     new_caches = []
     for li, lw in enumerate(params["layers"]):
         lq = weights_q["layers"][li] if weights_q is not None else None

@@ -187,6 +187,39 @@ def test_qwen3_next_matches_transformers():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_qwen3_next_hf_weights_through_engine():
+    """Converted Qwen3-Next serves through the engine (prefill + DECODE path,
+    incl. partial-rotary decode tables); greedy continuation equals HF
+    generate."""
+    from transformers import Qwen3NextConfig as HfQn
+    from transformers import Qwen3NextForCausalLM
+
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, qwen3_hybrid_adapter
+    from sgl_kernel_npu_tpu.utils.hf_loader import qwen3_next_from_hf
+
+    hf_cfg = HfQn(
+        vocab_size=64, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, layer_types=["linear_attention", "full_attention"],
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.25,
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, shared_expert_intermediate_size=32,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=128, tie_word_embeddings=False)
+    torch.manual_seed(17)
+    model = Qwen3NextForCausalLM(hf_cfg).eval()
+    prompt = [2, 11, 29, 7, 5]
+    with torch.no_grad():
+        want = model.generate(torch.tensor([prompt]), max_new_tokens=4,
+                              do_sample=False, pad_token_id=0)[0, 5:].tolist()
+    cfg, params = qwen3_next_from_hf(model, page_size=4)
+    got = Engine(qwen3_hybrid_adapter(cfg, params), num_pages=64,
+                 prefill_chunk=8).run([prompt], 4)[0]
+    assert got == want
+
+
 def test_llama_hf_weights_through_engine():
     """Converted weights serve through the engine; greedy continuation equals
     HF greedy generate."""
