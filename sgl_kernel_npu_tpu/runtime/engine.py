@@ -221,6 +221,18 @@ def qwen3_hybrid_adapter(cfg, params, dtype=jnp.float32,
     )
 
 
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Per-request sampling (ops/sampling.py).  ``temperature=0`` = greedy;
+    filters compose top-k → top-p → min-p; deterministic in (seed, step)."""
+
+    temperature: float = 0.0
+    top_k: int = 0          # <= 0: off
+    top_p: float = 1.0      # >= 1: off
+    min_p: float = 0.0      # <= 0: off
+    seed: int = 0
+
+
 @dataclasses.dataclass
 class _Request:
     rid: int
@@ -230,6 +242,7 @@ class _Request:
     pos: int = 0                  # tokens whose KV is in the cache
     state_slot: int = -1          # recurrent state-pool slot (hybrid models)
     lora_id: int = 0              # LoRA adapter id (0 = none)
+    sampling: "SamplingParams | None" = None   # None = greedy
     admit_matched: int = 0        # tokens held via the admit-time match
     inserted_span: int = 0        # tokens held via the post-prefill insert
     out_tokens: list = dataclasses.field(default_factory=list)
@@ -290,6 +303,8 @@ class Engine:
         # caches are donated: the engine's KV pool updates in place
         self._jit_prefill = jax.jit(self._prefill_call, donate_argnums=(2,))
         self._jit_decode = jax.jit(self._decode_call, donate_argnums=(2,))
+        self._jit_decode_sampled = jax.jit(self._decode_call_sampled,
+                                           donate_argnums=(2,))
         # --- speculative decoding (EAGLE-chain style; paged-KV adapters) ---
         # The draft model shares the target's page geometry, so one block table
         # and slot mapping drive both KV pools.  Rejected tokens need no
@@ -327,15 +342,22 @@ class Engine:
 
     # ---------------- public API ----------------
 
-    def add_request(self, prompt, max_new_tokens: int, lora_id: int = 0) -> int:
+    def add_request(self, prompt, max_new_tokens: int, lora_id: int = 0,
+                    sampling: SamplingParams | None = None) -> int:
+        if sampling is not None and sampling.temperature > 0 and self.spec_k:
+            raise ValueError("sampled requests are not supported with "
+                             "speculative decoding (greedy tree verify)")
         rid = self._next_rid
         self._next_rid += 1
         self.waiting.append(_Request(rid, np.asarray(prompt, np.int32),
-                                     max_new_tokens, lora_id=lora_id))
+                                     max_new_tokens, lora_id=lora_id,
+                                     sampling=sampling))
         return rid
 
-    def run(self, prompts, max_new_tokens: int) -> list[list[int]]:
-        rids = [self.add_request(p, max_new_tokens) for p in prompts]
+    def run(self, prompts, max_new_tokens: int,
+            sampling: SamplingParams | None = None) -> list[list[int]]:
+        rids = [self.add_request(p, max_new_tokens, sampling=sampling)
+                for p in prompts]
         while self.waiting or self.running:
             self.step()
         return [self.finished[r] for r in rids]
@@ -463,14 +485,39 @@ class Engine:
         x = self.a.embed(ids)
         h, caches = self.a.prefill_step(
             x, seq_len[None], caches, bt[None], ctx[None], slots, state_idx, lora_idx)
-        logits = self.a.lm_head(h[seq_len - 1][None])
-        return jnp.argmax(logits, -1)[0], caches
+        return self.a.lm_head(h[seq_len - 1][None])[0], caches
 
     def _decode_call(self, ids, pos, caches, bt, ctx, slots, state_idx, lora_idx):
         x = self.a.embed(ids)
         h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots, state_idx,
                                        lora_idx)
         return jnp.argmax(self.a.lm_head(h), -1), caches
+
+    def _decode_call_sampled(self, ids, pos, caches, bt, ctx, slots, state_idx,
+                             lora_idx, seeds, steps, temp, tk, tp, mp):
+        from sgl_kernel_npu_tpu.ops.sampling import sample_tokens
+
+        x = self.a.embed(ids)
+        h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots, state_idx,
+                                       lora_idx)
+        toks = sample_tokens(self.a.lm_head(h), seeds, steps, temp, tk, tp, mp)
+        return toks, caches
+
+    def _pick_token(self, r: _Request, logits) -> int:
+        """First generated token (prefill bonus): greedy or sampled."""
+        sp = r.sampling
+        if sp is None or sp.temperature <= 0:
+            return int(np.argmax(np.asarray(logits)))
+        from sgl_kernel_npu_tpu.ops.sampling import sample_tokens
+
+        tok = sample_tokens(
+            jnp.asarray(logits)[None], jnp.asarray([sp.seed], jnp.int32),
+            jnp.asarray([len(r.out_tokens)], jnp.int32),
+            jnp.asarray([sp.temperature], jnp.float32),
+            jnp.asarray([sp.top_k], jnp.int32),
+            jnp.asarray([sp.top_p], jnp.float32),
+            jnp.asarray([sp.min_p], jnp.float32))
+        return int(tok[0])
 
     def _draft_prefill_call(self, ids, seq_len, caches, bt, ctx, slots,
                             state_idx, lora_idx):
@@ -517,7 +564,7 @@ class Engine:
             slots[j] = self._slot(r, r.pos + j)
         bt = np.zeros((self.max_pages_per_req,), np.int32)
         bt[: len(r.pages)] = r.pages
-        tok, self.caches = self._jit_prefill(
+        logits, self.caches = self._jit_prefill(
             jnp.asarray(ids), jnp.int32(chunk), self.caches,
             jnp.asarray(bt), jnp.int32(r.pos + chunk), jnp.asarray(slots),
             jnp.asarray([r.state_slot], jnp.int32),
@@ -532,7 +579,7 @@ class Engine:
         r.pos += chunk
         self.stats["prefill_tokens"] += chunk
         if r.pos == r.prompt_len:
-            r.out_tokens.append(int(tok))
+            r.out_tokens.append(self._pick_token(r, logits))
             self._share_prefix(r)
 
     def _share_prefix(self, r: _Request) -> None:
@@ -572,10 +619,31 @@ class Engine:
             state_idx[i] = r.state_slot
             lora_idx[i] = r.lora_id
             bt[i, : len(r.pages)] = r.pages
-        toks, self.caches = self._jit_decode(
-            jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
-            jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
-            jnp.asarray(lora_idx))
+        if any(r.sampling is not None and r.sampling.temperature > 0
+               for r in live):
+            seeds = np.zeros((b,), np.int32)
+            steps = np.zeros((b,), np.int32)
+            temp = np.zeros((b,), np.float32)   # dead rows stay greedy
+            tk = np.zeros((b,), np.int32)
+            tp = np.ones((b,), np.float32)
+            mp = np.zeros((b,), np.float32)
+            for i, r in enumerate(live):
+                sp = r.sampling
+                if sp is not None:
+                    seeds[i], steps[i] = sp.seed, len(r.out_tokens)
+                    temp[i], tk[i] = sp.temperature, sp.top_k
+                    tp[i], mp[i] = sp.top_p, sp.min_p
+            toks, self.caches = self._jit_decode_sampled(
+                jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
+                jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
+                jnp.asarray(lora_idx), jnp.asarray(seeds), jnp.asarray(steps),
+                jnp.asarray(temp), jnp.asarray(tk), jnp.asarray(tp),
+                jnp.asarray(mp))
+        else:
+            toks, self.caches = self._jit_decode(
+                jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
+                jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
+                jnp.asarray(lora_idx))
         toks = np.asarray(toks)
         for i, r in enumerate(live):
             r.out_tokens.append(int(toks[i]))

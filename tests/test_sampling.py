@@ -1,0 +1,121 @@
+"""Token sampling (ops/sampling.py) + engine integration.
+
+The reference ships only the greedy tree verifier; the sampler itself is this
+framework's serving surface: per-row temperature / top-k / top-p / min-p over
+a mixed batch, deterministic in (seed, step)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgl_kernel_npu_tpu.ops.sampling import sample_tokens
+
+
+def _call(logits, temp, tk=0, tp=1.0, mp=0.0, seed=0, step=0):
+    b = logits.shape[0]
+    return np.asarray(sample_tokens(
+        jnp.asarray(logits, jnp.float32),
+        jnp.full((b,), seed, jnp.int32), jnp.full((b,), step, jnp.int32),
+        jnp.full((b,), temp, jnp.float32), jnp.full((b,), tk, jnp.int32),
+        jnp.full((b,), tp, jnp.float32), jnp.full((b,), mp, jnp.float32)))
+
+
+def test_temperature_zero_is_greedy(rng):
+    logits = rng.standard_normal((5, 37)).astype(np.float32)
+    got = _call(logits, 0.0)
+    np.testing.assert_array_equal(got, logits.argmax(-1))
+
+
+def test_top_k_one_is_greedy_at_any_temperature(rng):
+    logits = rng.standard_normal((4, 29)).astype(np.float32)
+    for seed in range(5):
+        got = _call(logits, 5.0, tk=1, seed=seed)
+        np.testing.assert_array_equal(got, logits.argmax(-1))
+
+
+def test_top_k_mask_respected(rng):
+    logits = rng.standard_normal((1, 50)).astype(np.float32)
+    allowed = set(np.argsort(logits[0])[-8:].tolist())
+    draws = {int(_call(logits, 2.0, tk=8, seed=s)[0]) for s in range(64)}
+    assert draws <= allowed
+    assert len(draws) > 1                      # actually stochastic
+
+
+def test_top_p_keeps_nucleus(rng):
+    # one dominant token (p≈0.97) → top_p=0.5 must always pick it
+    logits = np.zeros((1, 16), np.float32)
+    logits[0, 3] = 8.0
+    for s in range(16):
+        assert int(_call(logits, 1.0, tp=0.5, seed=s)[0]) == 3
+
+
+def test_min_p_filters_tail(rng):
+    logits = np.zeros((1, 10), np.float32)
+    logits[0, 0] = 3.0                         # pmax token
+    # min_p=0.9 keeps only tokens with p >= 0.9*pmax → only token 0
+    for s in range(16):
+        assert int(_call(logits, 1.0, mp=0.9, seed=s)[0]) == 0
+
+
+def test_deterministic_in_seed_and_step(rng):
+    logits = rng.standard_normal((3, 40)).astype(np.float32)
+    a = _call(logits, 1.0, seed=7, step=2)
+    b = _call(logits, 1.0, seed=7, step=2)
+    c = _call(logits, 1.0, seed=8, step=2)
+    d = _call(logits, 1.0, seed=7, step=3)
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any() or (a != d).any()
+
+
+def test_mixed_batch_rows_independent(rng):
+    logits = rng.standard_normal((2, 30)).astype(np.float32)
+    out = np.asarray(sample_tokens(
+        jnp.asarray(logits), jnp.asarray([0, 5], jnp.int32),
+        jnp.asarray([0, 0], jnp.int32),
+        jnp.asarray([0.0, 1.5], jnp.float32),    # row 0 greedy, row 1 sampled
+        jnp.asarray([0, 0], jnp.int32),
+        jnp.asarray([1.0, 1.0], jnp.float32),
+        jnp.asarray([0.0, 0.0], jnp.float32)))
+    assert out[0] == logits[0].argmax()
+
+
+def test_engine_sampled_run(rng):
+    """Engine end-to-end: greedy default unchanged; sampled runs reproduce
+    given a seed and differ across seeds."""
+    from sgl_kernel_npu_tpu.models import llama as lm
+    from sgl_kernel_npu_tpu.runtime.engine import (
+        Engine, SamplingParams, llama_adapter)
+
+    cfg = lm.LlamaConfig(num_layers=1, vocab_size=61)
+    params = lm.init_weights(jax.random.key(23), cfg)
+    prompts = [[1, 5, 9, 2], [7, 3]]
+
+    def fresh():
+        return Engine(llama_adapter(cfg, params), num_pages=64)
+
+    greedy = fresh().run(prompts, 5)
+    assert greedy == fresh().run(prompts, 5)       # determinism
+    sp = SamplingParams(temperature=1.2, top_k=20, seed=11)
+    s1 = fresh().run(prompts, 5, sampling=sp)
+    s2 = fresh().run(prompts, 5, sampling=sp)
+    assert s1 == s2                                # seeded reproducibility
+    s3 = fresh().run(prompts, 5,
+                     sampling=SamplingParams(temperature=1.2, top_k=20, seed=12))
+    assert s3 != s1 or fresh().run(prompts, 5, sampling=SamplingParams(
+        temperature=1.2, top_k=20, seed=13)) != s1
+    assert all(len(o) == 5 for o in s1)
+
+
+def test_engine_rejects_sampling_with_spec():
+    from sgl_kernel_npu_tpu.models import llama as lm
+    from sgl_kernel_npu_tpu.runtime.engine import (
+        Engine, SamplingParams, llama_adapter)
+
+    cfg = lm.LlamaConfig(num_layers=1, vocab_size=61)
+    params = lm.init_weights(jax.random.key(24), cfg)
+    eng = Engine(llama_adapter(cfg, params), num_pages=64, spec_k=2,
+                 draft_adapter=llama_adapter(cfg, params))
+    with pytest.raises(ValueError):
+        eng.add_request([1, 2, 3], 4,
+                        sampling=SamplingParams(temperature=1.0))
