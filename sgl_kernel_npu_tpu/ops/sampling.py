@@ -73,3 +73,21 @@ def sample_tokens(
 def sample_tokens_ref(logits, seeds, steps, temperature, top_k, top_p, min_p):
     """Golden twin (same math, un-jitted entry for tests)."""
     return sample_tokens(logits, seeds, steps, temperature, top_k, top_p, min_p)
+
+
+@jax.jit
+def apply_penalties(
+    logits: jax.Array,       # [B, V]
+    counts: jax.Array,       # [B, V] int32 token occurrence counts
+    repetition: jax.Array,   # [B] float32; 1 = off (HF multiplicative style)
+    presence: jax.Array,     # [B] float32; 0 = off (subtract if seen)
+    frequency: jax.Array,    # [B] float32; 0 = off (subtract × count)
+) -> jax.Array:
+    """Occurrence penalties before the filters (HF/OpenAI semantics)."""
+    lf = logits.astype(jnp.float32)
+    seen = counts > 0
+    rep = repetition[:, None]
+    lf = jnp.where(seen, jnp.where(lf > 0, lf / rep, lf * rep), lf)
+    lf = lf - presence[:, None] * seen.astype(jnp.float32)
+    lf = lf - frequency[:, None] * counts.astype(jnp.float32)
+    return lf.astype(logits.dtype)

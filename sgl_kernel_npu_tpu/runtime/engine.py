@@ -231,6 +231,15 @@ class SamplingParams:
     top_p: float = 1.0      # >= 1: off
     min_p: float = 0.0      # <= 0: off
     seed: int = 0
+    # occurrence penalties over prompt+generated tokens (HF/OpenAI semantics)
+    repetition_penalty: float = 1.0   # 1 = off
+    presence_penalty: float = 0.0     # 0 = off
+    frequency_penalty: float = 0.0    # 0 = off
+
+    @property
+    def needs_counts(self) -> bool:
+        return (self.repetition_penalty != 1.0 or self.presence_penalty != 0.0
+                or self.frequency_penalty != 0.0)
 
 
 @dataclasses.dataclass
@@ -243,6 +252,8 @@ class _Request:
     state_slot: int = -1          # recurrent state-pool slot (hybrid models)
     lora_id: int = 0              # LoRA adapter id (0 = none)
     sampling: "SamplingParams | None" = None   # None = greedy
+    stop_tokens: frozenset = frozenset()       # finish early on any of these
+    tok_counts: "np.ndarray | None" = None     # [V] occurrence counts (penalties)
     admit_matched: int = 0        # tokens held via the admit-time match
     inserted_span: int = 0        # tokens held via the post-prefill insert
     out_tokens: list = dataclasses.field(default_factory=list)
@@ -343,7 +354,8 @@ class Engine:
     # ---------------- public API ----------------
 
     def add_request(self, prompt, max_new_tokens: int, lora_id: int = 0,
-                    sampling: SamplingParams | None = None) -> int:
+                    sampling: SamplingParams | None = None,
+                    stop_tokens=()) -> int:
         if sampling is not None and sampling.temperature > 0 and self.spec_k:
             raise ValueError("sampled requests are not supported with "
                              "speculative decoding (greedy tree verify)")
@@ -351,8 +363,26 @@ class Engine:
         self._next_rid += 1
         self.waiting.append(_Request(rid, np.asarray(prompt, np.int32),
                                      max_new_tokens, lora_id=lora_id,
-                                     sampling=sampling))
+                                     sampling=sampling,
+                                     stop_tokens=frozenset(int(t) for t in stop_tokens)))
         return rid
+
+    def _append_token(self, r: _Request, tok: int) -> None:
+        """Record a generated token + completion checks (length / stop set) +
+        occurrence counts for penalty-bearing requests."""
+        r.out_tokens.append(tok)
+        if r.tok_counts is not None:
+            r.tok_counts[tok] += 1
+        if len(r.out_tokens) >= r.max_new_tokens or tok in r.stop_tokens:
+            r.done = True
+
+    def _ensure_counts(self, r: _Request, vocab: int) -> None:
+        if (r.tok_counts is None and r.sampling is not None
+                and r.sampling.needs_counts):
+            c = np.zeros((vocab,), np.int32)
+            np.add.at(c, r.prompt, 1)
+            np.add.at(c, np.asarray(r.out_tokens, np.int64), 1)
+            r.tok_counts = c
 
     def run(self, prompts, max_new_tokens: int,
             sampling: SamplingParams | None = None) -> list[list[int]]:
@@ -494,13 +524,15 @@ class Engine:
         return jnp.argmax(self.a.lm_head(h), -1), caches
 
     def _decode_call_sampled(self, ids, pos, caches, bt, ctx, slots, state_idx,
-                             lora_idx, seeds, steps, temp, tk, tp, mp):
-        from sgl_kernel_npu_tpu.ops.sampling import sample_tokens
+                             lora_idx, seeds, steps, temp, tk, tp, mp,
+                             counts, rep, pres, freq):
+        from sgl_kernel_npu_tpu.ops.sampling import apply_penalties, sample_tokens
 
         x = self.a.embed(ids)
         h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots, state_idx,
                                        lora_idx)
-        toks = sample_tokens(self.a.lm_head(h), seeds, steps, temp, tk, tp, mp)
+        logits = apply_penalties(self.a.lm_head(h), counts, rep, pres, freq)
+        toks = sample_tokens(logits, seeds, steps, temp, tk, tp, mp)
         return toks, caches
 
     def _pick_token(self, r: _Request, logits) -> int:
@@ -508,10 +540,18 @@ class Engine:
         sp = r.sampling
         if sp is None or sp.temperature <= 0:
             return int(np.argmax(np.asarray(logits)))
-        from sgl_kernel_npu_tpu.ops.sampling import sample_tokens
+        from sgl_kernel_npu_tpu.ops.sampling import apply_penalties, sample_tokens
 
+        lg = jnp.asarray(logits)[None]
+        self._ensure_counts(r, lg.shape[-1])
+        if r.tok_counts is not None:
+            lg = apply_penalties(
+                lg, jnp.asarray(r.tok_counts)[None],
+                jnp.asarray([sp.repetition_penalty], jnp.float32),
+                jnp.asarray([sp.presence_penalty], jnp.float32),
+                jnp.asarray([sp.frequency_penalty], jnp.float32))
         tok = sample_tokens(
-            jnp.asarray(logits)[None], jnp.asarray([sp.seed], jnp.int32),
+            lg, jnp.asarray([sp.seed], jnp.int32),
             jnp.asarray([len(r.out_tokens)], jnp.int32),
             jnp.asarray([sp.temperature], jnp.float32),
             jnp.asarray([sp.top_k], jnp.int32),
@@ -579,7 +619,7 @@ class Engine:
         r.pos += chunk
         self.stats["prefill_tokens"] += chunk
         if r.pos == r.prompt_len:
-            r.out_tokens.append(self._pick_token(r, logits))
+            self._append_token(r, self._pick_token(r, logits))
             self._share_prefix(r)
 
     def _share_prefix(self, r: _Request) -> None:
@@ -627,18 +667,29 @@ class Engine:
             tk = np.zeros((b,), np.int32)
             tp = np.ones((b,), np.float32)
             mp = np.zeros((b,), np.float32)
+            rep = np.ones((b,), np.float32)
+            pres = np.zeros((b,), np.float32)
+            freq = np.zeros((b,), np.float32)
+            vocab = max((r.tok_counts.shape[0] for r in live
+                         if r.tok_counts is not None), default=1)
+            counts = np.zeros((b, vocab), np.int32)  # [b,1] no-op broadcast
             for i, r in enumerate(live):
                 sp = r.sampling
                 if sp is not None:
                     seeds[i], steps[i] = sp.seed, len(r.out_tokens)
                     temp[i], tk[i] = sp.temperature, sp.top_k
                     tp[i], mp[i] = sp.top_p, sp.min_p
+                    if r.tok_counts is not None:
+                        counts[i] = r.tok_counts
+                        rep[i], pres[i] = sp.repetition_penalty, sp.presence_penalty
+                        freq[i] = sp.frequency_penalty
             toks, self.caches = self._jit_decode_sampled(
                 jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
                 jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
                 jnp.asarray(lora_idx), jnp.asarray(seeds), jnp.asarray(steps),
                 jnp.asarray(temp), jnp.asarray(tk), jnp.asarray(tp),
-                jnp.asarray(mp))
+                jnp.asarray(mp), jnp.asarray(counts), jnp.asarray(rep),
+                jnp.asarray(pres), jnp.asarray(freq))
         else:
             toks, self.caches = self._jit_decode(
                 jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
@@ -646,9 +697,7 @@ class Engine:
                 jnp.asarray(lora_idx))
         toks = np.asarray(toks)
         for i, r in enumerate(live):
-            r.out_tokens.append(int(toks[i]))
-            if len(r.out_tokens) >= r.max_new_tokens:
-                r.done = True
+            self._append_token(r, int(toks[i]))
         self.stats["decode_steps"] += 1
 
     def _spec_decode(self, live: list[_Request]) -> None:
@@ -756,10 +805,8 @@ class Engine:
                    for t in range(1, n_acc + 1)]
             new.append(int(predicts[int(accept_index[i, n_acc])]))  # bonus
             for t in new:
-                if len(r.out_tokens) < r.max_new_tokens:
-                    r.out_tokens.append(t)
-            if len(r.out_tokens) >= r.max_new_tokens:
-                r.done = True
+                if not r.done and len(r.out_tokens) < r.max_new_tokens:
+                    self._append_token(r, t)
             self.stats["spec_accepted"] += n_acc
             if snaps and n_acc < k:
                 # roll the GDN pools back to before the round, then advance

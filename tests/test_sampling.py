@@ -107,6 +107,55 @@ def test_engine_sampled_run(rng):
     assert all(len(o) == 5 for o in s1)
 
 
+def test_apply_penalties():
+    from sgl_kernel_npu_tpu.ops.sampling import apply_penalties
+
+    logits = jnp.asarray([[2.0, -1.0, 0.5, 3.0]], jnp.float32)
+    counts = jnp.asarray([[2, 1, 0, 0]], jnp.int32)
+    out = np.asarray(apply_penalties(
+        logits, counts, jnp.asarray([2.0], jnp.float32),
+        jnp.asarray([0.3], jnp.float32), jnp.asarray([0.1], jnp.float32)))
+    # seen positive: /2 then -0.3 -0.1*2 ; seen negative: *2 then -0.3 -0.1
+    np.testing.assert_allclose(out[0], [2/2 - 0.3 - 0.2, -2.0 - 0.3 - 0.1,
+                                        0.5, 3.0], rtol=1e-6)
+    # [B,1] zero counts broadcast as a no-op
+    out2 = np.asarray(apply_penalties(
+        logits, jnp.zeros((1, 1), jnp.int32), jnp.asarray([2.0], jnp.float32),
+        jnp.asarray([0.3], jnp.float32), jnp.asarray([0.1], jnp.float32)))
+    np.testing.assert_allclose(out2, np.asarray(logits))
+
+
+def test_engine_stop_tokens_and_repetition(rng):
+    """Stop tokens end requests early; a huge repetition penalty forbids
+    repeats, so sampled outputs are all-distinct tokens."""
+    from sgl_kernel_npu_tpu.models import llama as lm
+    from sgl_kernel_npu_tpu.runtime.engine import (
+        Engine, SamplingParams, llama_adapter)
+
+    cfg = lm.LlamaConfig(num_layers=1, vocab_size=61)
+    params = lm.init_weights(jax.random.key(25), cfg)
+    prompts = [[1, 5, 9, 2]]
+
+    greedy = Engine(llama_adapter(cfg, params), num_pages=64).run(prompts, 6)[0]
+    stop = greedy[1]
+    stopped = Engine(llama_adapter(cfg, params), num_pages=64)
+    rid = stopped.add_request(prompts[0], 6, stop_tokens=[stop])
+    while stopped.waiting or stopped.running:
+        stopped.step()
+    out = stopped.finished[rid]
+    first = greedy.index(stop)                   # ends AT the first occurrence
+    assert out == greedy[: first + 1]
+
+    sp = SamplingParams(temperature=1.0, seed=3, repetition_penalty=1e9,
+                        presence_penalty=100.0)
+    # random weights emit near-uniform logits; the huge penalties make any
+    # prompt/generated token unrepeatable → outputs are distinct non-prompt ids
+    out = Engine(llama_adapter(cfg, params), num_pages=64).run(
+        prompts, 8, sampling=sp)[0]
+    assert len(set(out)) == len(out)
+    assert not (set(out) & set(prompts[0]))
+
+
 def test_engine_rejects_sampling_with_spec():
     from sgl_kernel_npu_tpu.models import llama as lm
     from sgl_kernel_npu_tpu.runtime.engine import (
