@@ -38,6 +38,9 @@ run bench_lora   python scripts/bench_lora.py
 run bench_int8   python scripts/bench_int8_kv.py
 # 8b. W8A8 dense decode layer (new): Llama-8B shapes, bf16 vs int8 weights
 run bench_w8a8   python scripts/bench_w8a8.py
+# 8c. model decode layer (the engine's jit unit): fused prologue + W8A8 MoE
+run bench_model  python scripts/bench_model_layer.py fused
+run bench_model_float python scripts/bench_model_layer.py float
 # 9. driver-bench preview (BENCH_r02 twin)
 run bench        python bench.py
 
