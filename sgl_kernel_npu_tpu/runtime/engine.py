@@ -278,6 +278,7 @@ class Engine:
                  max_batch: int = 8, max_pages_per_req: int = 16,
                  prefill_chunk: int = 64, mixed: bool = True,
                  spec_k: int = 0, draft_adapter: ModelAdapter | None = None,
+                 spec_tree_width: int = 1,
                  host_pool_pages: int = 0):
         self.a = adapter
         self.page = adapter.page_size
@@ -353,6 +354,32 @@ class Engine:
                                             donate_argnums=(0,))
             from sgl_kernel_npu_tpu.ops import speculative as _sp
             self._jit_verify_tree = jax.jit(_sp.verify_tree_greedy)
+        # --- TREE speculative decoding (branch top-B at the root, chain the
+        # rest; copy-on-write suffix pages give each path its own causal
+        # chain, so the existing varlen verify works unchanged) ---
+        self.spec_width = spec_tree_width
+        if spec_tree_width > 1:
+            if draft_adapter is None:
+                raise ValueError("spec_tree_width > 1 requires a draft_adapter")
+            if adapter.snapshot_state is not None or adapter.prefill_single:
+                raise ValueError("tree speculation needs a paged-KV target "
+                                 "(no recurrent state / single-prefill)")
+            if spec_tree_width > max_batch:
+                raise ValueError("spec_tree_width must be <= max_batch")
+
+            def _topb(ids, pos, caches, bt, ctx, slots, state_idx, lora_idx):
+                x = draft_adapter.embed(ids)
+                h, caches = draft_adapter.decode_step(
+                    x, pos, caches, bt, ctx, slots, state_idx, lora_idx)
+                _, top = jax.lax.top_k(draft_adapter.lm_head(h),
+                                       spec_tree_width)
+                return top.astype(jnp.int32), caches
+
+            self._jit_draft_topb = jax.jit(_topb, donate_argnums=(2,))
+            self._jit_copy_pages = jax.jit(
+                lambda c, src, dst: jax.tree.map(
+                    lambda a: a.at[dst].set(a[src]), c),
+                donate_argnums=(0,))
 
     # ---------------- public API ----------------
 
@@ -411,7 +438,9 @@ class Engine:
         dec = [r for r in self.running if r.pos >= r.prompt_len]
         pre = [r for r in self.running if r.pos < r.prompt_len]
         if dec and (self.mixed or not pre):
-            if self.draft is not None:
+            if self.draft is not None and self.spec_width > 1:
+                self._spec_decode_tree(dec)
+            elif self.draft is not None:
                 self._spec_decode(dec)
             else:
                 self._decode(dec)
@@ -847,6 +876,192 @@ class Engine:
                     jnp.full((d,), r.lora_id, jnp.int32))
         self.stats["spec_rounds"] += 1
         self.stats["decode_steps"] += 1
+
+    def _spec_decode_tree(self, live: list[_Request]) -> None:
+        """Tree speculative round dispatcher: each round verifies B root-
+        branched draft chains per request, so the packed verify holds
+        ``B × group`` virtual requests — process in groups that fit."""
+        g = max(1, self.max_batch // self.spec_width)
+        for i0 in range(0, len(live), g):
+            self._spec_tree_round(live[i0 : i0 + g])
+        self.stats["spec_rounds"] += 1
+        self.stats["decode_steps"] += 1
+
+    def _spec_tree_round(self, live: list[_Request]) -> None:
+        """One tree round (EAGLE-2-style root branching, engine-only design).
+
+        Draft: ONE decode on the request's real pages feeds the root token and
+        yields the top-B choices of d1; each branch then chains k−1 more draft
+        tokens.  Branches would collide in the paged KV (same logical
+        positions), so every branch ≥ 1 gets COPY-ON-WRITE suffix pages: the
+        ≤ 2 pages covering positions L−1..L+k−1 are copied (target + draft
+        pools), and the branch's block table points at the copies — each path
+        is then a plain causal chain, verified by the SAME packed varlen
+        verify as chain mode.  Acceptance walks the real tree
+        (ops.speculative.verify_tree_greedy, sibling chains at the root);
+        if a branch ≥ 1 wins, its suffix pages are copied back into the real
+        pages (swap would break radix-shared refcounts), so both pools hold
+        the accepted path's KV.  Rejected rows beyond the acceptance point
+        stay stale-but-masked exactly as in chain mode."""
+        b, k, B, ps = self.max_batch, self.spec_k, self.spec_width, self.page
+        n, d = len(live), self.spec_k + 1
+        assert n * B <= b
+        Ls = np.zeros((n,), np.int64)
+        bt0 = np.zeros((b, self.max_pages_per_req), np.int32)
+        lora = np.zeros((b,), np.int32)
+        for i, r in enumerate(live):
+            Ls[i] = r.prompt_len + len(r.out_tokens)
+            self._ensure_pages(r, int(Ls[i]) + k)
+            bt0[i, : len(r.pages)] = r.pages
+            lora[i] = r.lora_id
+        dead = np.full((b,), -1, np.int32)
+
+        # --- draft step 0 (real pages): root token → top-B first drafts ---
+        cur = np.zeros((b,), np.int32)
+        pos = np.zeros((b,), np.int32)
+        ctx = np.ones((b,), np.int32)
+        slots = np.full((b,), -1, np.int32)
+        for i, r in enumerate(live):
+            p = int(Ls[i]) - 1
+            cur[i] = r.token_at(p)
+            pos[i], ctx[i], slots[i] = p, p + 1, self._slot(r, p)
+        topb, self.draft_caches = self._jit_draft_topb(
+            jnp.asarray(cur), jnp.asarray(pos), self.draft_caches,
+            jnp.asarray(bt0), jnp.asarray(ctx), jnp.asarray(slots),
+            jnp.asarray(dead), jnp.asarray(lora))
+        topb = np.asarray(topb)[:n]                        # [n, B]
+
+        # --- copy-on-write suffix pages for branches 1..B-1 ---
+        plo = ((Ls - 1) // ps).astype(np.int64)
+        phi = ((Ls - 1 + k) // ps).astype(np.int64)
+        scratch: dict[tuple[int, int], list[int]] = {}
+        src_ids, dst_ids = [], []
+        for i, r in enumerate(live):
+            npg = int(phi[i] - plo[i]) + 1
+            for p in range(1, B):
+                got = self.cm.alloc(npg)
+                if len(got) < npg:
+                    raise RuntimeError("out of KV pages for tree branches")
+                pages = [int(x) for x in got]
+                scratch[(i, p)] = pages
+                for j in range(npg):
+                    src_ids.append(r.pages[int(plo[i]) + j])
+                    dst_ids.append(pages[j])
+        src_j = jnp.asarray(np.asarray(src_ids, np.int32))
+        dst_j = jnp.asarray(np.asarray(dst_ids, np.int32))
+        self.caches = self._jit_copy_pages(self.caches, src_j, dst_j)
+        self.draft_caches = self._jit_copy_pages(self.draft_caches, src_j, dst_j)
+
+        # per-branch block tables + slot helper
+        btp = np.repeat(bt0[None], B, axis=0)              # [B, b, max_pages]
+        for (i, p), pages in scratch.items():
+            for j, pg in enumerate(pages):
+                btp[p, i, int(plo[i]) + j] = pg
+
+        def path_slot(i, p, position):
+            page_idx = position // ps
+            pg = int(btp[p, i, page_idx])
+            return pg * ps + position % ps
+
+        # --- draft chains per branch (steps 1..k on the branch's pages) ---
+        drafts = np.zeros((n, B, k), np.int32)
+        drafts[:, :, 0] = topb
+        for p in range(B):
+            cur = np.zeros((b,), np.int32)
+            cur[:n] = drafts[:, p, 0]
+            for j in range(1, k + 1):
+                for i in range(n):
+                    q = int(Ls[i]) - 1 + j
+                    pos[i], ctx[i] = q, q + 1
+                    slots[i] = path_slot(i, p, q)
+                toks, self.draft_caches = self._jit_draft_decode(
+                    jnp.asarray(cur), jnp.asarray(pos), self.draft_caches,
+                    jnp.asarray(btp[p]), jnp.asarray(ctx), jnp.asarray(slots),
+                    jnp.asarray(dead), jnp.asarray(lora))
+                cur = np.asarray(toks)
+                if j < k:
+                    drafts[:n, p, j] = cur[:n]
+
+        # --- one packed varlen verify over n·B virtual chain-requests ---
+        cand = np.zeros((n, B, d), np.int32)
+        ids = np.zeros((b * d,), np.int32)
+        seq_lens = np.zeros((b,), np.int32)
+        vctx = np.ones((b,), np.int32)
+        vslots = np.full((b * d,), -1, np.int32)
+        btv = np.zeros((b, self.max_pages_per_req), np.int32)
+        vlora = np.zeros((b,), np.int32)
+        for i, r in enumerate(live):
+            for p in range(B):
+                vi = i * B + p
+                cand[i, p, 0] = r.token_at(int(Ls[i]) - 1)
+                cand[i, p, 1:] = drafts[i, p]
+                ids[vi * d : (vi + 1) * d] = cand[i, p]
+                seq_lens[vi] = d
+                vctx[vi] = int(Ls[i]) + k
+                btv[vi] = btp[p, i]
+                vlora[vi] = r.lora_id
+                for j in range(d):
+                    vslots[vi * d + j] = path_slot(i, p, int(Ls[i]) - 1 + j)
+        target, self.caches = self._jit_verify(
+            jnp.asarray(ids), jnp.asarray(seq_lens), self.caches,
+            jnp.asarray(btv), jnp.asarray(vctx), jnp.asarray(vslots),
+            jnp.asarray(dead), jnp.asarray(np.repeat(vlora, d)))
+        target = np.asarray(target).reshape(b, d)[: n * B].reshape(n, B, d)
+
+        # --- acceptance over the REAL tree (root + B sibling chains) ---
+        nodes = 1 + B * k
+        cand_nodes = np.zeros((n, nodes), np.int32)
+        tgt_nodes = np.zeros((n, nodes), np.int32)
+        nt = np.full((n, nodes), -1, np.int32)
+        ns = np.full((n, nodes), -1, np.int32)
+        ridx = (np.tile(np.arange(nodes, dtype=np.int32), (n, 1))
+                + np.arange(n, dtype=np.int32)[:, None] * nodes)
+        for i in range(n):
+            cand_nodes[i, 0] = cand[i, 0, 0]
+            tgt_nodes[i, 0] = target[i, 0, 0]
+            nt[i, 0] = 1
+            for p in range(B):
+                s0 = 1 + p * k
+                if p + 1 < B:
+                    ns[i, s0] = 1 + (p + 1) * k
+                for j in range(k):
+                    cand_nodes[i, s0 + j] = drafts[i, p, j]
+                    tgt_nodes[i, s0 + j] = target[i, p, j + 1]
+                    if j + 1 < k:
+                        nt[i, s0 + j] = s0 + j + 1
+        predicts, accept_index, accept_num = self._jit_verify_tree(
+            jnp.asarray(cand_nodes), jnp.asarray(ridx), jnp.asarray(nt),
+            jnp.asarray(ns), jnp.asarray(tgt_nodes))
+        predicts = np.asarray(predicts)
+        accept_index = np.asarray(accept_index)
+        accept_num = np.asarray(accept_num)
+
+        # --- commit: emit tokens; adopt a winning branch's pages by copy-back ---
+        src_ids, dst_ids = [], []
+        for i, r in enumerate(live):
+            n_acc = int(accept_num[i])
+            local = [int(accept_index[i, t]) - i * nodes
+                     for t in range(1, n_acc + 1)]
+            new = [int(cand_nodes[i, x]) for x in local]
+            new.append(int(predicts[int(accept_index[i, n_acc])]))  # bonus
+            win = 0 if n_acc == 0 else (local[-1] - 1) // k
+            if win != 0:
+                pages = scratch[(i, win)]
+                for j, pg in enumerate(pages):
+                    src_ids.append(pg)
+                    dst_ids.append(r.pages[int(plo[i]) + j])
+            for t in new:
+                if not r.done and len(r.out_tokens) < r.max_new_tokens:
+                    self._append_token(r, t)
+            self.stats["spec_accepted"] += n_acc
+        if src_ids:
+            src_j = jnp.asarray(np.asarray(src_ids, np.int32))
+            dst_j = jnp.asarray(np.asarray(dst_ids, np.int32))
+            self.caches = self._jit_copy_pages(self.caches, src_j, dst_j)
+            self.draft_caches = self._jit_copy_pages(
+                self.draft_caches, src_j, dst_j)
+        for pages in scratch.values():
+            self.cm.free(np.asarray(pages, np.int32))
 
     def _retire(self) -> None:
         for r in [x for x in self.running if x.done]:

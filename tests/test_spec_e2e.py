@@ -173,6 +173,59 @@ def test_engine_spec_decode_deepseek_self_draft(rng):
     assert eng.stats["spec_rounds"] > 0
 
 
+def test_engine_tree_spec_matches_greedy(setup):
+    """TREE speculation (root branching + COW suffix pages): greedy output
+    identical to the plain engine; with a weak draft the extra branches
+    rescue rounds the chain rejects, so tree accepts >= chain accepts (and
+    strictly more for some seed)."""
+    from sgl_kernel_npu_tpu.models import llama as m
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+
+    cfg, params = setup
+    prompts = [[5, 9, 2, 33, 17, 4], [40, 41, 42], [7, 3, 60, 21]]
+    n_new = 8
+    plain = Engine(llama_adapter(cfg, params), num_pages=96,
+                   max_batch=6, max_pages_per_req=16, prefill_chunk=8)
+    want = plain.run(prompts, n_new)
+
+    rescued = False
+    for seed in (99, 7, 31):
+        draft_params = m.init_weights(jax.random.key(seed), cfg)
+        accepts = {}
+        for width in (1, 2):
+            eng = Engine(llama_adapter(cfg, params), num_pages=96,
+                         max_batch=6, max_pages_per_req=16, prefill_chunk=8,
+                         spec_k=2, spec_tree_width=width,
+                         draft_adapter=llama_adapter(cfg, draft_params))
+            got = eng.run(prompts, n_new)
+            assert got == want, (width, seed)
+            accepts[width] = eng.stats["spec_accepted"]
+            assert eng.cm.free_pages + eng.cm.cached_pages == 96  # no page leaks
+        assert accepts[2] >= accepts[1], (seed, accepts)
+        rescued |= accepts[2] > accepts[1]
+    assert rescued, "no seed showed a branch rescue"
+
+
+def test_engine_tree_spec_oracle_draft(setup):
+    """Draft == target: branch 0 is the oracle chain, every round accepts all
+    k drafts, output matches the plain engine."""
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+
+    cfg, params = setup
+    prompt = [5, 9, 2, 33, 17, 4, 8, 21]
+    n_new = 9
+    plain = Engine(llama_adapter(cfg, params), num_pages=64,
+                   max_batch=4, max_pages_per_req=16, prefill_chunk=8)
+    want = plain.run([prompt], n_new)[0]
+    eng = Engine(llama_adapter(cfg, params), num_pages=64,
+                 max_batch=4, max_pages_per_req=16, prefill_chunk=8,
+                 spec_k=3, spec_tree_width=2,
+                 draft_adapter=llama_adapter(cfg, params))
+    got = eng.run([prompt], n_new)[0]
+    assert got == want
+    assert eng.stats["spec_accepted"] >= 3 * (eng.stats["spec_rounds"] - 1)
+
+
 def test_rejected_draft_falls_back_to_greedy(setup):
     """A corrupted draft stops acceptance; the bonus token is the greedy one."""
     cfg, params = setup
