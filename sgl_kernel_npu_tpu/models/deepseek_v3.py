@@ -317,12 +317,16 @@ def decode_step(
     ep_buffer: Buffer | None = None,
     use_int8_dispatch: bool = True,
     mla_wq: list | None = None,   # make_mla_preprocess_weights(...) → fused prologue
+    eplb_tables: tuple | None = None,   # parallel.eplb.make_remap_tables(...)
 ):
     """One decode step over all layers (single chip unless ep_buffer is given).
 
     ``use_int8_dispatch=False`` moves the EP dispatch wire at BF16 (accuracy
     baseline for the reference's "INT8 dispatch Δppl ≈ 0" bar, BASELINE.md).
-    ``mla_wq`` switches the MLA prologue to the fused W8A8 mla_preprocess op."""
+    ``mla_wq`` switches the MLA prologue to the fused W8A8 mla_preprocess op.
+    ``eplb_tables`` rewrites the router's logical expert ids to EPLB physical
+    slots (parallel/eplb.py) — ``moe_weights_q`` / ``ep_buffer`` must then be
+    built for the physical expert count."""
     cos, sin = rope_cos_sin(positions, cfg.qk_rope_dim)
     x = hidden
     new_caches = []
@@ -387,6 +391,10 @@ def decode_step(
 
         h2 = rms_norm_ref(x, lw["ln2"])
         topk_idx, topk_w = _router(cfg, lw, h2)
+        if eplb_tables is not None:
+            from sgl_kernel_npu_tpu.parallel.eplb import remap_topk
+            assert ep_buffer is not None, "EPLB serving rides the EP buffer"
+            topk_idx = remap_topk(topk_idx, *eplb_tables)
         if ep_buffer is not None and moe_weights_q is not None:
             w1, s1, w2, s2 = moe_weights_q[li]
             moe_out, _, _ = ep_buffer.fused_deep_moe(

@@ -174,13 +174,16 @@ def gpt_oss_adapter(cfg, params, dtype=jnp.float32,
 
 def deepseek_adapter(cfg, params, dtype=jnp.float32, *,
                      moe_weights_q=None, ep_buffer=None,
-                     mla_wq=None) -> ModelAdapter:
+                     mla_wq=None, eplb_tables=None) -> ModelAdapter:
     """``moe_weights_q`` (models.deepseek_v3.quantize_moe_weights) switches
     decode to the W8A8 grouped MoE; adding ``ep_buffer`` (a mesh-bound
     parallel.Buffer) runs it expert-parallel through fused_deep_moe — the
     engine then serves with EP-sharded expert weights.  ``mla_wq``
     (models.deepseek_v3.make_mla_preprocess_weights) runs the fused W8A8
-    mla_preprocess prologue on both prefill and decode."""
+    mla_preprocess prologue on both prefill and decode.  ``eplb_tables``
+    (parallel.eplb.make_remap_tables) serves an EPLB placement: pass
+    physically-gathered ``moe_weights_q`` and a Buffer built for the physical
+    expert count."""
     from sgl_kernel_npu_tpu.models import deepseek_v3 as m
 
     return ModelAdapter(
@@ -192,7 +195,8 @@ def deepseek_adapter(cfg, params, dtype=jnp.float32, *,
             mla_wq=mla_wq),
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots,
-            moe_weights_q=moe_weights_q, ep_buffer=ep_buffer, mla_wq=mla_wq),
+            moe_weights_q=moe_weights_q, ep_buffer=ep_buffer, mla_wq=mla_wq,
+            eplb_tables=eplb_tables),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
         gather_pages=paged_gather_pages,
         scatter_pages=paged_scatter_pages,

@@ -46,6 +46,46 @@ def test_remap_round_robin_and_masks(rng):
     assert back[0] == 4 and back.sum() == 7
 
 
+def test_eplb_through_model_decode(mesh8, rng):
+    """decode_step(eplb_tables=...) serves an EPLB placement end-to-end: the
+    router's logical picks remap to physical slots, the physical Buffer +
+    gathered weights produce the same outputs as the logical EP run."""
+    from sgl_kernel_npu_tpu.config import EPConfig
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+    from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+
+    cfg = m.DeepSeekV3Config(
+        vocab_size=64, hidden=128, num_layers=1, num_heads=8, kv_lora_rank=128,
+        qk_rope_dim=64, qk_nope_dim=64, q_lora_rank=128, v_head_dim=64,
+        num_experts=16, topk=4, moe_intermediate=128, page_size=16)
+    params = m.init_weights(jax.random.key(1), cfg)
+    n, max_pages = 16, 2
+    caches = m.init_kv_cache(cfg, n * max_pages + 1, jnp.float32)
+    hidden = jnp.asarray(rng.standard_normal((n, cfg.hidden)) * 0.3, jnp.float32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    bt = jnp.arange(1, 1 + n * max_pages, dtype=jnp.int32).reshape(n, max_pages)
+    sl = jnp.full((n,), 5, jnp.int32)
+    slots = jnp.arange(n, dtype=jnp.int32) * cfg.page_size + 4
+
+    moe_q = m.quantize_moe_weights(cfg, params, tn=256)
+    buf = Buffer(mesh8, "ep", num_experts=16,
+                 config=EPConfig(num_max_dispatch_tokens_per_rank=n // 8))
+    base, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots,
+                            moe_weights_q=moe_q, ep_buffer=buf)
+
+    placement = eplb.make_placement(np.ones(16), 8, 3)   # 24 physical slots
+    tables = eplb.make_remap_tables(placement, 16)
+    moe_qp = [tuple(eplb.physical_expert_weights(a, placement) for a in layer)
+              for layer in moe_q]
+    buf_p = Buffer(mesh8, "ep", num_experts=24,
+                   config=EPConfig(num_max_dispatch_tokens_per_rank=n // 8))
+    out, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots,
+                           moe_weights_q=moe_qp, ep_buffer=buf_p,
+                           eplb_tables=tables)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_eplb_fused_deep_moe_matches_and_balances(mesh8, rng):
     """End-to-end on the 8-rank mesh: remapped ids + physical weights through
     Buffer.fused_deep_moe == the logical run, and per-rank recv load evens out
