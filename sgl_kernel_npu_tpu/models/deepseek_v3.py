@@ -431,9 +431,19 @@ def prefill_step(
     *,
     max_q: int | None = None,
     mla_wq: list | None = None,   # make_mla_preprocess_weights(...) → fused prologue
+    moe_weights_q: list[tuple] | None = None,
+    ep_buffer: Buffer | None = None,
+    use_int8_dispatch: bool = True,
+    eplb_tables: tuple | None = None,
 ):
     """Varlen (chunked) prefill over all layers — the decode_step twin built on
-    :func:`ops.attention.mla_prefill.mla_prefill_pallas` (single-chip MoE)."""
+    :func:`ops.attention.mla_prefill.mla_prefill_pallas`.
+
+    The MoE branch mirrors decode: dense fp32 (default), single-chip W8A8
+    grouped (``moe_weights_q``), or expert-parallel through
+    ``ep_buffer.fused_deep_moe`` — whose normal-mode ragged dispatch sizes
+    its buffers from the token count, so the same entry point serves
+    prefill batches (the reference's CamMoeDispatchNormal prefill path)."""
     from sgl_kernel_npu_tpu.ops.attention.mla_prefill import mla_prefill_pallas
 
     s = hidden.shape[0]
@@ -511,7 +521,22 @@ def prefill_step(
 
         h2 = rms_norm_ref(x, lw["ln2"])
         topk_idx, topk_w = _router(cfg, lw, h2)
-        x = x + _dense_moe(cfg, lw, h2, topk_idx, topk_w) + _shared_expert(lw, h2)
+        if eplb_tables is not None:
+            from sgl_kernel_npu_tpu.parallel.eplb import remap_topk
+            assert ep_buffer is not None, "EPLB serving rides the EP buffer"
+            topk_idx = remap_topk(topk_idx, *eplb_tables)
+        if ep_buffer is not None and moe_weights_q is not None:
+            w1, s1, w2, s2 = moe_weights_q[li]
+            moe_out, _, _ = ep_buffer.fused_deep_moe(
+                h2.astype(jnp.bfloat16), topk_idx, topk_w, w1, s1, w2, s2,
+                use_int8_dispatch=use_int8_dispatch,
+            )
+            moe_out = moe_out.astype(x.dtype)
+        elif moe_weights_q is not None:
+            moe_out = _gmm_moe(cfg, moe_weights_q[li], h2, topk_idx, topk_w)
+        else:
+            moe_out = _dense_moe(cfg, lw, h2, topk_idx, topk_w)
+        x = x + moe_out + _shared_expert(lw, h2)
     return x, new_caches
 
 

@@ -192,7 +192,8 @@ def deepseek_adapter(cfg, params, dtype=jnp.float32, *,
         lm_head=lambda x: m.lm_head(params, x),
         prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0],
-            mla_wq=mla_wq),
+            mla_wq=mla_wq, moe_weights_q=moe_weights_q, ep_buffer=ep_buffer,
+            eplb_tables=eplb_tables),
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
             cfg, params, x, pos, c, bt, ctx, slots,
             moe_weights_q=moe_weights_q, ep_buffer=ep_buffer, mla_wq=mla_wq,

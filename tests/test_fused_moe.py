@@ -92,6 +92,41 @@ def test_model_decode_with_ep_buffer(mesh8, rng):
     assert rel < 0.05, rel  # int8 MoE vs fp32 dense budget
 
 
+def test_model_prefill_with_ep_buffer(mesh8, rng):
+    """Flagship PREFILL with the EP MoE path ≈ the dense path — the normal-mode
+    ragged dispatch sizes its buffers from the token count, so the same
+    fused_deep_moe entry point serves prefill batches (reference
+    CamMoeDispatchNormal prefill mode)."""
+    import jax
+    from sgl_kernel_npu_tpu.models import deepseek_v3 as m
+
+    cfg = m.DeepSeekV3Config(
+        vocab_size=64, hidden=128, num_layers=1, num_heads=8, kv_lora_rank=128,
+        qk_rope_dim=64, qk_nope_dim=64, q_lora_rank=128, v_head_dim=64,
+        num_experts=16, topk=4, moe_intermediate=128, page_size=16,
+    )
+    params = m.init_weights(jax.random.key(2), cfg)
+    bsz, per = 4, 8
+    s = bsz * per
+    caches = m.init_kv_cache(cfg, bsz * 2 + 1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((s, cfg.hidden)) * 0.3, jnp.float32)
+    bt = jnp.arange(1, 1 + bsz * 2, dtype=jnp.int32).reshape(bsz, 2)
+    seq = jnp.full((bsz,), per, jnp.int32)
+    slots = jnp.asarray([int(bt[b, 0]) * cfg.page_size + t
+                         for b in range(bsz) for t in range(per)], jnp.int32)
+
+    dense_out, _ = m.prefill_step(cfg, params, x, seq, caches, bt, seq, slots,
+                                  max_q=8)
+    buf = Buffer(mesh8, "ep", num_experts=cfg.num_experts,
+                 config=EPConfig(num_max_dispatch_tokens_per_rank=s // 8))
+    moe_q = m.quantize_moe_weights(cfg, params, tn=256)
+    ep_out, _ = m.prefill_step(cfg, params, x, seq, caches, bt, seq, slots,
+                               max_q=8, moe_weights_q=moe_q, ep_buffer=buf)
+    d, e = np.asarray(dense_out), np.asarray(ep_out)
+    rel = np.abs(d - e).mean() / (np.abs(d).mean() + 1e-9)
+    assert rel < 0.05, rel
+
+
 def test_model_decode_single_chip_gmm_moe(rng):
     """decode_step with quantized weights but NO ep_buffer: the single-chip
     W8A8 grouped path (_gmm_moe) ≈ the fp32 dense path."""
