@@ -218,14 +218,22 @@ def _proj_qkv(lw, lq, hidden_n, s, cfg):
             vp.reshape(s, cfg.num_kv_heads, d))
 
 
-def _moe_mlp(cfg: GptOssConfig, lw, x):
+def _moe_mlp(cfg: GptOssConfig, lw, x, ep_buffer=None):
     """GPT-OSS MoE MLP (HF GptOssExperts semantics): softmax top-k over biased
     router logits; experts run biased gate|up (interleaved) → clamped SwiGLU →
-    biased down; weighted one-hot combine (dense-einsum small-model path, cf.
-    deepseek_v3._dense_moe — EP serving routes through parallel.Buffer)."""
+    biased down.  ``ep_buffer`` serves expert-parallel through
+    ``Buffer.fused_oai_moe`` (bf16 ragged dispatch → biased grouped GEMMs →
+    combine, expert-sharded); otherwise the dense-einsum small-model path
+    (cf. deepseek_v3._dense_moe)."""
     logits = x @ lw["router_w"] + lw["router_b"]
     topw, topi = jax.lax.top_k(logits, cfg.topk)
     topw = jax.nn.softmax(topw, axis=-1)
+    if ep_buffer is not None:
+        out, _, _ = ep_buffer.fused_oai_moe(
+            x.astype(jnp.bfloat16), topi.astype(jnp.int32),
+            topw.astype(jnp.float32), lw["w_gate_up"], lw["b_gate_up"],
+            lw["w_down"], lw["b_down"], alpha=cfg.alpha, limit=cfg.limit)
+        return out.astype(x.dtype)
     gu = jnp.einsum("nh,ehi->nei", x, lw["w_gate_up"]) + lw["b_gate_up"][None]
     n, e = x.shape[0], cfg.num_experts
     act = swiglu_oai(gu.reshape(n * e, -1), cfg.alpha, cfg.limit).reshape(
@@ -236,9 +244,10 @@ def _moe_mlp(cfg: GptOssConfig, lw, x):
     return jnp.einsum("ne,neh->nh", w, y)
 
 
-def _out_mlp(lw, lq, cfg, x, attn):
-    """Output projection + MLP (dense clamped-SwiGLU or MoE) — W8A8 when
-    ``lq`` (attention projections only in MoE mode; experts stay float)."""
+def _out_mlp(lw, lq, cfg, x, attn, ep_buffer=None):
+    """Output projection + MLP (dense clamped-SwiGLU or MoE; ``ep_buffer``
+    serves the MoE expert-parallel) — W8A8 when ``lq`` (attention projections
+    only in MoE mode; experts stay float)."""
     if lq is not None:
         from sgl_kernel_npu_tpu.models.w8a8 import project
 
@@ -250,7 +259,7 @@ def _out_mlp(lw, lq, cfg, x, attn):
     x = x + op
     mlp_in = rms_norm(x, lw["ln2"], cfg.rms_eps)
     if cfg.num_experts > 0:
-        return x + _moe_mlp(cfg, lw, mlp_in)
+        return x + _moe_mlp(cfg, lw, mlp_in, ep_buffer)
     if lq is not None:
         act = swiglu_oai(project(mlp_in, lq["w_gate_up"], jnp.bfloat16),
                          cfg.alpha, cfg.limit)
@@ -271,6 +280,7 @@ def decode_step(
     *,
     weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
     kv_scales: list | None = None,      # per-layer (k_scale[Hkv], v_scale[Hkv])
+    ep_buffer=None,                     # parallel.Buffer → EP MoE serving
 ):
     """One decode step over the full layer stack; returns (hidden, new_caches)."""
     b = x.shape[0]
@@ -296,7 +306,7 @@ def decode_step(
             cfg.num_heads, cfg.num_kv_heads,
             k_scale=_kv_scale(cfg, lks), v_scale=_kv_scale(cfg, lvs),
         )
-        x = _out_mlp(lw, lq, cfg, x, attn.reshape(b, -1))
+        x = _out_mlp(lw, lq, cfg, x, attn.reshape(b, -1), ep_buffer)
         new_caches.append((k_cache, v_cache))
     return x, new_caches
 
@@ -315,6 +325,7 @@ def prefill_step(
     use_pallas: bool = True,
     weights_q: dict | None = None,      # quantize_weights(...) → W8A8 mode
     kv_scales: list | None = None,      # per-layer (k_scale[Hkv], v_scale[Hkv])
+    ep_buffer=None,                     # parallel.Buffer → EP MoE serving
 ):
     """Varlen (chunked) prefill over the layer stack: rows are the concatenation
     of each request's last ``seq_lens[b]`` tokens.  KV is written to the paged
@@ -353,7 +364,7 @@ def prefill_step(
             cfg.num_heads, cfg.num_kv_heads,
             k_scale=_kv_scale(cfg, lks), v_scale=_kv_scale(cfg, lvs), **kw,
         )
-        x = _out_mlp(lw, lq, cfg, x, attn.reshape(s, -1))
+        x = _out_mlp(lw, lq, cfg, x, attn.reshape(s, -1), ep_buffer)
         new_caches.append((k_cache, v_cache))
     return x, new_caches
 

@@ -595,3 +595,40 @@ class Buffer:
         return self._smap(body, in_specs=(p,) * 7, out_specs=(p, p, p))(
             x, topk_idx, topk_weights, w1, w1_scale, w2, w2_scale
         )
+
+    def fused_oai_moe(
+        self,
+        x: jax.Array,
+        topk_idx: jax.Array,
+        topk_weights: jax.Array,
+        w_gate_up: jax.Array,   # [E, H, 2I] interleaved gate|up (+biases)
+        b_gate_up: jax.Array,
+        w_down: jax.Array,
+        b_down: jax.Array,
+        *,
+        alpha: float = 1.702,
+        limit: float = 7.0,
+    ):
+        """GPT-OSS-style EP MoE: bf16 ragged dispatch → biased gate|up grouped
+        GEMM → clamped interleaved SwiGLU → biased down GEMM → combine, all
+        inside shard_map (the GPT-OSS twin of :meth:`fused_deep_moe`; expert
+        tensors sharded on the expert dim)."""
+        from sgl_kernel_npu_tpu.parallel import fused_moe
+
+        t = x.shape[0] // self.group_size
+        k = topk_idx.shape[1]
+        pair, seg = self._capacities(t, k)
+
+        def body(xs, idx, w, wg, bg, wd, bd):
+            out, gs, dropped = fused_moe.fused_oai_moe_rank(
+                xs, idx, w, wg, bg, wd, bd,
+                axis_name=self.axis_name, num_experts=self.num_experts,
+                num_ranks=self.group_size, pair_capacity=pair,
+                seg_capacity=seg, alpha=alpha, limit=limit,
+            )
+            return out, gs[None], dropped[None]
+
+        p = P(self.axis_name)
+        return self._smap(body, in_specs=(p,) * 7, out_specs=(p, p, p))(
+            x, topk_idx, topk_weights, w_gate_up, b_gate_up, w_down, b_down
+        )

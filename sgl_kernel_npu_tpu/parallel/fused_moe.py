@@ -165,6 +165,56 @@ def fused_deep_moe_rank(
     return combined, gs, d["num_dropped"]
 
 
+def fused_oai_moe_rank(
+    x: jax.Array,
+    topk_idx: jax.Array,
+    topk_weights: jax.Array,
+    w_gate_up: jax.Array,   # [E_local, H, 2I] interleaved gate|up
+    b_gate_up: jax.Array,   # [E_local, 2I]
+    w_down: jax.Array,      # [E_local, I, H]
+    b_down: jax.Array,      # [E_local, H]
+    *,
+    axis_name: str,
+    num_experts: int,
+    num_ranks: int,
+    pair_capacity: int,
+    seg_capacity: int,
+    alpha: float = 1.702,
+    limit: float = 7.0,
+):
+    """Per-rank GPT-OSS MoE body (run inside shard_map): bf16 ragged dispatch
+    → grouped GEMM(gate|up) + per-expert bias → clamped interleaved SwiGLU
+    (ops.activation.swiglu_oai semantics) → grouped GEMM(down) + bias →
+    ragged combine.  GEMMs ride the bf16 Pallas grouped kernel (gmm_train
+    forward).  Returns ``(combined [T, H], group_sizes [E_local], dropped)``.
+    """
+    from sgl_kernel_npu_tpu.ops.activation import swiglu_oai_ref
+    from sgl_kernel_npu_tpu.ops.grouped_matmul import gmm_train
+
+    d = ep_core.dispatch_ragged_core(
+        x, topk_idx,
+        axis_name=axis_name, num_experts=num_experts, num_ranks=num_ranks,
+        pair_capacity=pair_capacity, seg_capacity=seg_capacity,
+        use_int8=False,
+    )
+    xin = d["recv_x_sorted"]            # [cap, H]
+    gs = d["group_sizes"]               # [E_local]
+    row_e = jnp.clip(
+        jnp.searchsorted(jnp.cumsum(gs), jnp.arange(xin.shape[0]),
+                         side="right"),
+        0, gs.shape[0] - 1)             # expert id per sorted row
+    gu = gmm_train(xin, w_gate_up, gs) + b_gate_up[row_e]
+    act = swiglu_oai_ref(gu, alpha, limit).astype(xin.dtype)
+    y = gmm_train(act, w_down, gs) + b_down[row_e]
+    combined = ep_core.combine_ragged_core(
+        y.astype(xin.dtype), topk_weights, d["handle"],
+        axis_name=axis_name, num_ranks=num_ranks,
+        num_local_experts=num_experts // num_ranks,
+        seg_capacity=seg_capacity, out_dtype=x.dtype,
+    )
+    return combined, gs, d["num_dropped"]
+
+
 def quantize_expert_weights(w_gate, w_up, w_down, tn: int | None = None):
     """Quantize fp expert weights to the fused-MoE W8A8 layout.
 

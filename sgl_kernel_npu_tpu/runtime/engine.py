@@ -153,8 +153,11 @@ def llama_pp_adapter(cfg, params, mesh, dtype=jnp.float32,
 
 
 def gpt_oss_adapter(cfg, params, dtype=jnp.float32,
-                    weights_q: dict | None = None) -> ModelAdapter:
-    """``weights_q`` (models.gpt_oss.quantize_weights) serves W8A8."""
+                    weights_q: dict | None = None,
+                    ep_buffer=None) -> ModelAdapter:
+    """``weights_q`` (models.gpt_oss.quantize_weights) serves W8A8;
+    ``ep_buffer`` (a mesh-bound parallel.Buffer built for cfg.num_experts)
+    serves the MoE expert-parallel through ``Buffer.fused_oai_moe``."""
     from sgl_kernel_npu_tpu.models import gpt_oss as m
 
     return ModelAdapter(
@@ -163,9 +166,10 @@ def gpt_oss_adapter(cfg, params, dtype=jnp.float32,
         lm_head=lambda x: m.lm_head(params, x),
         prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, max_q=x.shape[0],
-            weights_q=weights_q),
+            weights_q=weights_q, ep_buffer=ep_buffer),
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.decode_step(
-            cfg, params, x, pos, c, bt, ctx, slots, weights_q=weights_q),
+            cfg, params, x, pos, c, bt, ctx, slots, weights_q=weights_q,
+            ep_buffer=ep_buffer),
         init_cache=lambda n, s_: m.init_kv_cache(cfg, n, dtype),
         gather_pages=paged_gather_pages,
         scatter_pages=paged_scatter_pages,

@@ -142,6 +142,43 @@ def dataclasses_replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
+def test_gpt_oss_ep_moe_matches_dense(mesh8, rng):
+    """GPT-OSS MoE through Buffer.fused_oai_moe (bf16 ragged dispatch + biased
+    grouped GEMMs + clamped SwiGLU) == the dense-einsum path within bf16-wire
+    error; and the HF-converted model serves through the EP engine."""
+    import torch
+    from transformers import GptOssConfig as HfGo
+    from transformers import GptOssForCausalLM
+
+    from sgl_kernel_npu_tpu.config import EPConfig
+    from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, gpt_oss_adapter
+    from sgl_kernel_npu_tpu.utils.hf_loader import gpt_oss_from_hf
+
+    torch.manual_seed(21)
+    model = GptOssForCausalLM(HfGo(
+        vocab_size=64, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=8, num_experts_per_tok=2,
+        sliding_window=6, max_position_embeddings=128,
+        tie_word_embeddings=False)).eval()
+    cfg, params = gpt_oss_from_hf(model, page_size=4)
+    prompt = [2, 11, 29, 7, 5]
+
+    dense = Engine(gpt_oss_adapter(cfg, params), num_pages=64,
+                   prefill_chunk=8).run([prompt], 4)[0]
+    with torch.no_grad():
+        want = model.generate(torch.tensor([prompt]), max_new_tokens=4,
+                              do_sample=False, pad_token_id=0)[0, 5:].tolist()
+    assert dense == want                       # upstream anchor
+
+    buf = Buffer(mesh8, "ep", num_experts=cfg.num_experts,
+                 config=EPConfig(num_max_dispatch_tokens_per_rank=2))
+    ep = Engine(gpt_oss_adapter(cfg, params, ep_buffer=buf), num_pages=64,
+                prefill_chunk=8).run([prompt], 4)[0]
+    assert ep == want                          # EP == dense == HF greedy
+
+
 def test_two_steps_progress(rng):
     """Two chained decode steps stay finite and the caches advance."""
     cfg = m.GptOssConfig(num_layers=2)
