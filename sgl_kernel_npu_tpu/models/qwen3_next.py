@@ -94,7 +94,7 @@ def _split_heads(cfg, qkv):
     )
 
 
-def _finish(cfg, w, core_out, z, x, lq=None, hybrid_cfg=None):
+def _finish(cfg, w, core_out, z, x, lq=None, hybrid_cfg=None, ep=None):
     n = core_out.shape[0]
     o = layernorm_gated(
         core_out.reshape(n, -1), w["gn_w"], None, z, eps=cfg.rms_eps,
@@ -107,7 +107,7 @@ def _finish(cfg, w, core_out, z, x, lq=None, hybrid_cfg=None):
         else:
             x = x + o @ w["w_out"]
         h2 = rms_norm_ref(x, w["ln2"], hybrid_cfg.rms_eps)
-        return x + _hybrid_mlp(hybrid_cfg, w, lq, h2)
+        return x + _hybrid_mlp(hybrid_cfg, w, lq, h2, ep)
     if lq is not None:
         from sgl_kernel_npu_tpu.models.w8a8 import mlp_swiglu, project
 
@@ -296,6 +296,17 @@ def quantize_hybrid_weights(cfg: Qwen3NextHybridConfig, params: dict) -> dict:
     return {"layers": layers_q}
 
 
+def quantize_hybrid_moe_weights(cfg: Qwen3NextHybridConfig, params: dict,
+                                tn: int | None = None) -> list:
+    """Per-layer W8A8 expert weights for EP serving of the hybrid MoE
+    (parallel.fused_moe.quantize_expert_weights over moe_gate/up/down)."""
+    from sgl_kernel_npu_tpu.parallel.fused_moe import quantize_expert_weights
+
+    return [quantize_expert_weights(lw["moe_gate"], lw["moe_up"],
+                                    lw["moe_down"], tn=tn)
+            for lw in params["layers"]]
+
+
 def hybrid_embed(params, ids):
     return params["wte"][ids]
 
@@ -358,22 +369,32 @@ def _apply_rope_partial(cfg, x, cos, sin):
         [apply_rope(x[..., :rd], cos, sin), x[..., rd:]], axis=-1)
 
 
-def _hybrid_mlp(cfg, lw, lq, x):
+def _hybrid_mlp(cfg, lw, lq, x, ep=None):
     """The per-layer MLP: dense SwiGLU (optionally W8A8) or — real Qwen3-Next
     — MoE (softmax-over-ALL-experts then top-k renorm, HF
-    Qwen3NextSparseMoeBlock) plus a sigmoid-gated shared expert."""
+    Qwen3NextSparseMoeBlock) plus a sigmoid-gated shared expert.  ``ep`` =
+    ``(parallel.Buffer, quantized expert weights)`` serves the routed experts
+    expert-parallel via ``Buffer.fused_deep_moe`` (standard-SwiGLU experts —
+    the same W8A8 grouped chain as DeepSeek); the shared expert stays local."""
     if cfg.moe_experts > 0:
         probs = jax.nn.softmax(
             (x @ lw["moe_router"]).astype(jnp.float32), axis=-1)
         topw, topi = jax.lax.top_k(probs, cfg.moe_topk)
         if cfg.norm_topk_prob:
             topw = topw / topw.sum(axis=-1, keepdims=True)
-        g = jnp.einsum("nh,ehi->nei", x, lw["moe_gate"])
-        u = jnp.einsum("nh,ehi->nei", x, lw["moe_up"])
-        y = jnp.einsum("nei,eih->neh", g * jax.nn.sigmoid(g) * u, lw["moe_down"])
-        onehot = jax.nn.one_hot(topi, cfg.moe_experts, dtype=x.dtype)
-        w = (topw[..., None].astype(x.dtype) * onehot).sum(axis=1)
-        out = jnp.einsum("ne,neh->nh", w, y)
+        if ep is not None:
+            buf, wq = ep
+            out, _, _ = buf.fused_deep_moe(
+                x.astype(jnp.bfloat16), topi.astype(jnp.int32),
+                topw.astype(jnp.float32), *wq)
+            out = out.astype(x.dtype)
+        else:
+            g = jnp.einsum("nh,ehi->nei", x, lw["moe_gate"])
+            u = jnp.einsum("nh,ehi->nei", x, lw["moe_up"])
+            y = jnp.einsum("nei,eih->neh", g * jax.nn.sigmoid(g) * u, lw["moe_down"])
+            onehot = jax.nn.one_hot(topi, cfg.moe_experts, dtype=x.dtype)
+            w = (topw[..., None].astype(x.dtype) * onehot).sum(axis=1)
+            out = jnp.einsum("ne,neh->nh", w, y)
         sg = x @ lw["ws_gate"]
         shared = (sg * jax.nn.sigmoid(sg) * (x @ lw["ws_up"])) @ lw["ws_down"]
         return out + jax.nn.sigmoid(x @ lw["ws_gate_w"]) * shared
@@ -386,7 +407,7 @@ def _hybrid_mlp(cfg, lw, lq, x):
     return (g * jax.nn.sigmoid(g) * u) @ lw["w_down"]
 
 
-def _attn_out_mlp(cfg, lw, lq, x, attn, gate=None):
+def _attn_out_mlp(cfg, lw, lq, x, attn, gate=None, ep=None):
     if gate is not None:
         attn = attn * jax.nn.sigmoid(gate)
     if lq is not None:
@@ -395,11 +416,12 @@ def _attn_out_mlp(cfg, lw, lq, x, attn, gate=None):
         x = x + project(attn, lq["wo"], x.dtype)
     else:
         x = x + attn @ lw["wo"]
-    return x + _hybrid_mlp(cfg, lw, lq, rms_norm_ref(x, lw["ln2"], cfg.rms_eps))
+    return x + _hybrid_mlp(cfg, lw, lq,
+                            rms_norm_ref(x, lw["ln2"], cfg.rms_eps), ep)
 
 
 def _attn_layer_prefill(cfg, lw, x, seq_lens, block_tables, context_lens,
-                        slot_mapping, cos, sin, max_q, lq=None):
+                        slot_mapping, cos, sin, max_q, lq=None, ep=None):
     from sgl_kernel_npu_tpu.ops.attention.sinks_attention import (
         attention_sinks_prefill_pallas)
     from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
@@ -416,7 +438,7 @@ def _attn_layer_prefill(cfg, lw, x, seq_lens, block_tables, context_lens,
         q.reshape(s, cfg.num_heads * d), k_cache, v_cache, None,
         seq_lens, block_tables, context_lens, 1.0 / (d ** 0.5), 0,
         cfg.num_heads, cfg.num_kv_heads, max_q=max_q)
-    return (_attn_out_mlp(cfg, lw, lq, x, attn.reshape(s, -1), gate),
+    return (_attn_out_mlp(cfg, lw, lq, x, attn.reshape(s, -1), gate, ep),
             k_cache, v_cache)
 
 
@@ -433,6 +455,8 @@ def hybrid_prefill_step(
     *,
     max_q: int | None = None,
     weights_q: dict | None = None,   # quantize_hybrid_weights(...) → W8A8 mode
+    moe_weights_q: list | None = None,   # quantize_hybrid_moe_weights(...)
+    ep_buffer=None,                  # parallel.Buffer → EP MoE serving
 ):
     """Chunked varlen prefill with GDN state resume (one request per call: GDN
     recurrence is per-request; attention layers are varlen-general)."""
@@ -449,12 +473,14 @@ def hybrid_prefill_step(
     new_caches = []
     for li, lw in enumerate(params["layers"]):
         lq = weights_q["layers"][li] if weights_q is not None else None
+        ep = ((ep_buffer, moe_weights_q[li])
+              if ep_buffer is not None and moe_weights_q is not None else None)
         cache = caches[li]
         if cfg.is_attn(li):
             lw = dict(lw, _kc=cache["k"], _vc=cache["v"])
             x, kc, vc = _attn_layer_prefill(
                 cfg, lw, x, seq_lens, block_tables, context_lens, slot_mapping,
-                cos, sin, max_q or s, lq=lq)
+                cos, sin, max_q or s, lq=lq, ep=ep)
             new_caches.append({"k": kc, "v": vc})
             continue
         # --- GDN layer with state resume ---
@@ -480,7 +506,7 @@ def hybrid_prefill_step(
             chunk_size=gd.chunk_size,
             initial_state=cache["ssm"][slot0][None],
             use_qk_l2norm_in_kernel=True)
-        x = _finish(gd, lw, o[0], z, x, lq=lq, hybrid_cfg=cfg)
+        x = _finish(gd, lw, o[0], z, x, lq=lq, hybrid_cfg=cfg, ep=ep)
         new_caches.append({
             "conv": cache["conv"].at[slot0].set(new_conv.astype(cache["conv"].dtype)),
             "ssm": cache["ssm"].at[slot0].set(final[0]),
@@ -500,6 +526,8 @@ def hybrid_decode_step(
     state_idx: jax.Array,    # [B] GDN pool slots
     *,
     weights_q: dict | None = None,   # quantize_hybrid_weights(...) → W8A8 mode
+    moe_weights_q: list | None = None,   # quantize_hybrid_moe_weights(...)
+    ep_buffer=None,                  # parallel.Buffer → EP MoE serving
 ):
     from sgl_kernel_npu_tpu.ops.attention.decode_attention import decode_gqa
     from sgl_kernel_npu_tpu.ops.mem_cache.kv_cache import reshape_and_cache
@@ -513,6 +541,8 @@ def hybrid_decode_step(
     new_caches = []
     for li, lw in enumerate(params["layers"]):
         lq = weights_q["layers"][li] if weights_q is not None else None
+        ep = ((ep_buffer, moe_weights_q[li])
+              if ep_buffer is not None and moe_weights_q is not None else None)
         cache = caches[li]
         if cfg.is_attn(li):
             hidden_n = rms_norm_ref(x, lw["ln1"], cfg.rms_eps)
@@ -522,7 +552,7 @@ def hybrid_decode_step(
             kc = reshape_and_cache(k, cache["k"], slot_mapping)
             vc = reshape_and_cache(v, cache["v"], slot_mapping)
             attn = decode_gqa(q, kc, vc, context_lens, 1.0 / (d ** 0.5), block_tables)
-            x = _attn_out_mlp(cfg, lw, lq, x, attn.reshape(bsz, -1), gate)
+            x = _attn_out_mlp(cfg, lw, lq, x, attn.reshape(bsz, -1), gate, ep)
             new_caches.append({"k": kc, "v": vc})
             continue
         qkv, z, b, a = _project(gd, lw, x, lq=lq)
@@ -534,7 +564,7 @@ def hybrid_decode_step(
             lw["A_log"], a[:, None, :], lw["dt_bias"],
             q[:, None], k[:, None], v[:, None], b[:, None, :],
             cache["ssm"], state_idx, use_qk_l2norm_in_kernel=True)
-        x = _finish(gd, lw, o[:, 0], z, x, lq=lq, hybrid_cfg=cfg)
+        x = _finish(gd, lw, o[:, 0], z, x, lq=lq, hybrid_cfg=cfg, ep=ep)
         new_caches.append({"conv": conv_pool, "ssm": ssm_pool})
     return x, new_caches
 

@@ -209,9 +209,13 @@ def deepseek_adapter(cfg, params, dtype=jnp.float32, *,
 
 
 def qwen3_hybrid_adapter(cfg, params, dtype=jnp.float32,
-                         weights_q: dict | None = None) -> ModelAdapter:
+                         weights_q: dict | None = None,
+                         moe_weights_q: list | None = None,
+                         ep_buffer=None) -> ModelAdapter:
     """Qwen3-Next hybrid: GDN state pools + paged KV, both engine-threaded.
-    ``weights_q`` (models.qwen3_next.quantize_hybrid_weights) serves W8A8."""
+    ``weights_q`` (models.qwen3_next.quantize_hybrid_weights) serves W8A8;
+    ``moe_weights_q`` (quantize_hybrid_moe_weights) + ``ep_buffer`` serve the
+    routed experts expert-parallel via ``Buffer.fused_deep_moe``."""
     from sgl_kernel_npu_tpu.models import qwen3_next as m
 
     return ModelAdapter(
@@ -220,9 +224,11 @@ def qwen3_hybrid_adapter(cfg, params, dtype=jnp.float32,
         lm_head=lambda x: m.hybrid_lm_head(params, x),
         prefill_step=lambda x, sl, c, bt, ctx, slots, si, li: m.hybrid_prefill_step(
             cfg, params, x, sl, c, bt, ctx, slots, si, max_q=x.shape[0],
-            weights_q=weights_q),
+            weights_q=weights_q, moe_weights_q=moe_weights_q,
+            ep_buffer=ep_buffer),
         decode_step=lambda x, pos, c, bt, ctx, slots, si, li: m.hybrid_decode_step(
-            cfg, params, x, pos, c, bt, ctx, slots, si, weights_q=weights_q),
+            cfg, params, x, pos, c, bt, ctx, slots, si, weights_q=weights_q,
+            moe_weights_q=moe_weights_q, ep_buffer=ep_buffer),
         init_cache=lambda n, s_: m.init_hybrid_cache(cfg, n, s_, dtype),
         snapshot_state=lambda c, si: m.hybrid_state_snapshot(cfg, c, si),
         restore_state=lambda c, snap, si: m.hybrid_state_restore(cfg, c, snap, si),

@@ -151,6 +151,31 @@ def test_qwen3_hybrid_w8a8_matches_float(rng):
         assert np.abs(got - want).max() > 0
 
 
+def test_qwen3_hybrid_ep_moe_matches_dense(mesh8, rng):
+    """Hybrid MoE through Buffer.fused_deep_moe (W8A8 experts, int8 wire) ≈
+    the dense routed experts — served end-to-end through the engine."""
+    from sgl_kernel_npu_tpu.config import EPConfig
+    from sgl_kernel_npu_tpu.models import qwen3_next as qm
+    from sgl_kernel_npu_tpu.parallel.buffer import Buffer
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, qwen3_hybrid_adapter
+
+    cfg = qm.Qwen3NextHybridConfig(
+        vocab_size=61, num_layers=2, page_size=4, attn_every=2,
+        moe_experts=8, moe_topk=2, moe_intermediate=64,
+        shared_expert_intermediate=64, hidden=128)
+    params = qm.init_hybrid_weights(jax.random.key(33), cfg, jnp.float32)
+    prompt = [2, 11, 29, 7, 5]
+    dense = Engine(qwen3_hybrid_adapter(cfg, params), num_pages=64,
+                   prefill_chunk=8).run([prompt], 4)[0]
+    buf = Buffer(mesh8, "ep", num_experts=cfg.moe_experts,
+                 config=EPConfig(num_max_dispatch_tokens_per_rank=2))
+    moe_q = qm.quantize_hybrid_moe_weights(cfg, params, tn=128)
+    ep = Engine(qwen3_hybrid_adapter(cfg, params, moe_weights_q=moe_q,
+                                     ep_buffer=buf), num_pages=64,
+                prefill_chunk=8).run([prompt], 4)[0]
+    assert ep == dense
+
+
 def test_engine_serves_w8a8(rng):
     """The serving engine runs end-to-end on the quantized adapter and emits
     the same greedy tokens as the float engine on an easy (deterministic
