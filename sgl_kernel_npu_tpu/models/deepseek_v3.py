@@ -228,10 +228,42 @@ def _mla_preprocess_qkv(cfg: DeepSeekV3Config, w, x, cos, sin, cache,
     return q.astype(cache_r.dtype), cache_n, cache_r
 
 
-def _mla_output(cfg: DeepSeekV3Config, lw: dict, attn_lat: jax.Array):
-    """Latent attention output → hidden (absorbed V up-proj + output proj)."""
+def _mla_output(cfg: DeepSeekV3Config, lw: dict, attn_lat: jax.Array, dq=None):
+    """Latent attention output → hidden (absorbed V up-proj + output proj).
+    ``dq`` = quantize_dense_weights layer → W8A8 output projection (the
+    per-head wvu einsum stays float: tiny weights, head-blocked shape)."""
     o = jnp.einsum("nhl,hlv->nhv", attn_lat, lw["wvu"])
-    return o.reshape(o.shape[0], -1) @ lw["wo"]
+    o = o.reshape(o.shape[0], -1)
+    if dq is not None:
+        from sgl_kernel_npu_tpu.models.w8a8 import project
+        return project(o.astype(jnp.bfloat16), dq["wo"], jnp.float32)
+    return o @ lw["wo"]
+
+
+def quantize_dense_weights(cfg: DeepSeekV3Config, params: dict) -> list:
+    """W8A8 for the flagship's remaining dense-side GEMMs (models/w8a8.py):
+    the attention output projection and the SHARED expert (the largest dense
+    GEMM in the layer — gate|up stacked for the fused swiglu_quant chain).
+    Router / wvu / norms stay float.  Use with ``decode_step(dense_wq=…)``;
+    composes with ``mla_wq`` + ``moe_weights_q`` for a fully-quantized layer."""
+    from sgl_kernel_npu_tpu.models.w8a8 import quantize_matrix
+
+    return [
+        {
+            "wo": quantize_matrix(lw["wo"]),
+            "ws_gate_up": quantize_matrix(
+                jnp.concatenate([lw["ws_gate"], lw["ws_up"]], axis=1)),
+            "ws_down": quantize_matrix(lw["ws_down"]),
+        }
+        for lw in params["layers"]
+    ]
+
+
+def _shared_expert_q(dq, x):
+    from sgl_kernel_npu_tpu.models.w8a8 import mlp_swiglu
+
+    return mlp_swiglu(x.astype(jnp.bfloat16), dq["ws_gate_up"], dq["ws_down"],
+                      jnp.float32)
 
 
 def _router(cfg: DeepSeekV3Config, lw: dict, x: jax.Array):
@@ -318,6 +350,7 @@ def decode_step(
     use_int8_dispatch: bool = True,
     mla_wq: list | None = None,   # make_mla_preprocess_weights(...) → fused prologue
     eplb_tables: tuple | None = None,   # parallel.eplb.make_remap_tables(...)
+    dense_wq: list | None = None,       # quantize_dense_weights(...)
 ):
     """One decode step over all layers (single chip unless ep_buffer is given).
 
@@ -387,7 +420,8 @@ def decode_step(
             attn = decode_mla(q, cache_n, cache_r, seq_lens, cfg.sm_scale, block_table,
                               k_scale=nope_scale)
         new_caches.append(nc)
-        x = x + _mla_output(cfg, lw, attn.astype(jnp.float32))
+        x = x + _mla_output(cfg, lw, attn.astype(jnp.float32),
+                            dense_wq[li] if dense_wq is not None else None)
 
         h2 = rms_norm_ref(x, lw["ln2"])
         topk_idx, topk_w = _router(cfg, lw, h2)
@@ -406,7 +440,8 @@ def decode_step(
             moe_out = _gmm_moe(cfg, moe_weights_q[li], h2, topk_idx, topk_w)
         else:
             moe_out = _dense_moe(cfg, lw, h2, topk_idx, topk_w)
-        x = x + moe_out + _shared_expert(lw, h2)
+        x = x + moe_out + (_shared_expert_q(dense_wq[li], h2)
+                           if dense_wq is not None else _shared_expert(lw, h2))
     return x, new_caches
 
 
@@ -435,6 +470,7 @@ def prefill_step(
     ep_buffer: Buffer | None = None,
     use_int8_dispatch: bool = True,
     eplb_tables: tuple | None = None,
+    dense_wq: list | None = None,       # quantize_dense_weights(...)
 ):
     """Varlen (chunked) prefill over all layers — the decode_step twin built on
     :func:`ops.attention.mla_prefill.mla_prefill_pallas`.
@@ -517,7 +553,8 @@ def prefill_step(
             attn = mla_prefill_pallas(
                 q, cache_n, cache_r, seq_lens, block_tables, context_lens,
                 cfg.sm_scale, max_q=max_q, k_scale=nope_scale)
-        x = x + _mla_output(cfg, lw, attn.astype(jnp.float32))
+        x = x + _mla_output(cfg, lw, attn.astype(jnp.float32),
+                            dense_wq[li] if dense_wq is not None else None)
 
         h2 = rms_norm_ref(x, lw["ln2"])
         topk_idx, topk_w = _router(cfg, lw, h2)
@@ -536,7 +573,8 @@ def prefill_step(
             moe_out = _gmm_moe(cfg, moe_weights_q[li], h2, topk_idx, topk_w)
         else:
             moe_out = _dense_moe(cfg, lw, h2, topk_idx, topk_w)
-        x = x + moe_out + _shared_expert(lw, h2)
+        x = x + moe_out + (_shared_expert_q(dense_wq[li], h2)
+                           if dense_wq is not None else _shared_expert(lw, h2))
     return x, new_caches
 
 

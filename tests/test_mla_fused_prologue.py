@@ -60,6 +60,30 @@ def test_model_fused_prologue_matches_float(rng, kv_dtype):
         assert diff_row.max() > 0
 
 
+def test_fully_quantized_layer(rng):
+    """The whole-layer W8A8 stack: fused prologue (mla_wq) + grouped MoE
+    (moe_weights_q) + dense-side W8A8 (dense_wq: wo + shared expert) tracks
+    the float model within the combined quant budget."""
+    cfg = m.DeepSeekV3Config(num_layers=2, page_size=16, vocab_size=61)
+    params = m.init_weights(jax.random.key(25), cfg, jnp.float32)
+    sample = jnp.asarray(np.random.default_rng(14).standard_normal(
+        (16, cfg.hidden)) * 0.3, jnp.float32)
+    kw = dict(
+        mla_wq=m.make_mla_preprocess_weights(cfg, params, sample),
+        moe_weights_q=m.quantize_moe_weights(cfg, params),
+        dense_wq=m.quantize_dense_weights(cfg, params),
+    )
+    pre_f, dec_f, _ = _run(cfg, params, np.random.default_rng(15))
+    pre_q, dec_q, _ = _run(cfg, params, np.random.default_rng(15), **kw)
+    for got, want in ((pre_q, pre_f), (dec_q, dec_f)):
+        scale = np.abs(want).max()
+        diff_row = np.abs(got - want).max(axis=-1)
+        n_close = int((diff_row < 0.12 * scale + 0.06).sum())
+        assert n_close >= diff_row.shape[0] - 1, diff_row   # ≤1 routing flip
+        assert diff_row.max() < 0.9 * scale
+        assert diff_row.max() > 0
+
+
 def test_fused_prologue_dsa(rng):
     """The fused prologue composes with the DSA sparse branch (h1 recomputed
     for the indexer taps)."""
