@@ -86,6 +86,7 @@ def test_eplb_through_model_decode(mesh8, rng):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_eplb_fused_deep_moe_matches_and_balances(mesh8, rng):
     """End-to-end on the 8-rank mesh: remapped ids + physical weights through
     Buffer.fused_deep_moe == the logical run, and per-rank recv load evens out

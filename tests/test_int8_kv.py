@@ -8,6 +8,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sgl_kernel_npu_tpu.models import deepseek_v3 as m
 
@@ -184,6 +185,7 @@ def test_gpt_oss_int8_kv_cache_matches_bf16(rng):
         assert np.abs(out_i8 - out_bf).max() > 0
 
 
+@pytest.mark.slow
 def test_calibrated_kv_scales(rng):
     """Per-kv-head calibrated scales (w8a8.calibrate_kv_scales off a float
     run's cache) beat the static scalar when head magnitudes differ, and work

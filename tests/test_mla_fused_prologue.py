@@ -60,6 +60,7 @@ def test_model_fused_prologue_matches_float(rng, kv_dtype):
         assert diff_row.max() > 0
 
 
+@pytest.mark.slow
 def test_fully_quantized_layer(rng):
     """The whole-layer W8A8 stack: fused prologue (mla_wq) + grouped MoE
     (moe_weights_q) + dense-side W8A8 (dense_wq: wo + shared expert) tracks

@@ -173,6 +173,7 @@ def test_engine_spec_decode_deepseek_self_draft(rng):
     assert eng.stats["spec_rounds"] > 0
 
 
+@pytest.mark.slow
 def test_engine_tree_spec_matches_greedy(setup):
     """TREE speculation (root branching + COW suffix pages): greedy output
     identical to the plain engine; with a weak draft the extra branches

@@ -151,6 +151,7 @@ def test_qwen3_hybrid_w8a8_matches_float(rng):
         assert np.abs(got - want).max() > 0
 
 
+@pytest.mark.slow
 def test_qwen3_hybrid_ep_moe_matches_dense(mesh8, rng):
     """Hybrid MoE through Buffer.fused_deep_moe (W8A8 experts, int8 wire) ≈
     the dense routed experts — served end-to-end through the engine."""
