@@ -603,8 +603,14 @@ def _gmm_combine_kernel(
             # the combine blocks must ALSO be masked: columns for rows outside
             # the group (incl. out-of-bounds tile padding when S % tm != 0)
             # hold garbage that the matmul would turn into NaN even against
-            # zeroed deq rows
-            live = in_group[:, 0][None, :]
+            # zeroed deq rows.  The mask is built at FULL [n_tok, tm] shape
+            # via a minor-dim iota: slicing in_group to [1, tm] makes an i1
+            # vector with a replicated sublane offset that Mosaic cannot
+            # relayout into the where() operand shape ("Invalid relayout:
+            # non-singleton logical dimension is replicated").
+            cols = m_tile * tm + jax.lax.broadcasted_iota(
+                jnp.int32, mhi_ref.shape, 1)
+            live = (cols >= start) & (cols < end)
             mhi = jnp.where(live, mhi_ref[...], 0).astype(jnp.bfloat16)
             mlo = jnp.where(live, mlo_ref[...], 0).astype(jnp.bfloat16)
             oacc_ref[...] += jax.lax.dot_general(

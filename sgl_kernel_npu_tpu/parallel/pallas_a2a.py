@@ -400,12 +400,12 @@ def _ragged_a2a_monitored_kernel(
         @pl.when(~arrived)
         def _(s=s):
             # partial arrival: consume exactly what landed so semaphores are
-            # zero at exit, truncate the source's rows, and tell the peers
+            # zero at exit, truncate the source's rows, and tell the peers.
+            # DMA semaphores only accept descriptor waits (jax>=0.9 rejects
+            # semaphore_wait on dma_sem), so drain the completed chunk copies
+            # one wait_recv (= one chunk's bytes) at a time.
             v = pltpu.semaphore_read(pay_rsem.at[s])
-
-            @pl.when(v > 0)
-            def _():
-                pltpu.semaphore_wait(pay_rsem.at[s], v)
+            jax.lax.fori_loop(0, v // row_bytes, wait_r, 0)
 
             oc_ref[pl.ds(s, 1)] = jnp.zeros((1, oc_ref.shape[1]), oc_ref.dtype)
             for dd in range(num_ranks):
@@ -575,7 +575,10 @@ def pallas_all_to_all(
             pltpu.SemaphoreType.DMA((num_ranks,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=collective_id
+            has_side_effects=True,
+            # jax>=0.9 rejects collective_id without a custom barrier;
+            # 1-device meshes (self-loop smoke tests) take no barrier at all
+            collective_id=collective_id if num_ranks > 1 else None,
         ),
         interpret=interpret,
     )(x)
