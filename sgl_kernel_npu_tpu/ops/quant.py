@@ -83,6 +83,26 @@ def quant_per_token(
     return q, scale[:, 0]
 
 
+def wire_quant(x: jax.Array, *, interpret: bool | None = None):
+    """Deterministic per-row INT8 wire quant for EP dispatch/combine payloads.
+
+    Routed through the Pallas kernel so every caller — the fused single-kernel
+    MoE wrapper, ``dispatch_core``, the combine comm-quant — quantizes with
+    the SAME compiled code.  Two separately-jitted XLA programs may compile
+    the jnp ``round(x / scale)`` with different excess-precision choices
+    (division vs reciprocal-multiply), flipping boundary values by ±1 int8
+    step; that broke fused-vs-unfused comparisons at the reference's 4e-4 bar
+    (tests/python/deepep/test_fused_deep_moe.py:469).  Mosaic compiles the
+    kernel body identically in any enclosing program.
+
+    Accepts ``[..., H]``; returns ``(int8 [..., H], f32 scales [...])``.
+    """
+    lead = x.shape[:-1]
+    h = x.shape[-1]
+    q, s = quant_per_token(x.reshape(-1, h), interpret=interpret)
+    return q.reshape(*lead, h), s.reshape(lead)
+
+
 def quant_static_per_channel_ref(
     x: jax.Array, scale: jax.Array, offset: jax.Array
 ) -> jax.Array:

@@ -37,7 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
+from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8, wire_quant
 from sgl_kernel_npu_tpu.parallel.pallas_a2a import (
     pallas_all_to_all,
     pallas_ragged_all_to_all,
@@ -283,9 +283,8 @@ def dispatch_core(
     )
 
     if use_int8:
-        xf = x.astype(jnp.float32)
-        scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / INT8_MAX, 1e-12)
-        payload = saturate_int8(xf / scale[:, None])
+        # shared Pallas wire quant: bitwise-identical across jit programs
+        payload, scale = wire_quant(x)
     else:
         payload = x
         scale = None
@@ -451,11 +450,7 @@ def combine_core(
         tgt = jnp.where(occ_d, tgt, cap)
         rows = yb.transpose(1, 0, 2, 3).reshape(num_ranks, -1, hidden)
         if use_int8_comm:
-            rows_f = rows.astype(jnp.float32)
-            row_scale = jnp.maximum(
-                jnp.max(jnp.abs(rows_f), axis=-1) / INT8_MAX, 1e-12
-            )                                               # [R, E*seg]
-            rows = saturate_int8(rows_f / row_scale[..., None])
+            rows, row_scale = wire_quant(rows)              # scale [R, E*seg]
         send_buf = (
             jnp.zeros((num_ranks, cap + 1, hidden), rows.dtype)
             .at[jnp.arange(num_ranks)[:, None], tgt]
@@ -499,10 +494,9 @@ def combine_core(
         y_by_rank = y.reshape(e_local, num_ranks, seg_capacity, hidden).transpose(1, 0, 2, 3)
         a2a = _make_a2a(axis_name, num_ranks, backend)
         if use_int8_comm:
-            yf = y_by_rank.astype(jnp.float32)
-            scale = jnp.maximum(jnp.max(jnp.abs(yf), axis=-1, keepdims=True) / INT8_MAX, 1e-12)
-            q_back = a2a(saturate_int8(yf / scale))
-            s_back = a2a(scale)
+            q, scale = wire_quant(y_by_rank)
+            q_back = a2a(q)
+            s_back = a2a(scale[..., None])
             y_back = q_back.astype(jnp.float32) * s_back
         else:
             y_back = a2a(y_by_rank)

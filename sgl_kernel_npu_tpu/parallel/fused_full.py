@@ -58,7 +58,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
+from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8, wire_quant
 from sgl_kernel_npu_tpu.parallel import ep_core
 from sgl_kernel_npu_tpu.utils.common import cdiv, interpret_default
 
@@ -739,9 +739,9 @@ def fused_deep_moe_full_rank(
     pos = md["send_off_2d"][safe_dst, safe_slot] + idx_in_seg
     pos = jnp.where(plan.ok, pos, d.cap_send)
 
-    xf = x.astype(jnp.float32)
-    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1) / INT8_MAX, 1e-12)
-    xq = saturate_int8(xf / scale[:, None])
+    # shared Pallas wire quant — must produce the int8 wire bits dispatch_core
+    # produces, or the fused-vs-unfused 4e-4 comparison drifts (see wire_quant)
+    xq, scale = wire_quant(x)
     xs = (
         jnp.zeros((d.cap_send + 1, h), jnp.int8)
         .at[pos].set(xq[plan.src_token], mode="drop")[: d.cap_send]
