@@ -25,6 +25,7 @@ import numpy as np
 
 from bench import _bench_scanned
 from sgl_kernel_npu_tpu.ops import lora
+from sgl_kernel_npu_tpu.ops import lora_pallas
 
 
 def bench_bgmv(rng):
@@ -43,11 +44,15 @@ def bench_bgmv(rng):
         lambda x, a_, b_, i_: lora.bgmv_expand(
             lora.bgmv_shrink(x, a_, i_, 0.5), b_, i_),
         xs_small, xs_big, (a, b, idx))
+    tf = _bench_scanned(
+        lambda x, a_, b_, i_: lora_pallas.bgmv_fused(x, a_, b_, i_, scaling=0.5),
+        xs_small, xs_big, (a, b, idx))
     ideal = (2 * l * r * h + t * h + t * h) * 2 / 819e9
     mat = (2 * t * r * h + t * h + t * h) * 2 / 819e9
-    print(f"bgmv shrink+expand T={t} H={h} R={r} L={l}: {tm*1e6:7.1f} us | "
+    print(f"bgmv shrink+expand T={t} H={h} R={r} L={l}: jnp {tm*1e6:7.1f} us | "
+          f"fused Pallas {tf*1e6:7.1f} us ({tm/tf:.1f}x) | "
           f"ideal {ideal*1e6:5.1f} us | materialized {mat*1e6:5.1f} us")
-    return tm, ideal, mat
+    return tf, ideal, mat
 
 
 def bench_sgmv(rng):
@@ -69,14 +74,18 @@ def bench_sgmv(rng):
         lambda x, a_, b_, w_, ln_, rk_, sc_: lora.sgmv_expand(
             lora.sgmv_shrink(x, a_, w_, ln_, rk_, sc_), b_, w_, ln_, rk_, (0, h)),
         xs_small, xs_big, (a, b, widx, lens, ranks, scal))
+    tf = _bench_scanned(
+        lambda x, a_, b_, w_, ln_, rk_, sc_: lora_pallas.sgmv_fused(
+            x, a_, b_, w_, ln_, rk_, sc_),
+        xs_small, xs_big, (a, b, widx, lens, ranks, scal))
     ideal = (2 * min(l, bsz) * r * h + 2 * s * h) * 2 / 819e9
     mat = (2 * s * r * h + 2 * s * h) * 2 / 819e9
     # useful flops for scale: 2 matmuls, 2*S*R*H each
-    tflops = 2 * 2 * s * r * h / tm / 1e12
-    print(f"sgmv shrink+expand S={s} H={h} R={r}: {tm*1e6:7.1f} us "
-          f"({tflops:.1f} TF) | ideal {ideal*1e6:5.1f} us | "
-          f"materialized {mat*1e6:6.1f} us")
-    return tm, ideal, mat
+    tflops = 2 * 2 * s * r * h / tf / 1e12
+    print(f"sgmv shrink+expand S={s} H={h} R={r}: jnp {tm*1e6:7.1f} us | "
+          f"fused Pallas {tf*1e6:7.1f} us ({tm/tf:.1f}x, {tflops:.1f} TF) | "
+          f"ideal {ideal*1e6:5.1f} us | materialized {mat*1e6:6.1f} us")
+    return tf, ideal, mat
 
 
 def main():
@@ -85,10 +94,7 @@ def main():
     ts, is_, ms = bench_sgmv(rng)
     verdict = []
     for name, tm, ideal, mat in (("bgmv", tb, ib, mb), ("sgmv", ts, is_, ms)):
-        if tm < 0.5 * mat:
-            verdict.append(f"{name}: gather fused (jnp stays)")
-        else:
-            verdict.append(f"{name}: tracks materialized model — Pallas fallback warranted")
+        verdict.append(f"{name} fused kernel: {tm/ideal:.1f}x off ideal floor")
     print("; ".join(verdict))
 
 

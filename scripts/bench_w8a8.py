@@ -67,11 +67,13 @@ def main():
     pos = jnp.full((b,), seq - 1, jnp.int32)
     slots = bt[:, -1] * cfg.page_size + cfg.page_size - 1
 
-    def step(weights_q):
-        def f(x, kc_, vc_, bt_, ctx_):
+    def step(use_q):
+        # params/wq ride as scan operands: closure captures embed as MLIR
+        # constants and the remote-compile endpoint rejects them >100 MB
+        def f(x, params_, wq_, kc_, vc_, bt_, ctx_):
             out, _ = lm.decode_step(
-                cfg, params, x, pos, [(kc_, vc_)], bt_, ctx_, slots,
-                weights_q=weights_q)
+                cfg, params_, x, pos, [(kc_, vc_)], bt_, ctx_, slots,
+                weights_q=wq_ if use_q else None)
             return out
         return f
 
@@ -79,10 +81,10 @@ def main():
                  static_argnums=1)
     xs_small = mk(jax.random.key(1), (4, b, cfg.hidden))
     xs_big = mk(jax.random.key(2), (36, b, cfg.hidden))
-    ops = (kc, vc, bt, ctx)
+    ops = (params, wq, kc, vc, bt, ctx)
 
-    t_bf = _bench_scanned(step(None), xs_small, xs_big, ops, repeats=6)
-    t_q = _bench_scanned(step(wq), xs_small, xs_big, ops, repeats=6)
+    t_bf = _bench_scanned(step(False), xs_small, xs_big, ops, repeats=6)
+    t_q = _bench_scanned(step(True), xs_small, xs_big, ops, repeats=6)
 
     h, d = cfg.hidden, cfg.head_dim
     n_params = (h * cfg.num_heads * d * 2 + h * cfg.num_kv_heads * d * 2

@@ -9,11 +9,13 @@ expand, sgemmv_shrink/expand; goldens tests/python/sgl_kernel_npu/utils.py:12-14
   sgemmv_*: heterogeneous per-adapter ranks/scalings (the general case — the other
   four are specializations, which is how we implement them).
 
-TPU design note: these ops are tiny, memory-bound gathers + skinny matmuls; XLA
-fuses the adapter gather into the batched dot, so jnp is already roofline here.
-The AscendC kernels existed to avoid eager-mode dispatch on NPU — a constraint JAX
-doesn't have.  (If profiling ever shows the gather materializing, the Pallas
-fallback is a scalar-prefetch loop like ops/grouped_matmul.py.)
+TPU design note: the jnp paths here are the capability-complete goldens.  Chip
+measurement (scripts/bench_lora.py, round 3) showed them 8.6×/17× off the
+memory floor — launch-overhead-bound at decode shapes, A×-FLOPs-bound at
+prefill shapes — so the hot paths now ride the fused Pallas kernels in
+ops/lora_pallas.py (``bgmv_fused`` / ``sgmv_fused``: shrink+expand in ONE
+kernel, weights streamed once; the TPU twin of the reference's AscendC LoRA
+kernels, csrc/lora/op_kernel/).  ``fused_lora_delta`` below picks the kernel.
 """
 
 from __future__ import annotations
@@ -171,3 +173,50 @@ def sgmv_expand(x, weights, weight_indices, seq_lengths, lora_ranks, slice_offse
 # already supports that, so these are exact aliases (reference keeps 6 kernels).
 sgemmv_shrink = sgmv_shrink
 sgemmv_expand = sgmv_expand
+
+
+# -- fused Pallas fast paths -----------------------------------------------------------
+
+def fused_lora_delta(
+    x: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    token_adapter: jax.Array,
+    *,
+    scaling: float = 1.0,
+) -> jax.Array:
+    """Per-token LoRA delta ``scaling·(x @ A[i]ᵀ) @ B[i]ᵀ`` via ONE Pallas kernel.
+
+    The decode serving path (models/llama.py multi-LoRA).  x ``[T, H]``,
+    a ``[L, R, H]``, b ``[L, D, R]``, token_adapter ``[T]``; returns [T, D]
+    in x.dtype.  Falls back to the jnp chain when the per-adapter sweep would
+    re-read a large x too many times (T·L·H beyond ~64 MB of reads).
+    """
+    from sgl_kernel_npu_tpu.ops import lora_pallas
+
+    t, h = x.shape
+    l = a.shape[0]
+    if t * l * h * x.dtype.itemsize <= 64 * 2**20:
+        return lora_pallas.bgmv_fused(x, a, b, token_adapter, scaling=scaling).astype(
+            x.dtype
+        )
+    idx = token_adapter.astype(jnp.int32)
+    return bgmv_expand(bgmv_shrink(x, a, idx, scaling), b, idx).astype(x.dtype)
+
+
+def fused_sgmv_delta(
+    x: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    weight_indices: jax.Array,
+    seq_lengths: jax.Array,
+    lora_ranks: jax.Array,
+    lora_scalings: jax.Array,
+) -> jax.Array:
+    """Per-sequence LoRA delta over packed varlen tokens via ONE Pallas kernel
+    (prefill serving path; heterogeneous ranks/scalings ride per-tile scalars)."""
+    from sgl_kernel_npu_tpu.ops import lora_pallas
+
+    return lora_pallas.sgmv_fused(
+        x, a, b, weight_indices, seq_lengths, lora_ranks, lora_scalings
+    ).astype(x.dtype)

@@ -103,6 +103,67 @@ def test_bgmv_shrink_expand(rng):
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
 
 
+def test_bgmv_fused_matches_golden(rng):
+    """ONE-kernel Pallas bgmv (shrink+expand fused) vs the numpy golden."""
+    from sgl_kernel_npu_tpu.ops import lora_pallas
+
+    loras, rank, h, d, t = 5, 8, 128, 256, 16
+    x = rng.standard_normal((t, h)).astype(np.float32)
+    a = rng.standard_normal((loras, rank, h)).astype(np.float32) * 0.1
+    b = rng.standard_normal((loras, d, rank)).astype(np.float32) * 0.1
+    idx = rng.integers(0, loras, t).astype(np.int32)
+    got = lora_pallas.bgmv_fused(
+        jnp.asarray(x), jnp.asarray(a), jnp.asarray(b), jnp.asarray(idx),
+        scaling=0.5,
+    )
+    want = np.stack([0.5 * (x[i] @ a[idx[i]].T) @ b[idx[i]].T for i in range(t)])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_sgmv_fused_matches_golden(rng):
+    """ONE-kernel Pallas sgmv with heterogeneous ranks/scalings + tail rows."""
+    from sgl_kernel_npu_tpu.ops import lora_pallas
+
+    loras, max_rank, h, d = 4, 16, 128, 128
+    slen = np.array([40, 0, 100, 17], np.int32)   # 157 of 192 packed rows
+    widx = np.array([2, 0, 3, 1], np.int32)
+    ranks = np.array([16, 8, 4, 16], np.int32)
+    scal = np.array([1.0, 0.5, 2.0, 1.5], np.float32)
+    s = 192
+    x = rng.standard_normal((s, h)).astype(np.float32)
+    a = rng.standard_normal((loras, max_rank, h)).astype(np.float32) * 0.1
+    b = rng.standard_normal((loras, d, max_rank)).astype(np.float32) * 0.1
+    got = np.asarray(lora_pallas.sgmv_fused(
+        jnp.asarray(x), jnp.asarray(a), jnp.asarray(b), jnp.asarray(widx),
+        jnp.asarray(slen), jnp.asarray(ranks), jnp.asarray(scal), tm=64,
+    ))
+    off = 0
+    want = np.zeros((s, d), np.float32)
+    for li, sl in zip(widx, slen):
+        r = ranks[li]
+        if sl:
+            mid = scal[li] * (x[off:off + sl] @ a[li, :r].T)
+            want[off:off + sl] = mid @ b[li, :, :r].T
+        off += sl
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_lora_delta_dispatches_to_pallas(rng):
+    """The serving wrapper (small pool → Pallas kernel) matches the jnp chain."""
+    loras, rank, h, t = 3, 8, 128, 12
+    x = rng.standard_normal((t, h)).astype(np.float32)
+    a = rng.standard_normal((loras, rank, h)).astype(np.float32) * 0.1
+    b = rng.standard_normal((loras, h, rank)).astype(np.float32) * 0.1
+    idx = jnp.asarray(rng.integers(0, loras, t).astype(np.int32))
+    got = lora.fused_lora_delta(
+        jnp.asarray(x), jnp.asarray(a), jnp.asarray(b), idx, scaling=2.0)
+    want = lora.bgmv_expand(
+        lora.bgmv_shrink(jnp.asarray(x), jnp.asarray(a), idx, 2.0),
+        jnp.asarray(b), idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_bgmv_large_pool_gather_path(rng):
     """33+ adapters exceed the dense-all threshold → the per-token gather path
     must produce identical results to the numpy golden."""
