@@ -191,9 +191,11 @@ def init_lora(key, cfg: LlamaConfig, num_adapters: int, rank: int,
 
 
 def _lora_delta(x, a, b, idx):
-    from sgl_kernel_npu_tpu.ops.lora import bgmv_expand, bgmv_shrink
+    # ONE fused Pallas kernel (shrink+expand, adapter weights read once) with
+    # the jnp chain as the large-pool fallback — see ops/lora.fused_lora_delta
+    from sgl_kernel_npu_tpu.ops.lora import fused_lora_delta
 
-    return bgmv_expand(bgmv_shrink(x, a, idx), b, idx)
+    return fused_lora_delta(x, a, b, idx)
 
 
 def decode_step(
