@@ -335,14 +335,20 @@ def _ragged_a2a_monitored_kernel(
         @pl.when(timeout)
         def _():
             # reference: broadcast to peers' STATE_CHECK region so every rank
-            # exits its wait loops instead of hanging
-            for d in range(num_ranks):
-                pltpu.semaphore_signal(
-                    state_sem,
-                    inc=1,
-                    device_id=d,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
-                )
+            # exits its wait loops instead of hanging.  On a 1-device
+            # self-loop mesh the broadcast is a plain local increment: remote
+            # semaphore addressing needs the collective-barrier context,
+            # which jax 0.9 withholds without a custom barrier.
+            if num_ranks == 1:
+                pltpu.semaphore_signal(state_sem, inc=1)
+            else:
+                for d in range(num_ranks):
+                    pltpu.semaphore_signal(
+                        state_sem,
+                        inc=1,
+                        device_id=d,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
 
         @pl.when(arrived)
         def _():
@@ -408,11 +414,14 @@ def _ragged_a2a_monitored_kernel(
             jax.lax.fori_loop(0, v // row_bytes, wait_r, 0)
 
             oc_ref[pl.ds(s, 1)] = jnp.zeros((1, oc_ref.shape[1]), oc_ref.dtype)
-            for dd in range(num_ranks):
-                pltpu.semaphore_signal(
-                    state_sem, inc=1, device_id=dd,
-                    device_id_type=pltpu.DeviceIdType.LOGICAL,
-                )
+            if num_ranks == 1:
+                pltpu.semaphore_signal(state_sem, inc=1)
+            else:
+                for dd in range(num_ranks):
+                    pltpu.semaphore_signal(
+                        state_sem, inc=1, device_id=dd,
+                        device_id_type=pltpu.DeviceIdType.LOGICAL,
+                    )
 
     if use_sem_read:
         # Drain the state-check semaphore so the kernel exits clean (semaphores
