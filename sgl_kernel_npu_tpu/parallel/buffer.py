@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sgl_kernel_npu_tpu.config import EPConfig
+from sgl_kernel_npu_tpu.utils.common import log_parameters
 from sgl_kernel_npu_tpu.parallel import ep_core
 from sgl_kernel_npu_tpu.parallel.layout import get_dispatch_layout
 
@@ -125,6 +126,7 @@ class Buffer:
 
     # -- low latency (decode) ------------------------------------------------------
 
+    @log_parameters
     def low_latency_dispatch(
         self,
         x: jax.Array,
@@ -225,6 +227,7 @@ class Buffer:
             stats,
         )
 
+    @log_parameters
     def low_latency_combine(
         self,
         y: jax.Array,
@@ -289,6 +292,7 @@ class Buffer:
 
     # -- normal mode (prefill) -----------------------------------------------------
 
+    @log_parameters
     def dispatch(
         self,
         x: jax.Array,
@@ -423,6 +427,7 @@ class Buffer:
         stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
         return xs, (scales if use_int8 else None), gs, handle, stats
 
+    @log_parameters
     def combine(
         self,
         y_sorted: jax.Array,
