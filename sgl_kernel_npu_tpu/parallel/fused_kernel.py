@@ -82,6 +82,18 @@ def _fused_kernel(
 
     @pl.when((e == 0) & (nt == 0) & (kt == 0))
     def _send_all():
+        if num_ranks > 1:
+            # entry barrier before the first one-sided write (peers must be
+            # inside the kernel for window writes to be safe across calls);
+            # jax 0.9 permits collective_id only alongside this barrier
+            barrier = pltpu.get_barrier_semaphore()
+            for d_off in range(num_ranks):
+                d = jax.lax.rem(my + jnp.int32(d_off), num_ranks)
+                pltpu.semaphore_signal(
+                    barrier, inc=1, device_id=d,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+            pltpu.semaphore_wait(barrier, num_ranks)
         for d_off in range(num_ranks):
             d = jax.lax.rem(my + d_off, num_ranks) if num_ranks > 1 else 0
             for ck in range(nk):

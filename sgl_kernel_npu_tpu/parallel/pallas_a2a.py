@@ -31,7 +31,34 @@ from sgl_kernel_npu_tpu.parallel.collective_ids import next_collective_id
 from sgl_kernel_npu_tpu.utils.common import interpret_default
 
 
-def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, *, axis_name, num_ranks):
+def _entry_barrier(axis_name, num_ranks):
+    """All-peers kernel-entry barrier on the collective barrier semaphore.
+
+    One-sided writes may land in a peer's window before that peer has entered
+    the kernel (the hazard the reference guards with epoch-tagged sync flags,
+    sync_collectives.h:13-59).  Every rank signals every rank once, then waits
+    for ``num_ranks`` arrivals.  jax 0.9 couples this to ``collective_id``:
+    the id names the barrier semaphore, and passing an id without using the
+    barrier is a compile error — so kernels take a static ``use_barrier`` and
+    the wrappers pass the allocator's id exactly when the barrier is traced
+    (multi-rank compiled runs; interpret has no barrier lowering and 1-device
+    self-loops need none).
+    """
+    barrier = pltpu.get_barrier_semaphore()
+    my = jax.lax.axis_index(axis_name)
+    for off in range(num_ranks):
+        d = jax.lax.rem(my + jnp.int32(off), num_ranks)
+        pltpu.semaphore_signal(
+            barrier, inc=1, device_id=d,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+    pltpu.semaphore_wait(barrier, num_ranks)
+
+
+def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, *, axis_name, num_ranks,
+                use_barrier=False):
+    if use_barrier:
+        _entry_barrier(axis_name, num_ranks)
     my = jax.lax.axis_index(axis_name)
 
     def send_copy(off):
@@ -79,7 +106,10 @@ def _ragged_a2a_kernel(
     num_ranks,
     chunk_rows,
     static_chunks,
+    use_barrier=False,
 ):
+    if use_barrier:
+        _entry_barrier(axis_name, num_ranks)
     my = jax.lax.axis_index(axis_name)
     c_cap = x_ref.shape[1]
     max_chunks = (c_cap + chunk_rows - 1) // chunk_rows
@@ -191,6 +221,7 @@ def _ragged_a2a_monitored_kernel(
     max_poll_rounds,
     inject_send_fault,
     use_sem_read,
+    use_barrier=False,
 ):
     """Ragged a2a with failure detection — the reference's ``TimeOutDetection``
     (moe_distribute_dispatch_v2.h:23-26,1110-1126) + per-source wait-cost stats
@@ -218,6 +249,8 @@ def _ragged_a2a_monitored_kernel(
     degrades to blocking waits with zeroed stats — functionally identical on the
     no-fault path.
     """
+    if use_barrier:
+        _entry_barrier(axis_name, num_ranks)
     my = jax.lax.axis_index(axis_name)
     c_cap = x_ref.shape[1]
     max_chunks = (c_cap + chunk_rows - 1) // chunk_rows
@@ -484,6 +517,11 @@ def pallas_ragged_all_to_all(
     counts_in = jnp.broadcast_to(
         counts.reshape(num_ranks, 1).astype(jnp.int32), (num_ranks, 128)
     )
+    # entry barrier exactly on compiled multi-rank runs: interpret has no
+    # barrier lowering (its rendezvous per remote copy is the sync), and
+    # 1-device self-loops need none.  jax 0.9 allows collective_id iff the
+    # kernel uses the barrier semaphore (see _entry_barrier).
+    use_barrier = (not interpret) and num_ranks > 1
     common = dict(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -491,8 +529,7 @@ def pallas_ragged_all_to_all(
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # 1-device meshes (self-loop smoke tests) take no cross-chip barrier
-            collective_id=collective_id if num_ranks > 1 else None,
+            collective_id=collective_id if use_barrier else None,
         ),
         interpret=interpret,
     )
@@ -507,6 +544,7 @@ def pallas_ragged_all_to_all(
                 max_poll_rounds=max_poll_rounds,
                 inject_send_fault=inject_send_fault,
                 use_sem_read=use_sem_read,
+                use_barrier=use_barrier,
             ),
             out_shape=(
                 jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -535,6 +573,7 @@ def pallas_ragged_all_to_all(
             num_ranks=num_ranks,
             chunk_rows=min(chunk_rows, c_cap),
             static_chunks=static_chunks,
+            use_barrier=use_barrier,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -574,8 +613,10 @@ def pallas_all_to_all(
     if collective_id is None:
         collective_id = next_collective_id()
     assert x.shape[0] == num_ranks, (x.shape, num_ranks)
+    use_barrier = (not interpret) and num_ranks > 1  # see _entry_barrier
     return pl.pallas_call(
-        functools.partial(_a2a_kernel, axis_name=axis_name, num_ranks=num_ranks),
+        functools.partial(_a2a_kernel, axis_name=axis_name, num_ranks=num_ranks,
+                          use_barrier=use_barrier),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -585,9 +626,7 @@ def pallas_all_to_all(
         ],
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            # jax>=0.9 rejects collective_id without a custom barrier;
-            # 1-device meshes (self-loop smoke tests) take no barrier at all
-            collective_id=collective_id if num_ranks > 1 else None,
+            collective_id=collective_id if use_barrier else None,
         ),
         interpret=interpret,
     )(x)
