@@ -286,6 +286,27 @@ class _Request:
             i - self.prompt_len]
 
 
+class HostKVPool:
+    """Shared page-major host KV pool + radix index.
+
+    Standalone so SEVERAL engines over the same model can attach to one pool —
+    which is prefill/decode **disaggregation**: a prefill engine offloads each
+    finished prompt's pages here, and a decode engine admission-matches the
+    same prompt, restores the prefix from the pool, and serves decode without
+    recomputing prefill.  This is the serving role the reference's
+    ``transfer_kv_dim_exchange`` plays for sglang's PD separation
+    (csrc/transfer_kv_dim_exchange/op_host: device↔host KV migration in the
+    page-major exchange layout).  On one host the hand-off is a memcpy; across
+    hosts the page-major numpy payload is the wire format (DCN/RPC transport
+    is deployment plumbing, not framework code).
+    """
+
+    def __init__(self, num_pages: int, page_size: int):
+        self.cm = RadixCacheManager(num_pages, page_size)
+        self.pool = None              # numpy pytree, shaped on first offload
+        self.page = page_size
+
+
 class Engine:
     """Continuous-batching engine: `add_request` then `step` until drained."""
 
@@ -294,7 +315,8 @@ class Engine:
                  prefill_chunk: int = 64, mixed: bool = True,
                  spec_k: int = 0, draft_adapter: ModelAdapter | None = None,
                  spec_tree_width: int = 1,
-                 host_pool_pages: int = 0):
+                 host_pool_pages: int = 0,
+                 host_pool: HostKVPool | None = None):
         self.a = adapter
         self.page = adapter.page_size
         self.cm = RadixCacheManager(num_pages, self.page)
@@ -317,15 +339,17 @@ class Engine:
         # transfer_kv_dim_exchange layout); admission checks host after device
         # and restores the longer prefix.  The same C++ radix core runs both
         # tiers.
-        self.host_cm = None
-        if host_pool_pages > 0:
+        self._host = host_pool
+        if host_pool_pages > 0 and self._host is None:
+            self._host = HostKVPool(host_pool_pages, self.page)
+        if self._host is not None:
             if adapter.gather_pages is None:
                 raise ValueError("adapter lacks gather/scatter_pages hooks")
             if draft_adapter is not None:
                 raise ValueError("host KV tier + speculative decoding is not "
                                  "supported (the draft pool is not offloaded)")
-            self.host_cm = RadixCacheManager(host_pool_pages, self.page)
-            self.host_pool = None            # numpy, shaped on first offload
+            if self._host.page != self.page:
+                raise ValueError("host pool page size != engine page size")
             self._jit_gather = jax.jit(adapter.gather_pages)
             self._jit_scatter = jax.jit(adapter.scatter_pages,
                                         donate_argnums=(0,))
@@ -397,6 +421,19 @@ class Engine:
                 donate_argnums=(0,))
 
     # ---------------- public API ----------------
+
+    @property
+    def host_cm(self):
+        """Radix index of the attached host tier (None = no L2 tier)."""
+        return self._host.cm if self._host is not None else None
+
+    @property
+    def host_pool(self):
+        return self._host.pool if self._host is not None else None
+
+    @host_pool.setter
+    def host_pool(self, v):
+        self._host.pool = v
 
     def add_request(self, prompt, max_new_tokens: int, lora_id: int = 0,
                     sampling: SamplingParams | None = None,

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from sgl_kernel_npu_tpu.models import llama as m
-from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+from sgl_kernel_npu_tpu.runtime.engine import Engine, HostKVPool, llama_adapter
 
 
 @pytest.fixture(scope="module")
@@ -122,6 +122,32 @@ def test_host_kv_tier_offload_and_restore(setup):
     # only the tail (10 - 8 restored) prefilled
     assert eng.stats["prefill_tokens"] - pre_before == len(pa) - 8
     assert eng.cm.free_pages + eng.cm.cached_pages == 16
+
+
+def test_prefill_decode_disaggregation(setup):
+    """PD disaggregation through a SHARED host pool: a prefill engine computes
+    the prompt KV and offloads it; a separate decode engine admission-matches
+    the same prompt, restores the prefix from the pool, and generates the
+    same tokens as a monolithic engine — with (almost) no prefill compute of
+    its own (the reference's transfer_kv_dim_exchange serving role)."""
+    cfg, params = setup
+    pool = HostKVPool(64, cfg.page_size)
+    prompt = [5, 9, 2, 33, 17, 4, 8, 21, 60, 3]      # 2 full pages + tail
+
+    pe = Engine(llama_adapter(cfg, params), num_pages=32,
+                max_batch=2, max_pages_per_req=8, prefill_chunk=8,
+                host_pool=pool)
+    pe.run([prompt], 1)                               # prefill-only service
+    assert pe.stats["host_offloaded_pages"] == 2
+
+    de = Engine(llama_adapter(cfg, params), num_pages=32,
+                max_batch=2, max_pages_per_req=8, prefill_chunk=8,
+                host_pool=pool)
+    got = de.run([prompt], 6)[0]
+    want = reference_generate(cfg, params, prompt, 6)
+    assert got == want
+    assert de.stats["host_restored_tokens"] == 8      # both full pages rode the pool
+    assert de.stats["prefill_tokens"] == len(prompt) - 8
 
 
 def test_mixed_prefill_decode_scheduling(setup):
