@@ -158,6 +158,7 @@ def main():
             ("fused", _fused_gmm1_secondary),
             ("gqa", _gqa_secondary),
             ("int8kv", _int8kv_secondary),
+            ("lora", _lora_secondary),
             ("layer", _layer_secondary),
         ):
             try:
@@ -408,6 +409,36 @@ def _int8kv_secondary(rng):
     return {
         "mla_decode_int8kv_us": round(t * 1e6, 1),
         "mla_decode_int8kv_gbps": round(kv_bytes / t / 1e9, 1),
+    }
+
+
+def _lora_secondary(rng):
+    """Fused Pallas multi-LoRA delta (decode shapes) vs the jnp op chain and
+    the ideal weight-read floor (each live adapter read once) — the evidence
+    behind serving LoRA through ops/lora_pallas (PERF.md §lora)."""
+    from sgl_kernel_npu_tpu.ops import lora as lmod
+    from sgl_kernel_npu_tpu.ops import lora_pallas
+
+    t, h, r, l = 128, 4096, 16, 8
+    mk = jax.jit(lambda k, s: jax.random.normal(k, s, jnp.bfloat16) * 0.1,
+                 static_argnums=1)
+    a = mk(jax.random.key(30), (l, r, h))
+    b = mk(jax.random.key(31), (l, h, r))
+    idx = jnp.asarray(rng.integers(0, l, t), jnp.int32)
+    xs_small = mk(jax.random.key(32), (8, t, h))
+    xs_big = mk(jax.random.key(33), (136, t, h))
+    tf = _bench_scanned(
+        lambda x, a_, b_, i_: lora_pallas.bgmv_fused(x, a_, b_, i_, scaling=0.5),
+        xs_small, xs_big, (a, b, idx))
+    tj = _bench_scanned(
+        lambda x, a_, b_, i_: lmod.bgmv_expand(
+            lmod.bgmv_shrink(x, a_, i_, 0.5), b_, i_),
+        xs_small, xs_big, (a, b, idx))
+    floor = (2 * l * r * h + 2 * t * h) * 2 / 819e9
+    return {
+        "lora_fused_us": round(tf * 1e6, 1),
+        "lora_jnp_us": round(tj * 1e6, 1),
+        "lora_fused_vs_floor": round(tf / floor, 2),
     }
 
 
