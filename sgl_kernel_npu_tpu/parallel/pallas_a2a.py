@@ -221,6 +221,7 @@ def _ragged_a2a_monitored_kernel(
     max_poll_rounds,
     inject_send_fault,
     use_sem_read,
+    local_abort,
     use_barrier=False,
 ):
     """Ragged a2a with failure detection — the reference's ``TimeOutDetection``
@@ -368,11 +369,12 @@ def _ragged_a2a_monitored_kernel(
         @pl.when(timeout)
         def _():
             # reference: broadcast to peers' STATE_CHECK region so every rank
-            # exits its wait loops instead of hanging.  On a 1-device
-            # self-loop mesh the broadcast is a plain local increment: remote
-            # semaphore addressing needs the collective-barrier context,
-            # which jax 0.9 withholds without a custom barrier.
-            if num_ranks == 1:
+            # exits its wait loops instead of hanging.  ``local_abort``
+            # (1-device self-loop, or interpret where the simulator has no
+            # remote-signal lowering) degrades to a plain local increment:
+            # remote semaphore addressing also needs the collective-barrier
+            # context, which jax 0.9 withholds without a custom barrier.
+            if local_abort:
                 pltpu.semaphore_signal(state_sem, inc=1)
             else:
                 for d in range(num_ranks):
@@ -447,7 +449,7 @@ def _ragged_a2a_monitored_kernel(
             jax.lax.fori_loop(0, v // row_bytes, wait_r, 0)
 
             oc_ref[pl.ds(s, 1)] = jnp.zeros((1, oc_ref.shape[1]), oc_ref.dtype)
-            if num_ranks == 1:
+            if local_abort:
                 pltpu.semaphore_signal(state_sem, inc=1)
             else:
                 for dd in range(num_ranks):
@@ -480,6 +482,7 @@ def pallas_ragged_all_to_all(
     monitor: bool = False,
     max_poll_rounds: int = 5_000_000,
     inject_send_fault: bool = False,
+    force_sem_read: bool | None = None,
 ):
     """Ragged window all-to-all: transfer only ``counts[d]`` live rows per pair.
 
@@ -509,10 +512,18 @@ def pallas_ragged_all_to_all(
         static_chunks = interpret  # see chunk_count: interpret sim needs symmetry
     r, c_cap = x.shape[0], x.shape[1]
     assert r == num_ranks
-    use_sem_read = not interpret  # semaphore_read has no CPU interpret lowering
+    # Interpret defaults to blocking waits: the simulator delivers remote
+    # copies lazily, so a bounded poll would falsely time out on LIVE sources.
+    # ``force_sem_read=True`` opts back into the bounded-poll decision logic —
+    # with every source muted (inject_send_fault) the poll legitimately never
+    # sees an arrival, which is exactly how the CI timeout test drives the
+    # timeout → abort-broadcast → truncate → drain branch hardware-free
+    # (VERDICT r3 #5; reference TimeOutDetection,
+    # moe_distribute_dispatch_v2.h:1110-1178).
+    use_sem_read = (not interpret) if force_sem_read is None else force_sem_read
     assert not (inject_send_fault and not use_sem_read), (
-        "fault injection needs the bounded-poll path (hardware); interpret-mode "
-        "blocking waits would deadlock on the muted rank"
+        "fault injection needs the bounded-poll path (hardware or "
+        "force_sem_read); blocking waits would deadlock on the muted rank"
     )
     counts_in = jnp.broadcast_to(
         counts.reshape(num_ranks, 1).astype(jnp.int32), (num_ranks, 128)
@@ -544,6 +555,7 @@ def pallas_ragged_all_to_all(
                 max_poll_rounds=max_poll_rounds,
                 inject_send_fault=inject_send_fault,
                 use_sem_read=use_sem_read,
+                local_abort=interpret or num_ranks == 1,
                 use_barrier=use_barrier,
             ),
             out_shape=(
