@@ -36,6 +36,14 @@ def mesh4():
     return jax.sharding.Mesh(np.array(jax.devices()[:4]), ("ep",))
 
 
+@pytest.fixture(scope="session")
+def mesh2():
+    """Minimal cross-rank mesh: the distributed interpreter's cost grows
+    superlinearly in rank count, so default-tier tests of rank-generic
+    machinery use 2 ranks (R≥4 coverage lives in the slow tier)."""
+    return jax.sharding.Mesh(np.array(jax.devices()[:2]), ("ep",))
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

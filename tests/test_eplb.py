@@ -46,10 +46,14 @@ def test_remap_round_robin_and_masks(rng):
     assert back[0] == 4 and back.sum() == 7
 
 
-def test_eplb_through_model_decode(mesh8, rng):
+def test_eplb_through_model_decode(mesh2, rng):
     """decode_step(eplb_tables=...) serves an EPLB placement end-to-end: the
     router's logical picks remap to physical slots, the physical Buffer +
-    gathered weights produce the same outputs as the logical EP run."""
+    gathered weights produce the same outputs as the logical EP run.
+
+    R=2 (the remap/placement machinery is rank-generic; the 8-rank EPLB
+    balance check runs in the slow tier below) keeps the default tier fast."""
+    mesh8 = mesh2
     from sgl_kernel_npu_tpu.config import EPConfig
     from sgl_kernel_npu_tpu.models import deepseek_v3 as m
     from sgl_kernel_npu_tpu.parallel.buffer import Buffer
@@ -69,16 +73,16 @@ def test_eplb_through_model_decode(mesh8, rng):
 
     moe_q = m.quantize_moe_weights(cfg, params, tn=256)
     buf = Buffer(mesh8, "ep", num_experts=16,
-                 config=EPConfig(num_max_dispatch_tokens_per_rank=n // 8))
+                 config=EPConfig(num_max_dispatch_tokens_per_rank=n // 2))
     base, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots,
                             moe_weights_q=moe_q, ep_buffer=buf)
 
-    placement = eplb.make_placement(np.ones(16), 8, 3)   # 24 physical slots
+    placement = eplb.make_placement(np.ones(16), 2, 12)  # 24 physical slots
     tables = eplb.make_remap_tables(placement, 16)
     moe_qp = [tuple(eplb.physical_expert_weights(a, placement) for a in layer)
               for layer in moe_q]
     buf_p = Buffer(mesh8, "ep", num_experts=24,
-                   config=EPConfig(num_max_dispatch_tokens_per_rank=n // 8))
+                   config=EPConfig(num_max_dispatch_tokens_per_rank=n // 2))
     out, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots,
                            moe_weights_q=moe_qp, ep_buffer=buf_p,
                            eplb_tables=tables)

@@ -87,6 +87,13 @@ def _mesh(n):
     return jax.sharding.Mesh(np.array(jax.devices()[:n]), ("ep",))
 
 
+def test_full_fused_matches_unfused_2rank(rng):
+    """Default-tier DISTRIBUTED check (VERDICT r3 #6): the one-sided chain —
+    entry barrier, cross-rank window offsets, combine return — runs on every
+    push, not just nightly.  R=2 at tiny shapes keeps it under a minute."""
+    _run_pair(_mesh(2), rng, r=2, e=4, t=8, k=2, seg=8)
+
+
 @pytest.mark.slow
 def test_full_fused_matches_unfused_4rank(rng):
     """Distributed interpret, static-shape mode, 4 ranks."""

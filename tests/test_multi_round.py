@@ -58,15 +58,18 @@ def test_multi_round_matches_single(mesh4, rng):
     np.testing.assert_allclose(np.asarray(out2), golden, rtol=1e-4, atol=1e-4)
 
 
-def test_buffer_multi_round_api(mesh4, rng):
-    mesh8 = mesh4
+def test_buffer_multi_round_api(mesh2, rng):
+    """2 ranks: the multi-round machinery is rank-generic and the 4-rank
+    variant of the same path runs in the slow tier
+    (test_multi_round_matches_single); R=2 keeps the default tier fast."""
     from sgl_kernel_npu_tpu.config import EPConfig
     from sgl_kernel_npu_tpu.parallel.buffer import Buffer
 
-    buf = Buffer(mesh8, "ep", num_experts=E, config=EPConfig(
+    r2 = 2
+    buf = Buffer(mesh2, "ep", num_experts=E, config=EPConfig(
         num_max_dispatch_tokens_per_rank=T, use_int8_dispatch=False,
         normal_round_tokens=T // 2))
-    n = R * T
+    n = r2 * T
     x = jnp.asarray(rng.standard_normal((n, H)), jnp.float32)
     idx = jnp.asarray(np.stack([rng.choice(E, K, replace=False) for _ in range(n)]), jnp.int32)
     w = jnp.asarray(rng.random((n, K)), jnp.float32)
