@@ -8,18 +8,27 @@ chunks are still in flight (the callback-preload overlap of the reference's
 CATLASS ``MmadAtlasA2PreloadAsyncWithCallback``, as a semaphore-gated grid).
 
 Layout contract (per rank, inside shard_map over ``axis_name``):
-- ``xsend [NK, R, ER, tk] int8`` — MY routed rows, pre-placed at
-  ``[dst, e_local·seg + slot]`` and pre-chunked along hidden (ER = E_local·seg;
-  one contiguous block per (k-chunk, destination) send);
+- ``xsend [R, ER, H] int8`` — MY routed rows, pre-placed at
+  ``[dst, e_local·seg + slot]`` (ER = E_local·seg); each (k-chunk, destination)
+  send reads a strided ``[ER, tk]`` column slice directly — no pre-kernel
+  chunking transpose;
 - the receive window (an ANY-space output) is ``[NK, R, ER, tk]`` indexed by
-  SOURCE — the symmetric-buffer discipline of the reference's HCCL windows;
+  SOURCE — the symmetric-buffer discipline of the reference's HCCL windows —
+  and chunk-major so every one-sided WRITE lands contiguously;
 - row scales ``sx [E_local, R·seg]`` and weight scales travel outside the
   kernel (tiny; no overlap value).
 
 Weights stream once (block (e, kt, nt)); the expert's full activation slab
 lives in VMEM (``R·seg × H`` int8) and is assembled from window chunks during
 the expert's FIRST n-tile pass — expert 0's assembly is what overlaps the
-transfer; later experts' chunks have already arrived.
+transfer; later experts' chunks have already arrived and their slab fills are
+started in bulk at the expert's first step so they ride ahead of the compute.
+
+Tile sizes come from a traffic-model selector (``_fused_tiles``): the round-3
+driver measured the hand-set (tk 1024, tn 512) grid at 448 steps — ~360 µs of
+pure per-step overhead against a 287 µs weight floor (BENCH_r03: fused 666.7
+vs bare 307.7 µs).  Wide tiles cut the same shapes to 64 steps, exactly the
+fix that took the bare grouped GEMM from 887 → 301 µs (PERF.md §grouped GEMM).
 """
 
 from __future__ import annotations
@@ -31,17 +40,61 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sgl_kernel_npu_tpu.utils.common import interpret_default
+
+
+def _fused_tiles(
+    rows: int,
+    h: int,
+    n: int,
+    *,
+    vmem_budget: int = 13 * 2**20,
+) -> tuple[int, int]:
+    """Pick (tk, tn) minimizing grid steps under the VMEM budget.
+
+    Weight traffic is tile-independent (each [tk, tn] block streams exactly
+    once) and the activation slab lives in VMEM, so — unlike the bare grouped
+    GEMM — the only objective is FEWER grid steps (each costs ~0.5-1 µs of
+    fixed pipeline overhead).  nk = h//tk is also the comm-chunk count:
+    keep nk ≥ 4 when h allows so expert 0's compute still starts after 1/nk
+    of the payload (the overlap the kernel exists for).
+    """
+    best = None
+    best_key = None
+    for nk in (4, 7, 8, 14, 16, 28, 2, 1):
+        if h % nk or h // nk % 128:
+            continue
+        tk = h // nk
+        for tn in (2048, 1024, 512, 256, 128):
+            if n % tn:
+                continue
+            vmem = (
+                2 * tk * tn          # double-buffered int8 weight block
+                + rows * h           # int8 activation slab
+                + rows * tn * 4      # f32 accumulator
+                + 2 * rows * tn * 2  # bf16 out block (pipelined)
+            )
+            if vmem > vmem_budget:
+                continue
+            steps = (n // tn) * nk
+            # prefer nk ≥ 4 (comm overlap), then fewest steps, then wide tn
+            key = (nk < 4, steps, -tn)
+            if best_key is None or key < best_key:
+                best, best_key = (tk, tn), key
+    assert best is not None, (rows, h, n)
+    return best
+
 
 def _fused_kernel(
-    xsend_ref,   # ANY [NK, R, ER, tk] int8 (my sends, pre-chunked)
+    xsend_ref,   # ANY [R, ER, H] int8 (my sends, placed at (dst, e·seg+slot))
     w_ref,       # VMEM block [1, tk, tn] int8
     sw_ref,      # VMEM block [1, 1, tn] f32
     sx_ref,      # VMEM block [1, 1, rows] f32
     win_ref,     # ANY out [NK, R, ER, tk] int8 (written by peers)
     out_ref,     # VMEM out block [1, rows, tn] bf16
-    x_vmem,      # VMEM scratch [rows, H] int8
+    x_vmem,      # VMEM scratch [rows, H] int8 (persists across grid steps)
     acc,         # VMEM scratch [rows, tn] f32
-    lsem,        # local DMA sem
+    lsem,        # local DMA sems [NK]
     ssem, rsem,  # remote DMA sems [R, NK]
     *,
     axis_name,
@@ -56,11 +109,11 @@ def _fused_kernel(
     kt = pl.program_id(2)
     n_nt = pl.num_programs(1)
     my = jax.lax.axis_index(axis_name) if num_ranks > 1 else 0
-    rows = x_vmem.shape[0]            # R * seg
+    rows = out_ref.shape[1]           # R * seg
 
     def remote(ck, *, to):
         return pltpu.make_async_remote_copy(
-            src_ref=xsend_ref.at[ck, to],
+            src_ref=xsend_ref.at[to, :, pl.ds(ck * tk, tk)],
             dst_ref=win_ref.at[ck, my],
             send_sem=ssem.at[to, ck],
             recv_sem=rsem.at[my, ck],
@@ -72,12 +125,19 @@ def _fused_kernel(
         # matching descriptor on the receive side: local dst slice + the
         # SOURCE-indexed recv-sem slot (sync_collectives.h per-src discipline)
         return pltpu.make_async_remote_copy(
-            src_ref=xsend_ref.at[ck, s],
+            src_ref=xsend_ref.at[s, :, pl.ds(ck * tk, tk)],
             dst_ref=win_ref.at[ck, s],
             send_sem=ssem.at[s, ck],
             recv_sem=rsem.at[s, ck],
             device_id=s,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def slab_copy(s, ck, x_vmem):
+        return pltpu.make_async_copy(
+            win_ref.at[ck, s, pl.ds(e * seg, seg)],
+            x_vmem.at[pl.ds(s * seg, seg), pl.ds(ck * tk, tk)],
+            lsem.at[ck],
         )
 
     @pl.when((e == 0) & (nt == 0) & (kt == 0))
@@ -99,21 +159,31 @@ def _fused_kernel(
             for ck in range(nk):
                 remote(ck, to=d).start()
 
-    @pl.when(nt == 0)
-    def _fill_slab():
-        @pl.when(e == 0)
-        def _arrivals():
-            for s in range(num_ranks):
-                recv_descriptor(s, kt).wait_recv()
+    # slab fill, arrival-gated for expert 0, bulk-pipelined afterwards:
+    # expert 0 must wait chunk kt's remote arrival before copying it (the
+    # overlap point — compute on chunk 0 starts while chunks 1.. ride the
+    # wire); for e > 0 every chunk has long arrived, so all nk window→VMEM
+    # copies start at the expert's first step and only chunk kt's is
+    # waited at step kt (copy kt+1 overlaps the dot on chunk kt).
+    @pl.when((nt == 0) & (e == 0))
+    def _fill_gated():
+        for s in range(num_ranks):
+            recv_descriptor(s, kt).wait_recv()
+        for s in range(num_ranks):
+            slab_copy(s, kt, x_vmem).start()
+        for s in range(num_ranks):
+            slab_copy(s, kt, x_vmem).wait()
+
+    @pl.when((nt == 0) & (e > 0))
+    def _fill_pipelined():
+        @pl.when(kt == 0)
+        def _start_all():
+            for ck in range(nk):
+                for s in range(num_ranks):
+                    slab_copy(s, ck, x_vmem).start()
 
         for s in range(num_ranks):
-            cp = pltpu.make_async_copy(
-                win_ref.at[kt, s, pl.ds(e * seg, seg)],
-                x_vmem.at[pl.ds(s * seg, seg), pl.ds(kt * tk, tk)],
-                lsem,
-            )
-            cp.start()
-            cp.wait()
+            slab_copy(s, kt, x_vmem).wait()
 
     @pl.when(kt == 0)
     def _zero():
@@ -148,25 +218,33 @@ def fused_dispatch_gmm1_rank(
     axis_name: str,
     num_ranks: int,
     seg: int,
-    tk: int = 1024,
-    tn: int = 512,
+    tk: int | None = None,
+    tn: int | None = None,
     collective_id: int | None = None,
+    interpret: bool | None = None,
 ):
     """Fused one-sided dispatch + dequantizing grouped GEMM1 (run in shard_map).
 
-    Returns ``out [E_local, R·seg, N] bf16``.  Requires ``H % tk == 0``,
-    ``N % tn == 0``.  No CPU-interpret mode (remote DMA semaphores)."""
+    Returns ``out [E_local, R·seg, N] bf16``.  Tiles default to the
+    traffic-model selector (``_fused_tiles``); explicit ``tk``/``tn`` must
+    divide H/N.  Interpret mode runs under the eager-DMA TPU simulator (the
+    lazy default mis-delivers multi-slot one-sided transfers, see
+    fused_full.py)."""
     from sgl_kernel_npu_tpu.parallel.collective_ids import next_collective_id
 
+    if interpret is None:
+        interpret = interpret_default()
     if collective_id is None:
         collective_id = next_collective_id()
     r, er, h = xsend.shape
     e_local, _, n = w1.shape
+    rows = num_ranks * seg
+    if tk is None or tn is None:
+        atk, atn = _fused_tiles(rows, h, n)
+        tk = atk if tk is None else tk
+        tn = atn if tn is None else tn
     assert er == e_local * seg and h % tk == 0 and n % tn == 0
     nk, n_nt = h // tk, n // tn
-    rows = num_ranks * seg
-    # pre-chunk sends along hidden so every remote DMA is one contiguous block
-    xsend_c = xsend.reshape(r, er, nk, tk).transpose(2, 0, 1, 3)
 
     grid = (e_local, n_nt, nk)
     _win, out = pl.pallas_call(
@@ -175,13 +253,13 @@ def fused_dispatch_gmm1_rank(
             tk=tk, nk=nk, n_experts=e_local),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, tk, tn), lambda e, nt, kt: (e, kt, nt)),
             pl.BlockSpec((1, 1, tn), lambda e, nt, kt: (e, 0, nt)),
             pl.BlockSpec((1, 1, rows), lambda e, nt, kt: (e, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, rows, tn), lambda e, nt, kt: (e, 0, nt)),
         ],
         out_shape=[
@@ -191,7 +269,7 @@ def fused_dispatch_gmm1_rank(
         scratch_shapes=[
             pltpu.VMEM((rows, h), jnp.int8),
             pltpu.VMEM((rows, tn), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((nk,)),
             pltpu.SemaphoreType.DMA((num_ranks, nk)),
             pltpu.SemaphoreType.DMA((num_ranks, nk)),
         ],
@@ -199,7 +277,12 @@ def fused_dispatch_gmm1_rank(
             has_side_effects=True,
             collective_id=collective_id if num_ranks > 1 else None,
         ),
-    )(xsend_c, w1, sw1[:, None, :], sx[:, None, :])
+        interpret=(
+            pltpu.InterpretParams(dma_execution_mode="eager")
+            if interpret
+            else False
+        ),
+    )(xsend, w1, sw1[:, None, :], sx[:, None, :])
     return out
 
 
@@ -213,8 +296,8 @@ def fused_dispatch_gmm1(
     num_experts: int,
     num_ranks: int,
     seg_capacity: int,
-    tk: int = 1024,
-    tn: int = 512,
+    tk: int | None = None,
+    tn: int | None = None,
 ):
     """Routed fused dispatch→GEMM1 from the public routing machinery.
 
