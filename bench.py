@@ -156,6 +156,7 @@ def main():
             ("prefill", _mla_prefill_secondary),
             ("a2a", _window_a2a_secondary),
             ("fused", _fused_gmm1_secondary),
+            ("fused_full", _fused_full_secondary),
             ("gqa", _gqa_secondary),
             ("int8kv", _int8kv_secondary),
             ("lora", _lora_secondary),
@@ -350,6 +351,60 @@ def _fused_gmm1_secondary(rng):
     }
 
 
+def _fused_full_secondary(rng):
+    """FULL single-kernel fused MoE (dispatch→GMM1→SwiGLU→GMM2→combine in ONE
+    pallas_call, fused_full.fused_deep_moe_full_rank) vs the unfused op chain
+    at DeepSeek decode shapes, self-loop mesh — the VERDICT r3 #1 number the
+    driver never captured."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from sgl_kernel_npu_tpu.parallel import fused_full
+    from sgl_kernel_npu_tpu.parallel.fused_moe import fused_deep_moe_rank
+
+    b, h, i, e, k = 128, 7168, 2048, 8, 8
+    tiles = fused_full.select_full_tiles(
+        t=b, k=k, h=h, i=i, e_local=e, num_ranks=1, seg=b)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def mkw(_):
+        kk = iter(jax.random.split(jax.random.key(7), 8))
+        w1 = jax.random.randint(next(kk), (e, h, 2 * i), -100, 100, jnp.int8)
+        s1 = jax.random.uniform(next(kk), (e, 2 * i), jnp.float32) / 100
+        w2 = jax.random.randint(next(kk), (e, i, h), -100, 100, jnp.int8)
+        s2 = jax.random.uniform(next(kk), (e, h), jnp.float32) / 100
+        return w1, s1, w2, s2
+
+    w1, s1, w2, s2 = mkw(0)
+    idx = jnp.tile(jnp.arange(e, dtype=jnp.int32)[None], (b, 1))  # k == e
+    wts = jnp.full((b, k), 1.0 / k, jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
+    smap = lambda fn: functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(),) * 7, out_specs=P(),
+        check_vma=False)(fn)
+
+    fused = smap(lambda x, i_, ww, a, bb, c, d: fused_full.fused_deep_moe_full_rank(
+        x, i_, ww, a, bb, c, d,
+        axis_name="ep", num_experts=e, num_ranks=1, seg_capacity=b, **tiles)[0])
+    unfused = smap(lambda x, i_, ww, a, bb, c, d: fused_deep_moe_rank(
+        x, i_, ww, a, bb, c, d,
+        axis_name="ep", num_experts=e, num_ranks=1,
+        pair_capacity=b * k, seg_capacity=b, pack_tn=tiles["tn1"])[0])
+
+    mkx = jax.jit(lambda key, s: jax.random.normal(key, s, jnp.bfloat16) * 0.5,
+                  static_argnums=1)
+    xs_small = mkx(jax.random.key(20), (4, b, h))
+    xs_big = mkx(jax.random.key(21), (36, b, h))
+    ops = (idx, wts, w1, s1, w2, s2)
+    tf = _bench_scanned(
+        lambda x, *o: fused(x, *o), xs_small, xs_big, ops, repeats=5)
+    tu = _bench_scanned(
+        lambda x, *o: unfused(x, *o), xs_small, xs_big, ops, repeats=5)
+    return {
+        "fused_full_us": round(tf * 1e6, 1),
+        "unfused_chain_us": round(tu * 1e6, 1),
+        "fused_full_vs_unfused": round(tu / tf, 2),
+    }
+
+
 def _gqa_secondary(rng):
     """Paged GQA decode (Llama-class shapes) vs HBM roofline (scripts/bench_gqa.py
     measures both variants; the driver captures the production one)."""
@@ -444,25 +499,40 @@ def _lora_secondary(rng):
 
 def _layer_secondary(rng):
     """Flagship composite: one full DeepSeek-V3 decode layer (scripts/bench_layer.py)
-    run as a subprocess so the driver-captured JSON carries the VERDICT #4 number."""
+    run as a subprocess so the driver-captured JSON carries the VERDICT #4 number —
+    plus the fusedmoe variant (MoE half through the FULL single-kernel fused MoE,
+    VERDICT r3 #1/#2)."""
     import re
     import subprocess
     import sys as _sys
 
-    proc = subprocess.run(
-        [_sys.executable, "scripts/bench_layer.py"],
-        capture_output=True, text=True, timeout=900,
-        cwd=str(__import__("pathlib").Path(__file__).resolve().parent),
-    )
-    m = re.search(r"decode layer, B=\d+:\s*([0-9.]+) us", proc.stdout)
-    f = re.search(r"floor:\s*([0-9.]+) us\s+->\s+([0-9.]+)% of floor", proc.stdout)
-    if not m or not f:
-        raise RuntimeError(f"bench_layer parse failed: {proc.stdout[-300:]}{proc.stderr[-300:]}")
-    return {
-        "layer_us": float(m.group(1)),
-        "layer_floor_us": float(f.group(1)),
-        "layer_pct_of_floor": float(f.group(2)),
+    def run_mode(args):
+        proc = subprocess.run(
+            [_sys.executable, "scripts/bench_layer.py", *args],
+            capture_output=True, text=True, timeout=900,
+            cwd=str(__import__("pathlib").Path(__file__).resolve().parent),
+        )
+        m = re.search(r"decode layer, B=\d+:\s*([0-9.]+) us", proc.stdout)
+        f = re.search(r"floor:\s*([0-9.]+) us\s+->\s+([0-9.]+)% of floor",
+                      proc.stdout)
+        if not m or not f:
+            raise RuntimeError(
+                f"bench_layer parse failed: {proc.stdout[-300:]}{proc.stderr[-300:]}")
+        return float(m.group(1)), float(f.group(1)), float(f.group(2))
+
+    t_us, floor_us, pct = run_mode([])
+    out = {
+        "layer_us": t_us,
+        "layer_floor_us": floor_us,
+        "layer_pct_of_floor": pct,
     }
+    try:
+        tf_us, _, pf = run_mode(["fusedmoe"])
+        out["layer_fusedmoe_us"] = tf_us
+        out["layer_fusedmoe_pct_of_floor"] = pf
+    except Exception as exc:  # keep the primary layer number
+        out["layer_fusedmoe_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    return out
 
 
 if __name__ == "__main__":

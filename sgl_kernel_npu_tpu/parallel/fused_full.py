@@ -170,6 +170,82 @@ def _make_dims(
     )
 
 
+def _divisors_128(n: int) -> list[int]:
+    return [v for v in range(128, n + 1, 128) if n % v == 0]
+
+
+def select_full_tiles(
+    *,
+    t: int,
+    k: int,
+    h: int,
+    i: int,
+    e_local: int,
+    num_ranks: int,
+    seg: int,
+    vmem_budget: int = 13 * 2**20,
+) -> dict:
+    """Traffic-model tile selection for the FULL fused kernel.
+
+    Weight traffic is tile-independent (every [tk, tn] block streams once), so
+    the objective is grid-step count: the round-3 hand-set (tm 128, tk 1024,
+    tn 512) grid ran p=35–84 steps per slot — hundreds of µs of pure per-step
+    overhead at DeepSeek decode shapes (the same failure mode BENCH_r03 showed
+    for the sub-kernel).  Minimize ``s_compute·p + reduce_steps`` under a VMEM
+    residency budget; mirrors ``_make_dims``'s geometry (the modeled VMEM terms
+    are the kernel's scratch + double-buffered blocks).
+
+    ``tn1`` is LAYOUT-COUPLED: gate/up weights must be packed with
+    ``pack_gmm1_weights(..., tn=tn1)`` — use this selector at the packing site
+    and pass the same dict to :func:`fused_deep_moe_full_rank`.
+    """
+    n1 = 2 * i
+    seg_al = _align(seg)
+    worst_recv = min(e_local * num_ranks * seg_al,
+                     num_ranks * t * k + (ROW_ALIGN - 1) * num_ranks * e_local)
+    worst_send = min(num_ranks * e_local * seg_al,
+                     t * k + (ROW_ALIGN - 1) * num_ranks * e_local)
+    best, best_key = None, None
+    tn1s = [v for v in _divisors_128(n1) if v % 256 == 0 or v == n1]
+    for tm in (128, 256):
+        s_compute = min(
+            e_local * cdiv(num_ranks * seg_al, tm),
+            cdiv(worst_recv, tm) + e_local,
+        )
+        rt_cnt = _round_up(worst_send, tm) // tm
+        for tn1 in tn1s:
+            for tk1 in _divisors_128(h):
+                p1 = (n1 // tn1) * (h // tk1)
+                for tk2 in _divisors_128(i):
+                    for tn2 in _divisors_128(h):
+                        p2 = (h // tn2) * (i // tk2)
+                        for tn3 in _divisors_128(h):
+                            vmem = (
+                                tm * h              # xslab int8
+                                + 2 * tm * h        # yslab bf16
+                                + 4 * tm * i        # h2f f32
+                                + tm * i            # h2q int8
+                                + 4 * tm * max(tn1, tn2)   # acc f32
+                                + 2 * tk1 * tn1     # w1 block ×2
+                                + 2 * tk2 * tn2     # w2 block ×2
+                                + 4 * t * tn3       # racc f32
+                                + 2 * tm * tn3      # rblk bf16
+                                + 2 * 2 * t * tn3   # out block ×2 bf16
+                                + 2 * 2 * tm * 2 * t  # mask block ×2 bf16
+                            )
+                            if vmem > vmem_budget:
+                                continue
+                            p = p1 + p2
+                            steps = s_compute * p + (h // tn3) * rt_cnt
+                            key = (steps, p, -tn1)
+                            if best_key is None or key < best_key:
+                                best = dict(tm=tm, tk1=tk1, tn1=tn1,
+                                            tk2=tk2, tn2=tn2, tn3=tn3)
+                                best_key = key
+    assert best is not None, (t, k, h, i, e_local, num_ranks, seg)
+    return best
+
+
 def _build_metadata(counts_eff: jax.Array, my: jax.Array, d: _FusedDims):
     """All offsets + the slot schedule, from the all-gathered count tensor.
 

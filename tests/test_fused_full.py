@@ -144,6 +144,59 @@ def test_full_fused_compact_single_rank(rng):
     assert avg_diff < 4e-4, avg_diff
 
 
+def test_selector_tiles_run_and_match(rng):
+    """select_full_tiles output is layout-consistent end-to-end: weights packed
+    at its tn1 + the fused call with its dict must match the unfused chain.
+    Also pins the production-shape choices against step-count regressions."""
+    ti = fused_full.select_full_tiles(
+        t=128, k=8, h=7168, i=2048, e_local=8, num_ranks=1, seg=128)
+    d = fused_full._make_dims(
+        num_ranks=1, e_local=8, seg=128, t=128, k=8, h=7168, n1=4096,
+        static_shapes=False, **ti)
+    # the round-3 hand-set grid ran 420 steps at these shapes
+    assert d.s_total * d.p <= 300, (ti, d.s_total * d.p)
+
+    r, e, t, k, seg = 2, 4, 8, 2, 8
+    h, i = 256, 128
+    ti2 = fused_full.select_full_tiles(
+        t=t, k=k, h=h, i=i, e_local=e // r, num_ranks=r, seg=seg)
+    wg = jnp.asarray((rng.standard_normal((e, h, i)) * 0.05), jnp.float32)
+    wu = jnp.asarray((rng.standard_normal((e, h, i)) * 0.05), jnp.float32)
+    wd = jnp.asarray((rng.standard_normal((e, i, h)) * 0.05), jnp.float32)
+    w1, s1, w2, s2 = quantize_expert_weights(wg, wu, wd, tn=ti2["tn1"])
+    n = r * t
+    x = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(e, k, replace=False) for _ in range(n)]), jnp.int32)
+    w = jnp.asarray(rng.random((n, k)), jnp.float32)
+
+    def fused(xs, ids, ws):
+        out, cnt, drop = fused_full.fused_deep_moe_full_rank(
+            xs, ids, ws, w1, s1, w2, s2,
+            axis_name="ep", num_experts=e, num_ranks=r,
+            seg_capacity=seg, **ti2)
+        return out, cnt[None], drop[None]
+
+    def unfused(xs, ids, ws):
+        out, cnt, drop = fused_deep_moe_rank(
+            xs, ids, ws, w1, s1, w2, s2,
+            axis_name="ep", num_experts=e, num_ranks=r,
+            pair_capacity=t * k, seg_capacity=seg, pack_tn=ti2["tn1"],
+        )
+        return out, cnt[None], drop[None]
+
+    smap = lambda fn: jax.shard_map(
+        fn, mesh=_mesh(r), in_specs=(P("ep"),) * 3,
+        out_specs=(P("ep"),) * 3, check_vma=False,
+    )
+    got, cnt_f, _ = smap(fused)(x, idx, w)
+    ref, cnt_u, _ = smap(unfused)(x, idx, w)
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_u))
+    g, rr = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    avg_diff = np.abs(g - rr).mean() / (np.abs(rr).mean() + 1e-9)
+    assert avg_diff < 4e-4, avg_diff
+
+
 @pytest.mark.slow
 def test_full_fused_matches_unfused_8rank(mesh8, rng):
     """Full 8-rank equivalence — same machinery as the 4-rank case but ~8× the
