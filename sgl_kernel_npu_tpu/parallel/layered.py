@@ -16,9 +16,21 @@ ICI, not DCN".  Global rank = node * ranks_per_node + ici.  Experts are owned
 contiguously by global rank (e // e_local_rank), matching ep_core.
 
 Static shapes throughout (graph-capture-safe, zero host syncs).  Payloads travel
-in the input dtype (INT8 comm-quant: compose with ep_core's pattern later).
-The receiver-side packed layout is IDENTICAL to ``ep_core.dispatch_core``
-(`recv_x [E_local, R*seg, H]`), so grouped GEMMs consume either path unchanged.
+in the input dtype, or INT8 + traveling per-token scales on BOTH hops
+(``use_int8=True`` — the reference's layered INT8 dispatch, QuantProcess,
+moe_distribute_dispatch_v2.h:994).  The receiver-side packed layout is
+IDENTICAL to ``ep_core.dispatch_core`` (`recv_x [E_local, R*seg, H]`), so
+grouped GEMMs consume either path unchanged; :func:`dispatch_layered_normal`
+adds the normal-mode (prefill) ragged variant — the A2 internode prefill
+pipeline's role (`ops2/op_kernel/dispatch_normal_a2.cpp`) — whose sorted
+compact output feeds ``ragged_dot``/``grouped_matmul`` directly.
+
+Monitoring: ``monitor=True`` returns per-tier traffic stats (DCN rows per
+destination node, ICI fan-out rows per destination rank, per-phase drop
+counts) — the EPLB/diagnosis signals of the reference's layered stats.
+Wait-cost matrices do not exist on this path BY CONSTRUCTION: both hops are
+XLA collectives whose synchronization the compiler owns; the one-sided
+``pallas_ragged`` backend (ep_core) is the tier that measures real waits.
 """
 
 from __future__ import annotations
@@ -165,6 +177,7 @@ def dispatch_layered(
     phase2_capacity: int,
     seg_capacity: int,
     use_int8: bool = False,
+    monitor: bool = False,
 ):
     """Two-tier dispatch (run inside shard_map over (node_axis, ici_axis)).
 
@@ -302,7 +315,121 @@ def dispatch_layered(
     }
     if use_int8:
         out["recv_scales"] = recv_scales
+    if monitor:
+        # per-tier traffic + drop stats (see module docstring: wait matrices
+        # don't exist on XLA-collective hops; traffic/drop/EPLB signals do)
+        ici_rows = (
+            jnp.zeros((p,), jnp.int32)
+            .at[jnp.where(plan2["ok"], plan2["dst_p"], p)]
+            .add(1, mode="drop")
+        )
+        out["stats"] = {
+            "dcn_send_rows": counts1,          # [N] deduped rows per dst node
+            "ici_send_rows": ici_rows,         # [P] fan-out rows per dst rank
+            "dropped_phase1": drop1,
+            "dropped_phase2": plan2["n_dropped"],
+        }
     return out
+
+
+def dispatch_layered_normal(
+    x: jax.Array,
+    topk_idx: jax.Array,
+    *,
+    node_axis: str,
+    ici_axis: str,
+    num_nodes: int,
+    ranks_per_node: int,
+    num_experts: int,
+    phase1_capacity: int,
+    phase2_capacity: int,
+    seg_capacity: int,
+    use_int8: bool = False,
+    monitor: bool = False,
+):
+    """Layered NORMAL-mode (prefill) dispatch: two-tier route, ragged output.
+
+    The A2 internode prefill pipeline's role
+    (`ops2/op_kernel/dispatch_normal_a2.cpp`, `notify_dispatch_a2.h`) —
+    high-token-count dispatch whose output is the expert-sorted compact
+    layout, exactly ``ep_core.dispatch_ragged_core``'s contract:
+
+    Returns dict with ``recv_x_sorted [E_local·R·seg, H]`` (rows grouped by
+    local expert, zero past the live rows), ``recv_scales_sorted`` (int8 mode),
+    ``group_sizes [E_local]`` (feeds ``grouped_matmul``/``ragged_dot``
+    directly), ``recv_count_matrix``, ``dcn_rows``, ``num_dropped``,
+    ``handle`` (for :func:`combine_layered_normal`), and ``stats`` when
+    monitored.
+    """
+    res = dispatch_layered(
+        x, topk_idx, node_axis=node_axis, ici_axis=ici_axis,
+        num_nodes=num_nodes, ranks_per_node=ranks_per_node,
+        num_experts=num_experts, phase1_capacity=phase1_capacity,
+        phase2_capacity=phase2_capacity, seg_capacity=seg_capacity,
+        use_int8=use_int8, monitor=monitor)
+    num_ranks = num_nodes * ranks_per_node
+    e_local = num_experts // num_ranks
+    hidden = x.shape[1]
+    cap = e_local * num_ranks * seg_capacity
+    counts = res["recv_count_matrix"]                  # [R, E_local]
+    seg_pos = jnp.arange(seg_capacity, dtype=jnp.int32)
+    # packed layout: per-(expert, src) segments with live rows at the start
+    occ = seg_pos[None, None, :] < counts.T[:, :, None]   # [E_local, R, seg]
+    occ_flat = occ.reshape(-1)
+    tgt = jnp.cumsum(occ_flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(occ_flat, jnp.minimum(tgt, cap - 1), cap)
+    flat_x = res["recv_x"].reshape(-1, hidden)
+    sorted_x = (
+        jnp.zeros((cap, hidden), flat_x.dtype).at[tgt].set(flat_x, mode="drop")
+    )
+    out = {
+        "recv_x_sorted": sorted_x,
+        "group_sizes": res["recv_count"],
+        "recv_count_matrix": counts,
+        "dcn_rows": res["dcn_rows"],
+        "num_dropped": res["num_dropped"],
+        "handle": (res["handle"], tgt),
+    }
+    if use_int8:
+        out["recv_scales_sorted"] = (
+            jnp.zeros((cap,), jnp.float32)
+            .at[tgt]
+            .set(res["recv_scales"].reshape(-1), mode="drop")
+        )
+    if monitor:
+        out["stats"] = res["stats"]
+    return out
+
+
+def combine_layered_normal(
+    y_sorted: jax.Array,
+    topk_weights: jax.Array,
+    handle,
+    *,
+    node_axis: str,
+    ici_axis: str,
+    num_nodes: int,
+    ranks_per_node: int,
+    seg_capacity: int,
+    num_tokens: int,
+    out_dtype=None,
+):
+    """Normal-mode combine: expert outputs in the SORTED compact layout are
+    scattered back to the packed per-segment layout, then ride the two-tier
+    reduce of :func:`combine_layered` (proxy-side reduction before DCN)."""
+    lhandle, tgt = handle
+    cap, hidden = y_sorted.shape
+    num_ranks = num_nodes * ranks_per_node
+    e_local = cap // (num_ranks * seg_capacity)
+    y_pad = jnp.concatenate(
+        [y_sorted, jnp.zeros((1, hidden), y_sorted.dtype)], axis=0)
+    packed = jnp.take(y_pad, tgt, axis=0).reshape(
+        e_local, num_ranks * seg_capacity, hidden)
+    return combine_layered(
+        packed, topk_weights, lhandle,
+        node_axis=node_axis, ici_axis=ici_axis, num_nodes=num_nodes,
+        ranks_per_node=ranks_per_node, seg_capacity=seg_capacity,
+        num_tokens=num_tokens, out_dtype=out_dtype)
 
 
 def combine_layered(

@@ -123,6 +123,64 @@ def test_layered_int8_dispatch(rng):
     assert rel < 2e-2                      # int8 per-token quant error bound
 
 
+def test_layered_normal_prefill_roundtrip(rng):
+    """Normal-mode (prefill ragged) layered path: sorted compact output feeds a
+    grouped-GEMM-shaped consumer, combine returns the golden result, and the
+    monitored stats surface reports per-tier traffic (VERDICT r3 #7; reference
+    A2 internode prefill, ops2/op_kernel/dispatch_normal_a2.cpp)."""
+    x_all = jnp.asarray(rng.standard_normal((R * T, H)), jnp.float32)
+    topk_all = jnp.asarray(
+        np.stack([rng.choice(E, size=K, replace=False) for _ in range(R * T)]),
+        jnp.int32)
+
+    def body(x, tk):
+        d = layered.dispatch_layered_normal(
+            x, tk, node_axis="node", ici_axis="ici", num_nodes=N_NODES,
+            ranks_per_node=RPN, num_experts=E, phase1_capacity=T,
+            phase2_capacity=N_NODES * T * K, seg_capacity=T,
+            use_int8=True, monitor=True)
+        rank = jax.lax.axis_index("node") * RPN + jax.lax.axis_index("ici")
+        eid = rank * E_LOCAL + jnp.arange(E_LOCAL)
+        # per-row expert id in the sorted layout (from group_sizes): the shape
+        # a ragged grouped GEMM consumes
+        gs = d["group_sizes"]
+        bounds = jnp.cumsum(gs)
+        row = jnp.arange(d["recv_x_sorted"].shape[0], dtype=jnp.int32)
+        e_of_row = jnp.searchsorted(bounds, row, side="right")
+        live = row < bounds[-1]
+        deq = (d["recv_x_sorted"].astype(jnp.float32)
+               * d["recv_scales_sorted"][:, None])
+        y = jnp.where(
+            live[:, None],
+            deq * (eid[jnp.clip(e_of_row, 0, E_LOCAL - 1)][:, None] + 1.0),
+            0.0)
+        out = layered.combine_layered_normal(
+            y, jnp.ones((T, K), jnp.float32) / K, d["handle"],
+            node_axis="node", ici_axis="ici", num_nodes=N_NODES,
+            ranks_per_node=RPN, seg_capacity=T, num_tokens=T,
+            out_dtype=jnp.float32)
+        st = d["stats"]
+        return (out, gs[None], d["num_dropped"][None],
+                st["dcn_send_rows"][None], st["ici_send_rows"][None])
+
+    mesh = _mesh()
+    f = jax.jit(functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(("node", "ici")), P(("node", "ici"))),
+        out_specs=(P(("node", "ici")),) * 5, check_vma=False)(body))
+    out, gs, dropped, dcn_rows, ici_rows = f(x_all, topk_all)
+    assert int(jnp.asarray(dropped).sum()) == 0
+    # every routed pair lands exactly once in the ragged layout
+    assert int(jnp.asarray(gs).sum()) == R * T * K
+    # stats: ICI fan-out carries every pair; DCN carries the deduped rows
+    assert int(jnp.asarray(ici_rows).sum()) == R * T * K
+    assert int(jnp.asarray(dcn_rows).sum()) <= R * T * K
+    scale = (np.asarray(topk_all) + 1.0).mean(axis=1)
+    want = np.asarray(x_all) * scale[:, None]
+    rel = np.abs(np.asarray(out).reshape(R * T, H) - want).max() / np.abs(want).max()
+    assert rel < 2e-2                      # int8 per-token quant error bound
+
+
 def test_layered_topk_minus_one_drops(rng):
     """topk = -1 entries are inactive (reference MOE_ENABLE_TOPK_NEG_ONE)."""
     x_all = jnp.asarray(rng.standard_normal((R * T, H)), jnp.float32)
