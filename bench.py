@@ -479,17 +479,20 @@ def _lora_secondary(rng):
                  static_argnums=1)
     a = mk(jax.random.key(30), (l, r, h))
     b = mk(jax.random.key(31), (l, h, r))
+    bt = b.transpose(0, 2, 1)  # adapter-load-time transpose (serving pattern)
     idx = jnp.asarray(rng.integers(0, l, t), jnp.int32)
     xs_small = mk(jax.random.key(32), (8, t, h))
     xs_big = mk(jax.random.key(33), (136, t, h))
     tf = _bench_scanned(
-        lambda x, a_, b_, i_: lora_pallas.bgmv_fused(x, a_, b_, i_, scaling=0.5),
-        xs_small, xs_big, (a, b, idx))
+        lambda x, a_, bt_, i_: lora_pallas.bgmv_fused(
+            x, a_, bt=bt_, idx=i_, scaling=0.5),
+        xs_small, xs_big, (a, bt, idx))
     tj = _bench_scanned(
         lambda x, a_, b_, i_: lmod.bgmv_expand(
             lmod.bgmv_shrink(x, a_, i_, 0.5), b_, i_),
         xs_small, xs_big, (a, b, idx))
-    floor = (2 * l * r * h + 2 * t * h) * 2 / 819e9
+    # honest floor: adapters read once + x read + f32 out write
+    floor = (l * r * (h + h) * 2 + t * h * 2 + t * h * 4) / 819e9
     return {
         "lora_fused_us": round(tf * 1e6, 1),
         "lora_jnp_us": round(tj * 1e6, 1),

@@ -184,6 +184,7 @@ def fused_lora_delta(
     token_adapter: jax.Array,
     *,
     scaling: float = 1.0,
+    bt: jax.Array | None = None,
 ) -> jax.Array:
     """Per-token LoRA delta ``scaling·(x @ A[i]ᵀ) @ B[i]ᵀ`` via ONE Pallas kernel.
 
@@ -197,9 +198,11 @@ def fused_lora_delta(
     t, h = x.shape
     l = a.shape[0]
     if t * l * h * x.dtype.itemsize <= 64 * 2**20:
-        return lora_pallas.bgmv_fused(x, a, b, token_adapter, scaling=scaling).astype(
-            x.dtype
-        )
+        # bt [L, R, D]: pass the once-per-load transposed expand weights to
+        # skip the per-call transpose (see lora_pallas.bgmv_fused)
+        return lora_pallas.bgmv_fused(
+            x, a, b, token_adapter, bt=bt, scaling=scaling
+        ).astype(x.dtype)
     idx = token_adapter.astype(jnp.int32)
     return bgmv_expand(bgmv_shrink(x, a, idx, scaling), b, idx).astype(x.dtype)
 

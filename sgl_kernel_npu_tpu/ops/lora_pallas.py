@@ -9,12 +9,17 @@ reference's dedicated AscendC LoRA kernels (csrc/lora/op_kernel/, 1,852 LoC).
 
 Two kernels, matched to the two serving regimes:
 
-* ``bgmv_fused`` (decode, per-token adapter): grid over adapters.  Each step
-  loads one adapter's A [R, H] and B [D, R] exactly once, computes the
-  full-batch shrink ``x @ Aᵀ`` (T·R·H MACs — at decode T this is noise), zeroes
-  the rows routed to other adapters, and accumulates the expand into a VMEM
-  accumulator.  Weight traffic = the ideal model (each adapter read once);
-  ONE kernel launch replaces the ~10-op XLA chain.
+* ``bgmv_fused`` (decode, per-token adapter): ALL adapters in one grid step
+  (chunked only when the pool outgrows VMEM).  The step computes the
+  full-pool shrink ``x @ A_allᵀ → [T, L·R]`` (the extra MACs are noise at
+  decode shapes), masks each token to its adapter's R-column block, and
+  expands against the stacked ``[L·R, D]`` B.  Weight traffic = the ideal
+  model (each adapter read once) and the grid is 1 step for typical pools —
+  the round-3 version swept a grid step PER adapter and its ~L·0.8 µs of
+  per-step overhead put it at 1.85× floor (BENCH_r03).  B is consumed
+  row-major ``[L, R, D]``: pass ``bt=`` (pre-transposed once at adapter-load
+  time, the serving pattern) or the wrapper transposes the reference-layout
+  ``[L, D, R]`` per call.
 
 * ``sgmv_fused`` (prefill, per-sequence adapter): tokens of one sequence are
   contiguous, so this is a *grouped* problem — the tile schedule reuses
@@ -44,64 +49,99 @@ from sgl_kernel_npu_tpu.ops.grouped_matmul import make_gmm_metadata
 from sgl_kernel_npu_tpu.utils.common import interpret_default
 
 
-def _bgmv_kernel(idx_ref, x_ref, a_ref, b_ref, o_ref, acc_ref, *, scaling: float):
-    l = pl.program_id(0)
-    nl = pl.num_programs(0)
+def _bgmv_kernel(idx_ref, x_ref, a_ref, bt_ref, o_ref, acc_ref, *,
+                 scaling: float, r: int, lc: int):
+    c = pl.program_id(0)
+    nc = pl.num_programs(0)
 
-    @pl.when(l == 0)
-    def _zero():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    # full-batch shrink against THIS adapter; rows routed elsewhere are zeroed
-    # (their MACs are free — decode LoRA is launch/bandwidth bound)
+    # full-pool shrink: x [T, H] @ a-chunk [lc·R, H]ᵀ → [T, lc·R].  The off-
+    # adapter MACs are free at decode shapes — the op is launch/weight-read
+    # bound, so ONE wide dot beats per-adapter steps.
     shrink = jax.lax.dot_general(
         x_ref[...],
-        a_ref[0],
+        a_ref[...],
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    live = idx_ref[...] == l                      # [T, 1] mask, lane-broadcast
+    # token t's live columns: the R-block of its adapter (within this chunk)
+    col = jax.lax.broadcasted_iota(jnp.int32, shrink.shape, 1)
+    live = (col // r + c * lc) == idx_ref[...]     # idx [T, 1] lane-broadcast
     shrink = jnp.where(live, shrink * scaling, 0.0)
-    acc_ref[...] += jax.lax.dot_general(
+    y = jax.lax.dot_general(
         shrink,
-        b_ref[0].astype(jnp.float32),
-        (((1,), (1,)), ((), ())),
+        bt_ref[...].astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
-    @pl.when(l == nl - 1)
-    def _write():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+    if nc == 1:
+        o_ref[...] = y.astype(o_ref.dtype)         # common case: no acc pass
+    else:
+        @pl.when(c == 0)
+        def _zero():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += y
+
+        @pl.when(c == nc - 1)
+        def _write():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _bgmv_chunk(t: int, h: int, d: int, l: int, r: int, esize: int,
+                vmem_budget: int = 12 * 2**20) -> int:
+    """Adapters per grid step: all of them unless the pool outgrows VMEM."""
+    fixed = t * h * esize + 2 * t * d * 4 + t * d * 4   # x + out(×2) + acc
+    lc = l
+    while lc > 1 and fixed + 2 * lc * r * (h + d) * esize > vmem_budget:
+        lc = -(-lc // 2)
+    return lc
 
 
 @functools.partial(jax.jit, static_argnames=("scaling", "interpret"))
 def bgmv_fused(
     x: jax.Array,
     a: jax.Array,
-    b: jax.Array,
-    idx: jax.Array,
+    b: jax.Array | None = None,
+    idx: jax.Array | None = None,
     *,
+    bt: jax.Array | None = None,
     scaling: float = 1.0,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused per-token LoRA delta: ``Δ[t] = scaling · (x[t] @ A[idx_t]ᵀ) @ B[idx_t]ᵀ``.
 
     Args: x ``[T, H]``; a ``[L, R, H]`` shrink weights; b ``[L, D, R]`` expand
-    weights; idx ``[T]`` int32 adapter per token.  Returns ``[T, D]`` f32.
+    weights (reference layout — transposed here per call), or ``bt``
+    ``[L, R, D]`` pre-transposed once at adapter-load time (the serving path:
+    skips the per-call transpose); idx ``[T]`` int32 adapter per token.
+    Returns ``[T, D]`` f32.
     """
     if interpret is None:
         interpret = interpret_default()
     t, h = x.shape
     l, r, _ = a.shape
-    d = b.shape[1]
+    if bt is None:
+        bt = b.transpose(0, 2, 1)                     # [L, R, D]
+    d = bt.shape[2]
+    lc = _bgmv_chunk(t, h, d, l, r, jnp.dtype(a.dtype).itemsize)
+    n_chunks = -(-l // lc)
+    a_flat = a.reshape(l * r, h)
+    bt_flat = bt.reshape(l * r, d)
+    if l % lc:                                        # pad pool to the chunk grid
+        pad = (n_chunks * lc - l) * r
+        a_flat = jnp.concatenate(
+            [a_flat, jnp.zeros((pad, h), a_flat.dtype)], axis=0)
+        bt_flat = jnp.concatenate(
+            [bt_flat, jnp.zeros((pad, d), bt_flat.dtype)], axis=0)
     return pl.pallas_call(
-        functools.partial(_bgmv_kernel, scaling=scaling),
-        grid=(l,),
+        functools.partial(_bgmv_kernel, scaling=scaling, r=r, lc=lc),
+        grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc * r, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((lc * r, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((t, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, d), jnp.float32),
@@ -113,7 +153,7 @@ def bgmv_fused(
             + t * d * 4,
             transcendentals=0,
         ),
-    )(idx.reshape(t, 1).astype(jnp.int32), x, a, b)
+    )(idx.reshape(t, 1).astype(jnp.int32), x, a_flat, bt_flat)
 
 
 def _sgmv_kernel(

@@ -120,6 +120,40 @@ def test_bgmv_fused_matches_golden(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
+def test_bgmv_fused_pretransposed_and_chunked(rng):
+    """The serving path (bt pre-transposed at adapter load) and the VMEM-chunked
+    grid (pool too large for one step, non-divisible chunk → padded) both match
+    the golden."""
+    from sgl_kernel_npu_tpu.ops import lora_pallas
+
+    loras, rank, h, d, t = 5, 8, 128, 256, 16
+    x = rng.standard_normal((t, h)).astype(np.float32)
+    a = rng.standard_normal((loras, rank, h)).astype(np.float32) * 0.1
+    b = rng.standard_normal((loras, d, rank)).astype(np.float32) * 0.1
+    idx = rng.integers(0, loras, t).astype(np.int32)
+    want = np.stack([0.5 * (x[i] @ a[idx[i]].T) @ b[idx[i]].T for i in range(t)])
+
+    bt = jnp.asarray(b).transpose(0, 2, 1)
+    got = lora_pallas.bgmv_fused(
+        jnp.asarray(x), jnp.asarray(a), bt=bt, idx=jnp.asarray(idx), scaling=0.5)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    # force multi-chunk: tiny budget → lc < loras, 5 % lc != 0 → padded pool
+    import functools
+    orig = lora_pallas._bgmv_chunk
+    # budget sized so lc=2 → 3 chunks over 5 adapters → padded pool
+    lora_pallas._bgmv_chunk = functools.partial(orig, vmem_budget=120 * 2**10)
+    try:
+        lora_pallas.bgmv_fused.clear_cache()
+        got2 = lora_pallas.bgmv_fused(
+            jnp.asarray(x), jnp.asarray(a), jnp.asarray(b), jnp.asarray(idx),
+            scaling=0.5)
+    finally:
+        lora_pallas._bgmv_chunk = orig
+        lora_pallas.bgmv_fused.clear_cache()
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-4, atol=1e-4)
+
+
 def test_sgmv_fused_matches_golden(rng):
     """ONE-kernel Pallas sgmv with heterogeneous ranks/scalings + tail rows."""
     from sgl_kernel_npu_tpu.ops import lora_pallas
