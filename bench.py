@@ -54,21 +54,28 @@ def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 10):
             return total
         return run
 
-    def timed(run, qs):
-        float(run(qs, operands))  # compile + warm
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(run(qs, operands))
-            times.append(time.perf_counter() - t0)
-        # median, not min: the driver-recorded number must be the one a rerun
-        # reproduces (VERDICT r1: headline = the number the driver can capture)
-        return statistics.median(times)
-
     n1, n2 = qs_small.shape[0], qs_big.shape[0]
-    t1 = timed(make(n1), qs_small)
-    t2 = timed(make(n2), qs_big)
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    run1, run2 = make(n1), make(n2)
+    float(run1(qs_small, operands))  # compile + warm
+    float(run2(qs_big, operands))
+    # PAIRWISE marginals, median over pairs: timing the two scan lengths
+    # back-to-back and differencing per repeat means a tunnel hiccup corrupts
+    # only the pair it lands in, and the median rejects it (BENCH_r03's driver
+    # window caught one: a stall inflated lora_fused 9.5 → 516 µs and drove
+    # two other secondaries negative — with leg-median differencing a single
+    # bad window poisons the whole metric).
+    marginals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run1(qs_small, operands))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run2(qs_big, operands))
+        tb = time.perf_counter() - t0
+        marginals.append((tb - ta) / (n2 - n1))
+    # median, not min: the driver-recorded number must be the one a rerun
+    # reproduces (VERDICT r1: headline = the number the driver can capture)
+    return max(statistics.median(marginals), 1e-9)
 
 
 def _probe_backend(timeout_s: int = 300) -> None:
@@ -295,17 +302,20 @@ def _window_a2a_secondary(rng):
                 jax.lax.fori_loop(0, n, body, x)[:, :1, :1].astype(jnp.float32))
         return run
 
-    ts = {}
-    for n in (16, 272):
-        runf = chained(n)
-        float(runf(x0, counts))
-        times = []
-        for _ in range(6):
-            t0 = time.perf_counter()
-            float(runf(x0, counts))
-            times.append(time.perf_counter() - t0)
-        ts[n] = statistics.median(times)
-    dt = max((ts[272] - ts[16]) / 256, 1e-9)
+    run_a = chained(16)
+    run_b = chained(272)
+    float(run_a(x0, counts))
+    float(run_b(x0, counts))
+    marginals = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        float(run_a(x0, counts))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run_b(x0, counts))
+        tb = time.perf_counter() - t0
+        marginals.append((tb - ta) / 256)
+    dt = max(statistics.median(marginals), 1e-9)
     return {
         "window_a2a_us": round(dt * 1e6, 1),
         "window_a2a_gbps": round(c * h * 2 / dt / 1e9, 1),
