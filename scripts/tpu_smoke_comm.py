@@ -1,8 +1,12 @@
 """Hardware smoke test for the monitored one-sided comm path (single chip).
 
-The bounded-poll wait (`pltpu.semaphore_read`), state-check broadcast
-(`pltpu.semaphore_signal`), and timeout accounting have no CPU-interpret lowering,
-so they are validated here on the real chip with a 1-device mesh:
+The bounded flag-window poll (local DMA snapshots of the flag region), the
+abort-row broadcast, and the timeout accounting behave differently under the
+interpret simulator (lazy delivery falsely times out live sources), so they
+are validated here on the real chip with a 1-device mesh.  NOTE:
+``pltpu.semaphore_read`` must never be used on this stack — a single read
+(DMA or regular semaphore) hangs the device (measured round 4); the monitored
+kernel is flag-window based for exactly that reason.
 
   1. self-loop ragged exchange — data + count arrive, no timeout flagged;
   2. fault-injected run (this rank mutes its sends) — the bounded poll expires,

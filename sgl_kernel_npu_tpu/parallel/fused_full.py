@@ -229,7 +229,7 @@ def select_full_tiles(
                                 + 2 * tk1 * tn1     # w1 block ×2
                                 + 2 * tk2 * tn2     # w2 block ×2
                                 + 4 * t * tn3       # racc f32
-                                + 2 * tm * tn3      # rblk bf16
+                                + 2 * 2 * tm * tn3  # rblk bf16 ×2
                                 + 2 * 2 * t * tn3   # out block ×2 bf16
                                 + 2 * 2 * tm * 2 * t  # mask block ×2 bf16
                             )
@@ -337,22 +337,38 @@ def _build_metadata(counts_eff: jax.Array, my: jax.Array, d: _FusedDims):
     )
 
 
-def _dma_chain(size, make_copy, op):
-    """Cover ``[0, align8(size))`` rows with 8-row chunks.
+def _dma_chain(size, make_copy, op, big: int = 128):
+    """Cover ``[0, align8(size))`` rows with ``big``-row chunks + an 8-row tail.
 
-    Every piece is 8 rows at an 8-aligned offset — Mosaic requires dynamic row
-    offsets into tiled (HBM/VMEM) refs to be provably 8-divisible, so ALL
-    layout offsets in this kernel are 8-aligned and the up-to-7 overflow rows
-    land in the segment's alignment padding.  ``size`` may be traced;
-    ``make_copy(row_off, rows)`` builds the descriptor; ``op`` applies
-    ``.start()`` / ``.wait_recv()`` / ``.wait_send()``."""
-    n8 = (size + ROW_ALIGN - 1) // ROW_ALIGN
+    Pieces sit at 8-aligned offsets — Mosaic requires dynamic row offsets into
+    tiled (HBM/VMEM) refs to be provably 8-divisible, so ALL layout offsets in
+    this kernel are 8-aligned and the up-to-7 overflow rows land in the
+    segment's alignment padding.  ``size`` may be traced; ``make_copy(row_off,
+    rows)`` builds the descriptor; ``op`` applies ``.start()`` /
+    ``.wait_recv()`` / ``.wait_send()``.
 
-    def chunk(c, _):
-        op(make_copy(c * ROW_ALIGN, ROW_ALIGN))
+    The two-tier decomposition matters: descriptor issue is serial scalar-core
+    work, and the round-3 all-8-row version put ~1300 descriptors on the
+    critical path of one decode-shape call (BENCH: fused_full 1225 µs vs a
+    430 µs weight floor).  A full 128-row segment is ONE descriptor now.
+    Senders and waiters MUST decompose identically (one-sided transfers match
+    descriptor-for-descriptor) — both sides call this function with the same
+    ``size``, so they do."""
+    nb = size // big
+
+    def chunk_big(c, _):
+        op(make_copy(c * big, big))
         return 0
 
-    jax.lax.fori_loop(0, n8, chunk, 0, unroll=False)
+    jax.lax.fori_loop(0, nb, chunk_big, 0, unroll=False)
+    base = nb * big
+    n8 = (size - base + ROW_ALIGN - 1) // ROW_ALIGN
+
+    def chunk8(c, _):
+        op(make_copy(base + c * ROW_ALIGN, ROW_ALIGN))
+        return 0
+
+    jax.lax.fori_loop(0, n8, chunk8, 0, unroll=False)
 
 
 def _fused_full_kernel(
@@ -703,13 +719,32 @@ def _fused_full_kernel(
 
     @pl.when(in_reduce)
     def _reduce():
-        cp = pltpu.make_async_copy(
-            retwin_ref.at[pl.ds(rt * d.tm, d.tm), pl.ds(nt3 * d.tn3, d.tn3)],
-            rblk,
-            lsem.at[0],
-        )
-        cp.start()
-        cp.wait()
+        # double-buffered return-window reads: step s's copy is started at
+        # step s−1 (s=0 primes itself), so the DMA hides under the previous
+        # step's dot — the round-3 start-then-wait serialized ~100 DMA
+        # latencies onto the reduce phase
+        def rcopy(step, slot):
+            s_nt3 = step // d.rt_cnt
+            s_rt = step % d.rt_cnt
+            return pltpu.make_async_copy(
+                retwin_ref.at[
+                    pl.ds(s_rt * d.tm, d.tm), pl.ds(s_nt3 * d.tn3, d.tn3)
+                ],
+                rblk.at[slot],
+                lsem.at[slot],
+            )
+
+        cur = jax.lax.rem(r_step, 2)
+
+        @pl.when(r_step == 0)
+        def _prime():
+            rcopy(0, 0).start()
+
+        @pl.when(r_step + 1 < d.nt3 * d.rt_cnt)
+        def _prefetch():
+            rcopy(r_step + 1, 1 - cur).start()
+
+        rcopy(r_step, cur).wait()
 
         @pl.when(rt == 0)
         def _zero():
@@ -717,7 +752,7 @@ def _fused_full_kernel(
 
         # zero non-live rows: alignment-padding rows carry garbage (their mask
         # weight is 0, but 0·NaN would poison the accumulator)
-        blk = jnp.where(rlive_ref[...] > 0, rblk[...], jnp.bfloat16(0))
+        blk = jnp.where(rlive_ref[...] > 0, rblk[cur], jnp.bfloat16(0))
         # mask cols = [w_hi | w_lo] bf16: two bf16 dots ≈ f32-accurate weights
         prod = jax.lax.dot_general(
             mask_ref[...],
@@ -920,7 +955,7 @@ def fused_deep_moe_full_rank(
             pltpu.VMEM((d.tm, max(d.tn1, d.tn2)), jnp.float32),  # acc
             pltpu.VMEM((d.tm, h), jnp.bfloat16),                # yslab
             pltpu.VMEM((t, d.tn3), jnp.float32),                # racc
-            pltpu.VMEM((d.tm, d.tn3), jnp.bfloat16),            # rblk
+            pltpu.VMEM((2, d.tm, d.tn3), jnp.bfloat16),         # rblk ×2
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((num_ranks,)),
             pltpu.SemaphoreType.DMA((num_ranks,)),

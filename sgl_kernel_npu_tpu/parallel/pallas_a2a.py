@@ -203,16 +203,22 @@ def _ragged_a2a_kernel(
         jax.lax.fori_loop(0, n_chunks, wait_r, 0)
 
 
+FLAG_MAGIC = 0x5A17  # flag-row sentinel (reference sync_collectives.h magic tags)
+
+
 def _ragged_a2a_monitored_kernel(
     counts_ref,      # [R, 128] int32 VMEM (value in col 0): rows I send to each dst
     x_ref,           # [R, C, H] send buffer
     o_ref,           # out [R, C, H] receive window
     oc_ref,          # out [R, 128] int32 receive counts window
-    stats_ref,       # out [R, 8] int32 SMEM: col0 count-poll iters, col1 count
-                     # timeout, col2 abort-seen, col3 payload-poll iters, col4
-                     # payload timeout, col5 send-cost poll iters
-    cnt_ssem, cnt_rsem, pay_ssem, pay_rsem,
-    state_sem,       # regular semaphore: the reference's STATE_CHECK window region
+    flags_ref,       # out [2R, 128] int32 HBM flag window: row s = payload flag
+                     # from source s; row R+s = abort broadcast from rank s
+    stats_ref,       # out [R, 8] int32 SMEM: col0 flag-poll iters, col1
+                     # timeout, col2 abort-seen, col3 = col0 (merged payload
+                     # phase), col4 payload-missing flag, col5 reserved (0)
+    cnt_ssem, cnt_rsem, pay_ssem, pay_rsem, flg_ssem, flg_rsem, loc_sem,
+    fscr,            # VMEM scratch [2R, 128] int32: poll snapshot of flags_ref
+    fbuf,            # VMEM scratch [1, 128] int32: flag/zero staging row
     *,
     axis_name,
     num_ranks,
@@ -228,28 +234,34 @@ def _ragged_a2a_monitored_kernel(
     (moe_distribute_dispatch_v2.h:23-26,1110-1126) + per-source wait-cost stats
     (``dispatch_wait_recv_cost_stats``, buffer.py:285-286), TPU-native:
 
-    * the count-arrival wait is a *bounded* spin on ``pltpu.semaphore_read`` of the
-      DMA recv semaphore (poll iterations stand in for the reference's cycle counts);
-    * the payload drain is bounded the same way: the spin watches the payload
-      recv semaphore's byte count reach the expected total; on timeout the
-      partial arrival is drained exactly (``semaphore_wait`` by the observed
-      value) so the kernel exits clean, the source's rows are truncated to 0,
-      and ``stats`` col 4 flags it — this closes the unbounded-wait gap the
-      round-1 review called out (every wait bounded, like the reference);
-    * send completion is also a bounded poll (stats col 5 — the reference's
-      ``combine_send_cost_stats``-style send-cost signal, buffer.py:490);
-    * on timeout the waiter broadcasts a signal to every peer's ``state_sem`` —
-      exactly the reference's write into peers' STATE_CHECK offset — so the whole
-      job aborts its waits instead of hanging on one dead rank;
-    * a timed-out / aborted source's recv count is forced to 0 (its window rows stay
-      undefined) and the flag surfaces in ``stats`` for the host to act on.
+    * **All flags are window MEMORY, written by DMA and polled by local DMA
+      reads** — exactly the reference's flag/STATE_CHECK window discipline
+      (``sync_collectives.h:17-120``).  ``pltpu.semaphore_read`` is NEVER used:
+      on this TPU stack even a single read — DMA or regular semaphore — hangs
+      the device (measured on chip, round 4; it also explains round 3's
+      ``TPU backend error (Internal)`` and both tunnel wedges).
+    * Each sender finishes its count+payload sends to a destination (local
+      ``wait_send``), then DMA-writes a magic flag row into that destination's
+      flag window.  The flag is a LIVENESS signal: data correctness still
+      comes from matched descriptor ``wait_recv``s, which are guaranteed live
+      once the flag is visible (the sends were fully issued).
+    * The receiver's wait is a *bounded* poll loop: each round one local DMA
+      snapshots the flag window, checked for the source's flag and for abort
+      rows (poll iterations stand in for the reference's cycle counts).
+    * On timeout the waiter DMA-writes an abort row into every peer's flag
+      window — the reference's write into peers' STATE_CHECK offset — so the
+      whole job exits its waits instead of hanging on one dead rank.
+    * A timed-out / aborted source's recv count is forced to 0 (its window
+      rows stay undefined) and the flags surface in ``stats``.  In-flight DMAs
+      from a rank that died mid-send are not drained (their recv semaphores
+      dangle) — the same post-abort exposure the reference accepts; the whole
+      job is tearing down at that point.
 
-    ``inject_send_fault`` (static) makes THIS rank send nothing — the test hook for
-    exercising detection (the reference's inactive-rank test flags, SURVEY §5).
-    ``use_sem_read=False`` (interpret mode, where semaphore_read has no CPU lowering)
-    degrades to blocking waits with zeroed stats — functionally identical on the
-    no-fault path.
-    """
+    ``inject_send_fault`` (static) makes THIS rank send nothing — the test hook
+    for exercising detection (the reference's inactive-rank test flags, SURVEY
+    §5).  ``use_sem_read=False`` (interpret-mode default, where lazy DMA
+    delivery would falsely time out on live sources) degrades to blocking
+    waits with zeroed stats — functionally identical on the no-fault path."""
     if use_barrier:
         _entry_barrier(axis_name, num_ranks)
     my = jax.lax.axis_index(axis_name)
@@ -285,9 +297,27 @@ def _ragged_a2a_monitored_kernel(
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
 
-    row_bytes = chunk_rows * x_ref.dtype.itemsize
-    for dim in x_ref.shape[2:]:
-        row_bytes *= dim
+    def flag_copy(dst, src_slot, row):
+        # one-sided flag write: fbuf → dst's flags_ref[row]
+        return pltpu.make_async_remote_copy(
+            src_ref=fbuf,
+            dst_ref=flags_ref.at[pl.ds(row, 1)],
+            send_sem=flg_ssem.at[dst],
+            recv_sem=flg_rsem.at[src_slot],
+            device_id=dst,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    # zero MY flag window (outputs are uninitialized memory), then barrier so
+    # no peer's flag lands before the zeroing.  The fbuf staging row starts as
+    # the zero row and later becomes the magic flag row.
+    fbuf[...] = jnp.zeros_like(fbuf)
+    for row in range(2 * num_ranks):
+        z = pltpu.make_async_copy(fbuf, flags_ref.at[pl.ds(row, 1)], loc_sem)
+        z.start()
+        z.wait()
+    if use_barrier:
+        _entry_barrier(axis_name, num_ranks)
 
     if not inject_send_fault:
         for off in range(num_ranks):
@@ -301,37 +331,27 @@ def _ragged_a2a_monitored_kernel(
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, send_c, 0)
-        # drain own sends (local completion — independent of receiver liveness).
-        # The poll count is the send-cost signal (reference
-        # combine_send_cost_stats, buffer.py:490).
+        # drain own sends (local completion — independent of receiver
+        # liveness), then flag each destination: count + payload to d are
+        # fully issued, so d's descriptor waits are guaranteed live
         for off in range(num_ranks):
             count_copy(off).wait_send()
         for off in range(num_ranks):
             d = jax.lax.rem(my + off, num_ranks)
             n_chunks = chunk_count(counts_ref[d, 0])
-            if use_sem_read:
-                exp = n_chunks * row_bytes
-
-                def spoll_cond(carry, exp=exp):
-                    it, done = carry
-                    return jnp.logical_and(~done, it < max_poll_rounds)
-
-                def spoll_body(carry, d=d, exp=exp):
-                    it, _ = carry
-                    return (it + 1, pltpu.semaphore_read(pay_ssem.at[d]) >= exp)
-
-                sit, _ = jax.lax.while_loop(
-                    spoll_cond, spoll_body, (jnp.int32(0), jnp.bool_(False))
-                )
-                stats_ref[d, 5] = sit
 
             def wait_s(c, _, d=d):
                 payload_chunk(d, my, c).wait_send()
                 return 0
 
             jax.lax.fori_loop(0, n_chunks, wait_s, 0)
+        fbuf[...] = jnp.full_like(fbuf, FLAG_MAGIC)
+        for off in range(num_ranks):
+            d = jax.lax.rem(my + off, num_ranks)
+            flag_copy(d, my, my).start()
 
-    # count arrivals: bounded spin per source, then consume or abort
+    # bounded flag poll per source: one local DMA snapshot of the flag window
+    # per round (the reference's WaitStatus spin over its flag region)
     for off in range(num_ranks):
         s = jax.lax.rem(my + off, num_ranks)
         consume = pltpu.make_async_remote_copy(
@@ -342,66 +362,6 @@ def _ragged_a2a_monitored_kernel(
             device_id=s,
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
-        if not use_sem_read:
-            consume.wait_recv()
-            continue
-
-        def poll_cond(carry):
-            it, arrived, aborted = carry
-            return jnp.logical_and(
-                jnp.logical_and(~arrived, ~aborted), it < max_poll_rounds
-            )
-
-        def poll_body(carry, s=s):
-            it, _, _ = carry
-            arrived = pltpu.semaphore_read(cnt_rsem.at[s]) > 0
-            aborted = pltpu.semaphore_read(state_sem) > 0
-            return (it + 1, arrived, aborted)
-
-        it, arrived, aborted = jax.lax.while_loop(
-            poll_cond, poll_body, (jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
-        )
-        timeout = jnp.logical_and(~arrived, ~aborted)
-        stats_ref[s, 0] = it
-        stats_ref[s, 1] = timeout.astype(jnp.int32)
-        stats_ref[s, 2] = aborted.astype(jnp.int32)
-
-        @pl.when(timeout)
-        def _():
-            # reference: broadcast to peers' STATE_CHECK region so every rank
-            # exits its wait loops instead of hanging.  ``local_abort``
-            # (1-device self-loop, or interpret where the simulator has no
-            # remote-signal lowering) degrades to a plain local increment:
-            # remote semaphore addressing also needs the collective-barrier
-            # context, which jax 0.9 withholds without a custom barrier.
-            if local_abort:
-                pltpu.semaphore_signal(state_sem, inc=1)
-            else:
-                for d in range(num_ranks):
-                    pltpu.semaphore_signal(
-                        state_sem,
-                        inc=1,
-                        device_id=d,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL,
-                    )
-
-        @pl.when(arrived)
-        def _():
-            consume.wait_recv()
-
-        @pl.when(~arrived)
-        def _(s=s):
-            # undefined window rows must not be consumed (vector row store:
-            # Mosaic disallows scalar stores to VMEM)
-            oc_ref[pl.ds(s, 1)] = jnp.zeros((1, oc_ref.shape[1]), oc_ref.dtype)
-
-    # payload drain: counts now authoritative (0 for dead/aborted sources).
-    # Bounded like every other wait: poll the payload recv semaphore's byte
-    # count up to the expected total; on timeout drain exactly the partial
-    # arrival (clean kernel exit) and truncate the source to 0 rows.
-    for off in range(num_ranks):
-        s = jax.lax.rem(my + off, num_ranks)
-        n_chunks = chunk_count(oc_ref[s, 0])
 
         def wait_r(c, _, s=s):
             pltpu.make_async_remote_copy(
@@ -415,58 +375,82 @@ def _ragged_a2a_monitored_kernel(
             return 0
 
         if not use_sem_read:
+            consume.wait_recv()
+            if not inject_send_fault:  # flags are sent on this path; consume
+                flag_copy(s, s, s).wait_recv()
+            n_chunks = chunk_count(oc_ref[s, 0])
             jax.lax.fori_loop(0, n_chunks, wait_r, 0)
             continue
 
-        exp = n_chunks * row_bytes
+        def poll_cond(carry):
+            it, arrived, aborted = carry
+            return jnp.logical_and(
+                jnp.logical_and(~arrived, ~aborted), it < max_poll_rounds
+            )
 
-        def ppoll_cond(carry):
-            it, done = carry
-            return jnp.logical_and(~done, it < max_poll_rounds)
+        def poll_body(carry, s=s):
+            it, _, _ = carry
+            snap = pltpu.make_async_copy(flags_ref, fscr, loc_sem)
+            snap.start()
+            snap.wait()
+            arrived = fscr[s, 0] == FLAG_MAGIC
+            aborted = (
+                jnp.sum(
+                    (fscr[num_ranks:, :1] == FLAG_MAGIC).astype(jnp.int32)
+                ) > 0
+            )
+            return (it + 1, arrived, aborted)
 
-        def ppoll_body(carry, s=s, exp=exp):
-            it, _ = carry
-            return (it + 1, pltpu.semaphore_read(pay_rsem.at[s]) >= exp)
-
-        pit, arrived = jax.lax.while_loop(
-            ppoll_cond, ppoll_body, (jnp.int32(0), jnp.bool_(False))
+        it, arrived, aborted = jax.lax.while_loop(
+            poll_cond, poll_body, (jnp.int32(0), jnp.bool_(False), jnp.bool_(False))
         )
-        stats_ref[s, 3] = pit
+        timeout = jnp.logical_and(~arrived, ~aborted)
+        stats_ref[s, 0] = it
+        stats_ref[s, 1] = timeout.astype(jnp.int32)
+        stats_ref[s, 2] = aborted.astype(jnp.int32)
+        stats_ref[s, 3] = it
         stats_ref[s, 4] = (~arrived).astype(jnp.int32)
 
-        @pl.when(arrived)
+        @pl.when(timeout)
         def _():
+            # reference: broadcast into peers' STATE_CHECK window region so
+            # every rank exits its wait loops instead of hanging.
+            # ``local_abort`` (1-device self-loop, or interpret where the
+            # simulator's lazy delivery would never surface the write)
+            # degrades to a local flag-window write.
+            fbuf[...] = jnp.full_like(fbuf, FLAG_MAGIC)
+            if local_abort:
+                ab = pltpu.make_async_copy(
+                    fbuf, flags_ref.at[pl.ds(num_ranks + my, 1)], loc_sem
+                )
+                ab.start()
+                ab.wait()
+            else:
+                for d in range(num_ranks):
+                    flag_copy(d, my, num_ranks + my).start()
+                for d in range(num_ranks):
+                    flag_copy(d, my, num_ranks + my).wait_send()
+
+        @pl.when(arrived)
+        def _(s=s):
+            # data waits are descriptor-matched and live (flag ⇒ sends issued)
+            consume.wait_recv()
+            flag_copy(s, s, s).wait_recv()
+            n_chunks = chunk_count(oc_ref[s, 0])
             jax.lax.fori_loop(0, n_chunks, wait_r, 0)
 
         @pl.when(~arrived)
         def _(s=s):
-            # partial arrival: consume exactly what landed so semaphores are
-            # zero at exit, truncate the source's rows, and tell the peers.
-            # DMA semaphores only accept descriptor waits (jax>=0.9 rejects
-            # semaphore_wait on dma_sem), so drain the completed chunk copies
-            # one wait_recv (= one chunk's bytes) at a time.
-            v = pltpu.semaphore_read(pay_rsem.at[s])
-            jax.lax.fori_loop(0, v // row_bytes, wait_r, 0)
-
+            # undefined window rows must not be consumed (vector row store:
+            # Mosaic disallows scalar stores to VMEM)
             oc_ref[pl.ds(s, 1)] = jnp.zeros((1, oc_ref.shape[1]), oc_ref.dtype)
-            if local_abort:
-                pltpu.semaphore_signal(state_sem, inc=1)
-            else:
-                for dd in range(num_ranks):
-                    pltpu.semaphore_signal(
-                        state_sem, inc=1, device_id=dd,
-                        device_id_type=pltpu.DeviceIdType.LOGICAL,
-                    )
 
-    if use_sem_read:
-        # Drain the state-check semaphore so the kernel exits clean (semaphores
-        # must be zero at completion).  Best-effort on the abort path: a signal
-        # landing after this read belongs to a job that is tearing down anyway.
-        v = pltpu.semaphore_read(state_sem)
-
-        @pl.when(v > 0)
-        def _():
-            pltpu.semaphore_wait(state_sem, v)
+    # drain own flag sends (local completion; skipped rows on the abort path
+    # are the documented teardown exposure)
+    if not inject_send_fault:
+        for off in range(num_ranks):
+            d = jax.lax.rem(my + off, num_ranks)
+            flag_copy(d, my, my).wait_send()
 
 
 def pallas_ragged_all_to_all(
@@ -545,7 +529,7 @@ def pallas_ragged_all_to_all(
         interpret=interpret,
     )
     if monitor:
-        out, oc, stats = pl.pallas_call(
+        out, oc, _flags, stats = pl.pallas_call(
             functools.partial(
                 _ragged_a2a_monitored_kernel,
                 axis_name=axis_name,
@@ -561,11 +545,16 @@ def pallas_ragged_all_to_all(
             out_shape=(
                 jax.ShapeDtypeStruct(x.shape, x.dtype),
                 jax.ShapeDtypeStruct((num_ranks, 128), jnp.int32),
+                jax.ShapeDtypeStruct((2 * num_ranks, 128), jnp.int32),
                 jax.ShapeDtypeStruct((num_ranks, 8), jnp.int32),
             ),
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
+                # flag window in HBM: polled via explicit local DMA snapshots,
+                # which the compiler cannot cache/hoist (a VMEM ref read in a
+                # spin loop could be)
+                pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             scratch_shapes=[
@@ -573,7 +562,11 @@ def pallas_ragged_all_to_all(
                 pltpu.SemaphoreType.DMA((num_ranks,)),
                 pltpu.SemaphoreType.DMA((num_ranks,)),
                 pltpu.SemaphoreType.DMA((num_ranks,)),
-                pltpu.SemaphoreType.REGULAR,
+                pltpu.SemaphoreType.DMA((num_ranks,)),
+                pltpu.SemaphoreType.DMA((num_ranks,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2 * num_ranks, 128), jnp.int32),
+                pltpu.VMEM((1, 128), jnp.int32),
             ],
             **common,
         )(counts_in, x)
