@@ -87,7 +87,8 @@ def main():
         def f(xs, ids, ws):
             d = ep_core.dispatch_core(
                 xs, ids, axis_name="ep", num_experts=E, num_ranks=R,
-                seg_capacity=T, use_int8=False, backend=backend)
+                pair_capacity=T * K, seg_capacity=T, use_int8=False,
+                backend=backend)
             y = d["recv_x"].astype(jnp.float32) * 0.5
             out = ep_core.combine_core(
                 y, ws, d["handle"], axis_name="ep", num_ranks=R,

@@ -211,8 +211,10 @@ def _ragged_a2a_monitored_kernel(
     x_ref,           # [R, C, H] send buffer
     o_ref,           # out [R, C, H] receive window
     oc_ref,          # out [R, 128] int32 receive counts window
-    flags_ref,       # out [2R, 128] int32 HBM flag window: row s = payload flag
-                     # from source s; row R+s = abort broadcast from rank s
+    flags_ref,       # out [2R·8, 128] int32 HBM flag window: slot s (rows
+                     # 8s..8s+8) = payload flag from source s; slot R+s = abort
+                     # broadcast from rank s.  8 rows per slot: int32 HBM is
+                     # (8, 128)-tiled, so every DMA offset stays tile-aligned
     stats_ref,       # out [R, 8] int32 SMEM: col0 flag-poll iters, col1
                      # timeout, col2 abort-seen, col3 = col0 (merged payload
                      # phase), col4 payload-missing flag, col5 reserved (0)
@@ -297,11 +299,11 @@ def _ragged_a2a_monitored_kernel(
             device_id_type=pltpu.DeviceIdType.LOGICAL,
         )
 
-    def flag_copy(dst, src_slot, row):
-        # one-sided flag write: fbuf → dst's flags_ref[row]
+    def flag_copy(dst, src_slot, slot):
+        # one-sided flag write: fbuf → dst's flag slot (8-row tile)
         return pltpu.make_async_remote_copy(
             src_ref=fbuf,
-            dst_ref=flags_ref.at[pl.ds(row, 1)],
+            dst_ref=flags_ref.at[pl.ds(8 * slot, 8)],
             send_sem=flg_ssem.at[dst],
             recv_sem=flg_rsem.at[src_slot],
             device_id=dst,
@@ -309,11 +311,13 @@ def _ragged_a2a_monitored_kernel(
         )
 
     # zero MY flag window (outputs are uninitialized memory), then barrier so
-    # no peer's flag lands before the zeroing.  The fbuf staging row starts as
-    # the zero row and later becomes the magic flag row.
+    # no peer's flag lands before the zeroing.  The fbuf staging tile starts
+    # as the zero tile and later becomes the magic flag tile.
     fbuf[...] = jnp.zeros_like(fbuf)
-    for row in range(2 * num_ranks):
-        z = pltpu.make_async_copy(fbuf, flags_ref.at[pl.ds(row, 1)], loc_sem)
+    for slot0 in range(2 * num_ranks):
+        z = pltpu.make_async_copy(
+            fbuf, flags_ref.at[pl.ds(8 * slot0, 8)], loc_sem
+        )
         z.start()
         z.wait()
     if use_barrier:
@@ -393,12 +397,12 @@ def _ragged_a2a_monitored_kernel(
             snap = pltpu.make_async_copy(flags_ref, fscr, loc_sem)
             snap.start()
             snap.wait()
-            arrived = fscr[s, 0] == FLAG_MAGIC
-            aborted = (
-                jnp.sum(
-                    (fscr[num_ranks:, :1] == FLAG_MAGIC).astype(jnp.int32)
-                ) > 0
-            )
+            # all-vector flag checks (no scalar loads from VMEM): lane 0 of
+            # each slot's first row, selected by iota
+            hit = (fscr[:, :1] == FLAG_MAGIC).astype(jnp.int32)
+            rows_i = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 0)
+            arrived = jnp.sum(jnp.where(rows_i == 8 * s, hit, 0)) > 0
+            aborted = jnp.sum(jnp.where(rows_i >= 8 * num_ranks, hit, 0)) > 0
             return (it + 1, arrived, aborted)
 
         it, arrived, aborted = jax.lax.while_loop(
@@ -421,7 +425,7 @@ def _ragged_a2a_monitored_kernel(
             fbuf[...] = jnp.full_like(fbuf, FLAG_MAGIC)
             if local_abort:
                 ab = pltpu.make_async_copy(
-                    fbuf, flags_ref.at[pl.ds(num_ranks + my, 1)], loc_sem
+                    fbuf, flags_ref.at[pl.ds(8 * (num_ranks + my), 8)], loc_sem
                 )
                 ab.start()
                 ab.wait()
@@ -545,7 +549,7 @@ def pallas_ragged_all_to_all(
             out_shape=(
                 jax.ShapeDtypeStruct(x.shape, x.dtype),
                 jax.ShapeDtypeStruct((num_ranks, 128), jnp.int32),
-                jax.ShapeDtypeStruct((2 * num_ranks, 128), jnp.int32),
+                jax.ShapeDtypeStruct((2 * num_ranks * 8, 128), jnp.int32),
                 jax.ShapeDtypeStruct((num_ranks, 8), jnp.int32),
             ),
             out_specs=(
@@ -565,8 +569,8 @@ def pallas_ragged_all_to_all(
                 pltpu.SemaphoreType.DMA((num_ranks,)),
                 pltpu.SemaphoreType.DMA((num_ranks,)),
                 pltpu.SemaphoreType.DMA,
-                pltpu.VMEM((2 * num_ranks, 128), jnp.int32),
-                pltpu.VMEM((1, 128), jnp.int32),
+                pltpu.VMEM((2 * num_ranks * 8, 128), jnp.int32),
+                pltpu.VMEM((8, 128), jnp.int32),
             ],
             **common,
         )(counts_in, x)
