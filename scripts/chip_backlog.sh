@@ -1,7 +1,15 @@
 #!/bin/bash
 # Chip-validation backlog: run on the real TPU as soon as the axon tunnel is
-# back (it was down 2026-08-18; "No jellyfish device found").  Order matters:
-# correctness smokes first, then the VERDICT-item benches.
+# back.  Order matters: correctness smokes first, then the VERDICT-item
+# benches.
+#
+# WEDGE PROTOCOL (round-4 findings): a hung Pallas kernel wedges the device
+# for ~10-40 min after the process dies; plain-matmul recovery precedes
+# Pallas-DMA recovery, so after any hang (a) kill the process, (b) leave the
+# chip ALONE for >=10 min (failed probes reset the recovery clock), (c) rerun
+# a known-good Pallas comm kernel (e.g. the non-monitored ragged a2a) as a
+# canary before trusting any new result.  NEVER use pltpu.semaphore_read in
+# any kernel -- a single read hangs this stack.
 #
 # Usage: scripts/chip_backlog.sh [logdir]   (default /tmp/chip_backlog)
 set -uo pipefail
