@@ -144,6 +144,47 @@ def test_full_fused_compact_single_rank(rng):
     assert avg_diff < 4e-4, avg_diff
 
 
+def test_full_fused_large_segment_tiered_chain(rng):
+    """Segments past 128 rows exercise BOTH tiers of the DMA chain (one
+    128-row piece + an 8-row tail) on every transfer path: dispatch sends,
+    arrival waits, combine returns, drains.  e=k=2 routes every token to both
+    experts, so each (expert, src) segment is exactly t=136 rows."""
+    mesh1 = _mesh(1)
+    e, t, k, seg = 2, 136, 2, 272
+    w1, s1, w2, s2 = _weights(rng, e)
+    x, idx, w = _inputs(rng, t, e, k)
+
+    def fused(xs, ids, ws):
+        out, cnt, drop = fused_full.fused_deep_moe_full_rank(
+            xs, ids, ws, w1, s1, w2, s2,
+            axis_name="ep", num_experts=e, num_ranks=1, seg_capacity=seg,
+            tm=288, tk1=H, tn1=TN1, tk2=I, tn2=H, tn3=H,
+            static_shapes=False,
+        )
+        return out, cnt[None], drop[None]
+
+    def unfused(xs, ids, ws):
+        out, cnt, drop = fused_deep_moe_rank(
+            xs, ids, ws, w1, s1, w2, s2,
+            axis_name="ep", num_experts=e, num_ranks=1,
+            pair_capacity=t * k, seg_capacity=seg,
+            gmm_tiles=(32, H, TN1), pack_tn=TN1,
+        )
+        return out, cnt[None], drop[None]
+
+    smap = lambda fn: jax.shard_map(
+        fn, mesh=mesh1, in_specs=(P("ep"), P("ep"), P("ep")),
+        out_specs=(P("ep"), P("ep"), P("ep")), check_vma=False,
+    )
+    got, cnt_f, _ = smap(fused)(x, idx, w)
+    ref, cnt_u, _ = smap(unfused)(x, idx, w)
+    np.testing.assert_array_equal(np.asarray(cnt_f), np.asarray(cnt_u))
+    g = np.asarray(got, np.float32)
+    r = np.asarray(ref, np.float32)
+    avg_diff = np.abs(g - r).mean() / (np.abs(r).mean() + 1e-9)
+    assert avg_diff < 4e-4, avg_diff
+
+
 def test_selector_tiles_run_and_match(rng):
     """select_full_tiles output is layout-consistent end-to-end: weights packed
     at its tn1 + the fused call with its dict must match the unfused chain.
