@@ -383,11 +383,12 @@ def _fused_full_kernel(
     # outputs
     xwin_ref, swin_ref, retwin_ref, yhbm_ref, out_ref,
     # scratch
-    xslab, sxslab, h2f, h2q, s2, acc, yslab, racc, rblk,
+    xslab, sxslab, h2f, h2q, s2, acc, yslab, racc, rblk, rmaskv,
     lsem, disp_ssem, disp_rsem, sc_ssem, sc_rsem, comb_ssem, comb_rsem,
     *,
     d: _FusedDims,
     axis_name: str,
+    phases: frozenset = frozenset({"send", "fill", "combine", "reduce"}),
 ):
     r, e = d.num_ranks, d.e_local
     s_id = pl.program_id(0)
@@ -477,7 +478,7 @@ def _fused_full_kernel(
         jax.lax.fori_loop(0, r, it, 0, unroll=False)
 
     # ======================= phase 0: dispatch sends ========================
-    @pl.when((s_id == 0) & (p_id == 0))
+    @pl.when((s_id == 0) & (p_id == 0) & ("send" in phases))
     def _send_all():
         if r > 1:
             # all-ranks barrier before any one-sided write: a remote DMA must
@@ -510,31 +511,37 @@ def _fused_full_kernel(
     g = g_ref[s_id]
     row0 = row0_ref[s_id]
     valid = valid_ref[s_id]
-    # LIVE row mask: true only for rows some segment actually DMA'd.  The
-    # aligned tile valid (rows_e) includes up-to-7 alignment-padding rows per
-    # segment whose window content is uninitialized; letting them through
-    # poisons the requant max for the whole tile (chip-only, data-dependent —
-    # static/interpret mode always has full segments and never sees it).
-    _iota = jax.lax.broadcasted_iota(jnp.int32, (d.tm, 1), 0)
-
-    def _live_row(src_i, m):
-        src = dev(src_i)
-        idx = src * e + g
-        seg_start = recv_off_ref[idx]
-        cnt = cnt_recv_ref[idx]
-        a = jnp.maximum(row0, seg_start) - row0
-        b = jnp.minimum(row0 + valid, seg_start + cnt) - row0
-        return m | ((_iota >= a) & (_iota < b))
-
-    rowmask = jax.lax.fori_loop(
-        0, r, _live_row, jnp.zeros((d.tm, 1), jnp.bool_), unroll=False
-    )
 
     # ================== GMM1 steps (p < p1): nt outer, kt inner =============
     nt = p_id // d.nk1
     kt = p_id % d.nk1
 
     @pl.when(slot_live & (p_id == 0))
+    def _rowmask():
+        # LIVE row mask, once per slot (it used to be recomputed EVERY grid
+        # step — ~0.5 µs × hundreds of steps of pure waste): 1.0 only for rows
+        # some segment actually DMA'd.  The aligned tile valid (rows_e)
+        # includes up-to-7 alignment-padding rows per segment whose window
+        # content is uninitialized; letting them through poisons the requant
+        # max for the whole tile (chip-only, data-dependent — static/interpret
+        # mode always has full segments and never sees it).
+        _iota = jax.lax.broadcasted_iota(jnp.int32, (d.tm, 1), 0)
+
+        def _live_row(src_i, m):
+            src = dev(src_i)
+            idx = src * e + g
+            seg_start = recv_off_ref[idx]
+            cnt = cnt_recv_ref[idx]
+            a = jnp.maximum(row0, seg_start) - row0
+            b = jnp.minimum(row0 + valid, seg_start + cnt) - row0
+            return m | ((_iota >= a) & (_iota < b))
+
+        m = jax.lax.fori_loop(
+            0, r, _live_row, jnp.zeros((d.tm, 1), jnp.bool_), unroll=False
+        )
+        rmaskv[...] = m.astype(jnp.float32)
+
+    @pl.when(slot_live & (p_id == 0) & ("fill" in phases))
     def _tile_start():
         # arrival waits: first tile of each expert waits that expert's segments
         @pl.when(first_ref[s_id] == 1)
@@ -578,22 +585,32 @@ def _fused_full_kernel(
     def _gmm1():
         @pl.when(kt == 0)
         def _zero():
-            acc[:, : d.tn1] = jnp.zeros((d.tm, d.tn1), jnp.float32)
+            acc[:, : d.tn1] = jnp.zeros((d.tm, d.tn1), jnp.int32)
 
+        # exact int32 accumulation across k-chunks (int8·int8 partial sums
+        # stay < 2^31 at any supported tk), converted to f32 ONCE at the
+        # epilogue — the per-step astype+f32-add of the earlier version was
+        # pure VPU overhead
         acc[:, : d.tn1] += jax.lax.dot_general(
             xslab[:, pl.ds(kt * d.tk1, d.tk1)],
             w1_ref[0],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
+        )
 
         @pl.when(kt == d.nk1 - 1)
         def _epilogue1():
-            deq = acc[:, : d.tn1] * sxslab[:, :1] * sw1_ref[0, 0][None, :]
+            deq = (
+                acc[:, : d.tn1].astype(jnp.float32)
+                * sxslab[:, :1]
+                * sw1_ref[0, 0][None, :]
+            )
             half = d.tn1 // 2
             gate, up = deq[:, :half], deq[:, half:]
             act = gate * jax.nn.sigmoid(gate) * up
-            h2f[:, pl.ds(nt * half, half)] = jnp.where(rowmask, act, 0.0)
+            h2f[:, pl.ds(nt * half, half)] = jnp.where(
+                rmaskv[...] > 0, act, 0.0
+            )
 
         @pl.when(p_id == d.p1 - 1)
         def _requant():
@@ -613,21 +630,21 @@ def _fused_full_kernel(
     def _gmm2():
         @pl.when(kt2 == 0)
         def _zero():
-            acc[:, : d.tn2] = jnp.zeros((d.tm, d.tn2), jnp.float32)
+            acc[:, : d.tn2] = jnp.zeros((d.tm, d.tn2), jnp.int32)
 
         acc[:, : d.tn2] += jax.lax.dot_general(
             h2q[:, pl.ds(kt2 * d.tk2, d.tk2)],
             w2_ref[0],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
+        )
 
         @pl.when(kt2 == d.nk2 - 1)
         def _epilogue2():
-            y = acc[:, : d.tn2] * s2[...] * sw2_ref[0, 0][None, :]
+            y = acc[:, : d.tn2].astype(jnp.float32) * s2[...] * sw2_ref[0, 0][None, :]
             yslab[:, pl.ds(nt2 * d.tn2, d.tn2)] = y.astype(jnp.bfloat16)
 
-        @pl.when(p_id == d.p - 1)
+        @pl.when((p_id == d.p - 1) & ("combine" in phases))
         def _combine_send():
             # stage this tile's y rows to HBM, then stream them back to their
             # source ranks' return windows (reference combine:
@@ -651,7 +668,24 @@ def _fused_full_kernel(
     nt3 = r_step // d.rt_cnt
     rt = r_step % d.rt_cnt
 
-    @pl.when(in_reduce & (r_step == 0))
+    @pl.when(in_reduce & (r_step == 0) & ("send" in phases))
+    def _drain_dispatch_sends():
+        # drain dispatch + scale sends (local completion)
+        def drain_pair(dst, ei, cnt, s_off, d_off):
+            _dma_chain(
+                cnt,
+                lambda o, n: disp_copy(dst, s_off + o, d_off + o, n, my),
+                lambda c: c.wait_send(),
+            )
+            _dma_chain(
+                cnt,
+                lambda o, n: scale_copy(dst, s_off + o, d_off + o, n, my),
+                lambda c: c.wait_send(),
+            )
+
+        for_each_pair(drain_pair)
+
+    @pl.when(in_reduce & (r_step == 0) & ("combine" in phases))
     def _reduce_prologue():
         # drain every live slot's combine sends (local completion)
         def drain_slot(slot, _):
@@ -671,21 +705,6 @@ def _fused_full_kernel(
             return 0
 
         jax.lax.fori_loop(0, d.s_compute, drain_slot, 0, unroll=False)
-
-        # drain dispatch + scale sends (local completion)
-        def drain_pair(dst, ei, cnt, s_off, d_off):
-            _dma_chain(
-                cnt,
-                lambda o, n: disp_copy(dst, s_off + o, d_off + o, n, my),
-                lambda c: c.wait_send(),
-            )
-            _dma_chain(
-                cnt,
-                lambda o, n: scale_copy(dst, s_off + o, d_off + o, n, my),
-                lambda c: c.wait_send(),
-            )
-
-        for_each_pair(drain_pair)
 
         # wait all combine returns: rank dst sends back cnt_send[dst, e] rows
         def it(dst_i, _):
@@ -717,7 +736,7 @@ def _fused_full_kernel(
 
         jax.lax.fori_loop(0, r, it, 0, unroll=False)
 
-    @pl.when(in_reduce)
+    @pl.when(in_reduce & ("reduce" in phases))
     def _reduce():
         # double-buffered return-window reads: step s's copy is started at
         # step s−1 (s=0 primes itself), so the DMA hides under the previous
@@ -790,8 +809,16 @@ def fused_deep_moe_full_rank(
     interpret: bool | None = None,
     collective_id: int | None = None,
     debug_outputs: bool = False,
+    phases: frozenset = frozenset({"send", "fill", "combine", "reduce"}),
 ):
     """Per-rank FULL fused MoE (run inside shard_map over ``axis_name``).
+
+    ``phases`` is a PROFILING knob: dropping members statically disables that
+    machinery ("send" = dispatch window writes+drains, "fill" = arrival waits
+    + slab assembly, "combine" = return DMAs + their waits, "reduce" = the
+    final masked-matmul reduction) so ablation benches can attribute kernel
+    time.  Anything less than the full set produces garbage output — bench
+    only.
 
     Args:
         x: ``[T, H]`` this rank's tokens (float).
@@ -952,10 +979,11 @@ def fused_deep_moe_full_rank(
             pltpu.VMEM((d.tm, d.i), jnp.float32),               # h2f
             pltpu.VMEM((d.tm, d.i), jnp.int8),                  # h2q
             pltpu.VMEM((d.tm, 1), jnp.float32),                 # s2
-            pltpu.VMEM((d.tm, max(d.tn1, d.tn2)), jnp.float32),  # acc
+            pltpu.VMEM((d.tm, max(d.tn1, d.tn2)), jnp.int32),   # acc (exact int)
             pltpu.VMEM((d.tm, h), jnp.bfloat16),                # yslab
             pltpu.VMEM((t, d.tn3), jnp.float32),                # racc
             pltpu.VMEM((2, d.tm, d.tn3), jnp.bfloat16),         # rblk ×2
+            pltpu.VMEM((d.tm, 1), jnp.float32),                 # rmaskv
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((num_ranks,)),
             pltpu.SemaphoreType.DMA((num_ranks,)),
@@ -966,7 +994,9 @@ def fused_deep_moe_full_rank(
         ],
     )
     xwin, swin, retwin, _yhbm, combined = pl.pallas_call(
-        functools.partial(_fused_full_kernel, d=d, axis_name=axis_name),
+        functools.partial(
+            _fused_full_kernel, d=d, axis_name=axis_name, phases=phases
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((d.cap_recv, h), jnp.int8),

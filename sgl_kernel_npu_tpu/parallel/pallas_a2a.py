@@ -500,6 +500,29 @@ def pallas_ragged_all_to_all(
         static_chunks = interpret  # see chunk_count: interpret sim needs symmetry
     r, c_cap = x.shape[0], x.shape[1]
     assert r == num_ranks
+    # Mosaic DMA slices must keep the lane (last) dim a multiple of the 128
+    # tile; thin payloads (meta blobs, scale columns) are padded to one full
+    # lane tile here and sliced back after the exchange (chip compile rejects
+    # them otherwise: "Slice shape along dimension 2 must be aligned").
+    trail = x.shape[2:]
+    lane = 1
+    for dim in trail:
+        lane *= dim
+    if (not trail) or lane % 128:
+        lane_p = -(-max(lane, 1) // 128) * 128
+        xp = jnp.pad(
+            x.reshape(r, c_cap, lane), ((0, 0), (0, 0), (0, lane_p - lane))
+        )
+        res = pallas_ragged_all_to_all(
+            xp, counts, axis_name=axis_name, num_ranks=num_ranks,
+            chunk_rows=chunk_rows, collective_id=collective_id,
+            interpret=interpret, static_chunks=static_chunks, monitor=monitor,
+            max_poll_rounds=max_poll_rounds,
+            inject_send_fault=inject_send_fault,
+            force_sem_read=force_sem_read,
+        )
+        out = res[0][..., :lane].reshape(x.shape)
+        return (out, *res[1:])
     # Interpret defaults to blocking waits: the simulator delivers remote
     # copies lazily, so a bounded poll would falsely time out on LIVE sources.
     # ``force_sem_read=True`` opts back into the bounded-poll decision logic —
@@ -622,6 +645,20 @@ def pallas_all_to_all(
     if collective_id is None:
         collective_id = next_collective_id()
     assert x.shape[0] == num_ranks, (x.shape, num_ranks)
+    # lane-tile padding for thin blocks (see pallas_ragged_all_to_all)
+    trail = x.shape[1:]
+    lane = 1
+    for dim in trail:
+        lane *= dim
+    if len(trail) < 2 or lane % 128:
+        rows = -(-max(lane, 1) // 128)
+        xp = jnp.pad(x.reshape(num_ranks, lane), ((0, 0), (0, rows * 128 - lane)))
+        out = pallas_all_to_all(
+            xp.reshape(num_ranks, rows, 128), axis_name=axis_name,
+            num_ranks=num_ranks, collective_id=collective_id,
+            interpret=interpret,
+        )
+        return out.reshape(num_ranks, rows * 128)[:, :lane].reshape(x.shape)
     use_barrier = (not interpret) and num_ranks > 1  # see _entry_barrier
     return pl.pallas_call(
         functools.partial(_a2a_kernel, axis_name=axis_name, num_ranks=num_ranks,
