@@ -880,10 +880,21 @@ def fused_deep_moe_full_rank(
     # shared Pallas wire quant — must produce the int8 wire bits dispatch_core
     # produces, or the fused-vs-unfused 4e-4 comparison drifts (see wire_quant)
     xq, scale = wire_quant(x)
-    xs = (
-        jnp.zeros((d.cap_send + 1, h), jnp.int8)
-        .at[pos].set(xq[plan.src_token], mode="drop")[: d.cap_send]
+    # placement as a one-hot int8 MATMUL, not a row scatter: token-granular
+    # gathers/scatters lower to ~60 GB/s scalar loops on TPU (PERF.md §DSA),
+    # and this [cap_send, H] build was ~400 µs of the call at decode shapes —
+    # the MXU does the same data movement in ~10 µs.  int8·one-hot sums are
+    # exact (each output row is one x row or zero).
+    row_src = (
+        jnp.full((d.cap_send + 1,), t, jnp.int32)
+        .at[pos].set(plan.src_token, mode="drop")[: d.cap_send]
     )
+    p_mat = (
+        row_src[:, None] == jnp.arange(t, dtype=jnp.int32)[None, :]
+    ).astype(jnp.int8)
+    xs = jax.lax.dot_general(
+        p_mat, xq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.int8)
     ss = (
         jnp.zeros((d.cap_send + 1, 128), jnp.float32)
         .at[pos, 0].set(scale[plan.src_token], mode="drop")[: d.cap_send]
