@@ -98,7 +98,8 @@ def main():
         router = kf(hidden, e_local, sc=0.02)
         wo = jax.random.normal(next(keys), (heads * 128, hidden), jnp.bfloat16) * 0.01
         wvu = jax.random.normal(next(keys), (heads, lat, 128), jnp.bfloat16) * 0.04
-        return w, kv_nope, kv_rope, w1, s1, w2, s2, router, wo, wvu
+        return (mp.pad_weights_lane_aligned(w), kv_nope, kv_rope,
+                w1, s1, w2, s2, router, wo, wvu)
 
     operands = make_all()
     jax.block_until_ready(operands)
@@ -220,48 +221,51 @@ def main():
         return (x + out).astype(h_in.dtype), kvn, kvr
 
     h0 = jax.random.normal(jax.random.key(9), (b, hidden), jnp.bfloat16) * 0.5
-    out = jax.jit(layer)(h0, *operands)
-    jax.block_until_ready(out)
-    print(f"[{time.time()-t0:6.1f}s] single-layer compile+run done", flush=True)
-
-    # scan-marginal timing with the KV caches as CARRY: a serving engine
-    # donates its cache (in-place update); leaving the caches as loop
-    # invariants would force XLA to copy all 150 MB every iteration
+    # KV caches donated (a serving engine updates its cache in place); the
+    # returned caches thread into the next call so no 150 MB copy appears
+    jl = jax.jit(layer, donate_argnums=(2, 3))
     kvn0, kvr0 = operands[1], operands[2]
     rest = operands[:1] + operands[3:]
+    state = {"kv": (kvn0, kvr0)}
 
-    def make(niter):
-        @jax.jit
-        def run(hs, kvn, kvr, rest):
-            def step(carry, h):
-                acc, kn, kr = carry
-                o, kn, kr = layer(h, rest[0], kn, kr, *rest[1:])
-                return (acc + jnp.sum(o.astype(jnp.float32)), kn, kr), None
+    def stepfn():
+        o, kn, kr = jl(h0, rest[0], state["kv"][0], state["kv"][1], *rest[1:])
+        state["kv"] = (kn, kr)
+        jax.block_until_ready(o)
 
-            (acc, _, _), _ = jax.lax.scan(step, (jnp.float32(0), kvn, kvr), hs)
-            return acc
-        return run
+    stepfn()
+    print(f"[{time.time()-t0:6.1f}s] single-layer compile+run done", flush=True)
 
-    n1, n2 = 4, 20
-    hs_small = jax.random.normal(jax.random.key(1), (n1, b, hidden), jnp.bfloat16) * 0.5
-    hs_big = jax.random.normal(jax.random.key(2), (n2, b, hidden), jnp.bfloat16) * 0.5
-    run1, run2 = make(n1), make(n2)
-    float(run1(hs_small, kvn0, kvr0, rest))
-    float(run2(hs_big, kvn0, kvr0, rest))
-    # pairwise marginals, median over pairs (bench.py policy: a tunnel hiccup
-    # corrupts one pair, not the metric); median per the driver's
-    # reproducibility policy (VERDICT r3 #4)
-    marginals = []
-    for _ in range(10):
-        s0 = time.perf_counter()
-        float(run1(hs_small, kvn0, kvr0, rest))
-        ta = time.perf_counter() - s0
-        s0 = time.perf_counter()
-        float(run2(hs_big, kvn0, kvr0, rest))
-        tb = time.perf_counter() - s0
-        marginals.append((tb - ta) / (n2 - n1))
-    t = max(statistics.median(marginals), 1e-9)
-    print(f"[{time.time()-t0:6.1f}s] scan timing done", flush=True)
+    # trace-based timing (round 5): the xplane trace carries exact device-side
+    # durations per op — the scan-marginal wall-clock method this replaced had
+    # error bars wider than the effects being measured (see trace_profile.py)
+    from sgl_kernel_npu_tpu.utils import trace_profile as tp
+    from jax.profiler import ProfileData
+
+    for _ in range(5):
+        stepfn()
+    path = tp.capture(stepfn, iters=12)
+    pd = ProfileData.from_file(path)
+    mod_durs = []
+    for plane in pd.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        for line in plane.lines:
+            if line.name == "XLA Modules":
+                for ev in line.events:
+                    mod_durs.append(ev.duration_ns / 1e3)
+    mod_durs.sort()
+    t = statistics.median(mod_durs) * 1e-6 if mod_durs else 1e-9
+    iqr = (mod_durs[(3 * len(mod_durs)) // 4] - mod_durs[len(mod_durs) // 4]
+           if len(mod_durs) >= 4 else 0.0)
+    print(f"[{time.time()-t0:6.1f}s] trace timing done "
+          f"(n={len(mod_durs)}, IQR {iqr:.1f} us)", flush=True)
+    print("per-op device breakdown:")
+    rows_tbl = tp.op_times(path)
+    print(tp.format_table(rows_tbl, top=18))
+    if "--hlo" in sys.argv:
+        for r in rows_tbl[:18]:
+            print(f"  {r.name}: {r.hlo}")
     # weight-read floor: all weights once + KV read
     w1_, w2_, wo_, wvu_ = operands[3], operands[5], operands[8], operands[9]
     wbytes = (w.wdqkv.size + w.wuq.size + w1_.size + w2_.size

@@ -194,7 +194,7 @@ def make_mla_preprocess_weights(cfg: DeepSeekV3Config, params: dict,
             qnope_scale = 126.0 / (jnp.abs(q_lat).max(axis=(0, 2)) * margin + 1e-12)
         else:
             qnope_scale = None
-        out.append(mp.MlaPreprocessWeights(
+        out.append(mp.pad_weights_lane_aligned(mp.MlaPreprocessWeights(
             gamma1=lw["ln1"], beta1=jnp.zeros_like(lw["ln1"]),
             qscale1=qs1.astype(jnp.float32), qoffset1=jnp.float32(0),
             wdqkv=wd_q, descale1=(sw1 * qs1).astype(jnp.float32),
@@ -206,7 +206,7 @@ def make_mla_preprocess_weights(cfg: DeepSeekV3Config, params: dict,
             gamma3=lw["kv_ln"], wuk=lw["wuk"],
             qnope_scale=qnope_scale,
             ctkv_scale=jnp.float32(cfg.ctkv_scale),
-        ))
+        )))
     return out
 
 

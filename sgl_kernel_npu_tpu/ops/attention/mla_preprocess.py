@@ -71,6 +71,26 @@ class MlaPreprocessWeights(NamedTuple):
     ctkv_scale: jax.Array | None = None   # [] (int8 cache mode)
 
 
+def pad_weights_lane_aligned(w: MlaPreprocessWeights) -> MlaPreprocessWeights:
+    """Pre-pad ``wdqkv``'s output dim (2112) to a 128-lane multiple at LOAD time.
+
+    quant_matmul otherwise pads the weight with a per-call ``jnp.pad`` — a
+    15 MB materialization XLA cannot hoist across the jit parameter boundary
+    (trace-measured 21 µs per decode step).  Call once when weights are built;
+    mla_preprocess ignores the pad columns (split dims come from the other
+    weight shapes).
+    """
+    n0 = w.wdqkv.shape[0]
+    pad = (-n0) % 128
+    if pad == 0:
+        return w
+    return w._replace(
+        wdqkv=jnp.pad(w.wdqkv, ((0, pad), (0, 0))),
+        descale1=jnp.pad(w.descale1, (0, pad)),
+        bias1=jnp.pad(w.bias1, (0, pad)),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cache_mode", "use_pallas", "first_norm"),
@@ -119,13 +139,17 @@ def mla_preprocess(
     fused = gemm(x1q, w.wdqkv, w.descale1, w.bias1, out_dtype=jnp.float32)  # [N, 2112]
 
     # dims from the weights (full scale: 512 / 64 / 1536 — the module
-    # constants; the model wiring passes its own scaled-down shapes)
+    # constants; the model wiring passes its own scaled-down shapes).  wdqkv
+    # may carry lane padding beyond k_nope+k_pe+q_rms (pad_weights_lane_aligned
+    # hoists quant_matmul's per-call jnp.pad to load time); rope width comes
+    # from cos_sin, so the pad columns are simply never read.
     k_nope_d = w.gamma3.shape[0]
     q_rms_d = w.gamma2.shape[0]
-    k_pe_d = fused.shape[1] - k_nope_d - q_rms_d
+    k_pe_d = cos.shape[-1]
+    assert fused.shape[1] >= k_nope_d + k_pe_d + q_rms_d
     ckv = fused[:, :k_nope_d]
     k_pe = fused[:, k_nope_d : k_nope_d + k_pe_d][:, None, :]   # [N, 1, 64]
-    cq = fused[:, k_nope_d + k_pe_d :]                          # [N, 1536]
+    cq = fused[:, k_nope_d + k_pe_d : k_nope_d + k_pe_d + q_rms_d]  # [N, 1536]
 
     # q path: RMSNorm(+beta) → quant → W8A8 wuq → per-head split
     q = rms_norm_ref(cq.astype(dtype), w.gamma2, 1e-6) + w.beta2.astype(jnp.float32)

@@ -394,6 +394,7 @@ def grouped_matmul(
         assert epilogue == "none", "rhs_contract_last supports epilogue='none' only"
     else:
         g, _, n = w.shape
+    tm_arg, tk_arg = tm, tk
     if tm is None or tk is None or tn is None:
         a_tm, a_tk, a_tn = select_gmm_tiles(
             s, kdim, n, x.dtype, num_groups=g,
@@ -404,12 +405,20 @@ def grouped_matmul(
     tk = min(tk, kdim)
     tn = min(tn, n)
     if epilogue == "dequant_swiglu_quant":
-        # the row max for per-token quant needs the whole output row in-tile
+        # the row max for per-token quant needs the whole output row in-tile;
+        # auto-picked tm/tk are clamped to the VMEM model, explicit args win
+        # (r5: the 6 MB clamp forced tk=512 → 224 grid steps at DeepSeek
+        # shapes — ~90 µs of pure step overhead; wide-tk fits easily under
+        # an explicit vmem_limit_bytes)
         tn = n
-        while tm > 128 and tm * n * 4 > 4 * 2**20:  # full-width f32 accumulator
-            tm //= 2
-        while tk > 256 and 2 * tk * (tm + n) > 6 * 2**20:
-            tk //= 2
+        if tm_arg is None:
+            while tm > 128 and tm * n * 4 > 4 * 2**20:
+                tm //= 2
+        if tk_arg is None:
+            while tk > 256 and 2 * tk * (tm + n) > 18 * 2**20:
+                tk //= 2
+            while kdim % tk:  # keep divisibility after halving
+                tk //= 2
     assert kdim % tk == 0 and n % tn == 0, (kdim, tk, n, tn)
     if epilogue == "dequant_swiglu":
         assert tn % 2 == 0
@@ -531,6 +540,9 @@ def grouped_matmul(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+
         cost_estimate=pl.CostEstimate(
             flops=2 * s * kdim * n,
             bytes_accessed=s * kdim + g * kdim * n + s * n_out,
@@ -668,10 +680,14 @@ def grouped_matmul_combine(
     s, kdim = x.shape
     g, _, n = w.shape
     n_tok = combine_hi.shape[0]
+    # chip-swept defaults (r5 trace timing, DeepSeek GMM2 shapes K=2048 N=7168):
+    # (tk 2048, tn 1792) 210 µs vs the old (1024, 1024) 255 µs — full-K chunks
+    # kill the k-inner sweep and 1792 quarters the n-outer weight re-visits
     if tk is None:
-        tk = next((t for t in (1024, 512, 256) if kdim % t == 0), kdim)
+        tk = next((t for t in (2048, 1024, 512, 256) if kdim % t == 0), kdim)
     if tn is None:
-        tn = next((t for t in (1024, 512, 256) if n % t == 0), n)
+        tn = next((t for t in (1792, 1024, 512, 256)
+                   if n % t == 0 and 2 * tk * t <= 15 * 2**20), n)
     tm = min(tm, s)
     tk = min(tk, kdim)
     tn = min(tn, n)
@@ -732,6 +748,8 @@ def grouped_matmul_combine(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tok, n), out_dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         cost_estimate=pl.CostEstimate(
             flops=2 * s * kdim * n + 4 * n_tok * s * n,
             bytes_accessed=s * kdim + g * kdim * n + n_tok * n * 4,

@@ -79,3 +79,20 @@ def test_reshape_and_cache(rng):
     for i, s in enumerate([0, 5, 31, 17]):
         np.testing.assert_array_equal(out[s // page, :, s % page, :], np.asarray(vals)[i])
     assert np.abs(out).sum() == np.abs(np.asarray(vals)[:4]).sum()
+
+
+def test_reshape_and_cache_transposed_dup_pages(rng):
+    # page-granular merged update (r5): duplicate pages in one call, -1 slots,
+    # and preservation of untouched columns in touched pages
+    pages, hkv, d, page = 6, 1, 8, 4
+    base = jnp.asarray(rng.standard_normal((pages, hkv, d, page)), jnp.float32)
+    n = 6
+    vals = jnp.asarray(rng.standard_normal((n, hkv, d)), jnp.float32)
+    # slots 8,9,10 share page 2; slot 21 in page 5; -1 dropped; slot 0 page 0
+    slots = jnp.asarray([8, 9, 10, 21, -1, 0], jnp.int32)
+    out = np.asarray(mc.reshape_and_cache_transposed(vals, base, slots))
+    ref = np.asarray(base).copy()
+    for i, s in enumerate(np.asarray(slots)):
+        if s >= 0:
+            ref[s // page, :, :, s % page] = np.asarray(vals)[i]
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
