@@ -209,15 +209,19 @@ def main():
             out = jax.lax.dot(m_hi, y, preferred_element_type=jnp.float32)
             out += jax.lax.dot(m_lo, y, preferred_element_type=jnp.float32)
         else:
-            # r2 path (models/deepseek_v3._gmm_moe): the row gather rides
-            # inside GMM1 as a one-hot P @ x MXU op, and the weighted combine
-            # is GMM2's epilogue — no [rows, H] array crosses HBM between the
-            # router and the combined output
-            p_mat = gm.dispatch_onehot(tok_of_row, b)
-            h1, hs = gm.grouped_matmul(
-                xq_tok, w1, gsizes, sx, s1,
-                epilogue="dequant_swiglu_quant", dispatch_p=p_mat)
-            out = gm.grouped_matmul_combine(h1, w2, gsizes, hs, s2, m_hi, m_lo)
+            # r5 path (models/deepseek_v3._gmm_moe): ring-streamed flat
+            # kernels (ops/gmm_ring.py, ~755 GB/s weight stream); ALL routing
+            # glue in-kernel (one-hot dispatch + scale gather from tok_of_row,
+            # combine mask from dest/topw), residual folded as GMM2's
+            # accumulator init — the layer output IS the kernel output
+            from sgl_kernel_npu_tpu.ops import gmm_ring
+
+            h1, hs = gmm_ring.gmm1_ring(xq_tok, tok_of_row, w1, gsizes,
+                                        sx_tok, s1)
+            out16 = gmm_ring.gmm2_combine_ring(
+                h1, w2, gsizes, hs, s2, dest.reshape(b, topk), topw,
+                init=x, out_dtype=h_in.dtype)
+            return out16, kvn, kvr
         return (x + out).astype(h_in.dtype), kvn, kvr
 
     h0 = jax.random.normal(jax.random.key(9), (b, hidden), jnp.bfloat16) * 0.5
@@ -262,7 +266,7 @@ def main():
           f"(n={len(mod_durs)}, IQR {iqr:.1f} us)", flush=True)
     print("per-op device breakdown:")
     rows_tbl = tp.op_times(path)
-    print(tp.format_table(rows_tbl, top=18))
+    print(tp.format_table(rows_tbl, top=40)); print("SUM all ops:", round(sum(r.total_us for r in rows_tbl)/12, 1), "us/step")
     if "--hlo" in sys.argv:
         for r in rows_tbl[:18]:
             print(f"  {r.name}: {r.hlo}")

@@ -615,6 +615,24 @@ def _gmm_moe(cfg, wq: tuple, x, topk_idx, topk_w):
     src = jnp.zeros((rows,), jnp.int32).at[dest].set(
         jnp.arange(rows, dtype=jnp.int32))           # sorted slot → pair row
     tok_of_row = src // k
+    if n <= 512 and hidden % 128 == 0 and w2.shape[1] % 128 == 0 \
+            and w1.shape[2] % 256 == 0:
+        # decode: ALL routing glue rides INSIDE the ring-streamed GMM kernels
+        # (ops/gmm_ring.py, VERDICT r4 #2): the one-hot dispatch and the
+        # per-row scale gather are built in-kernel from tok_of_row, and the
+        # weighted combine mask from (dest, topk_w) — no [rows, hidden]
+        # gather, no [n, rows] mask, and no [rows, hidden] expert output
+        # ever touches HBM.  The manual DMA ring streams weights at
+        # ~755 GB/s vs ~650 for the BlockSpec pipeline (chip r5: GMM1 326 vs
+        # 346 µs, GMM2+combine 172 vs 213 µs at DeepSeek decode shapes).
+        from sgl_kernel_npu_tpu.ops import gmm_ring
+
+        h1, hs = gmm_ring.gmm1_ring(
+            xq_tok, tok_of_row, w1, gsizes, sx_tok, s1)
+        out = gmm_ring.gmm2_combine_ring(
+            h1, w2, gsizes, hs, s2, dest.reshape(n, k),
+            topk_w.astype(jnp.float32))
+        return out.astype(x.dtype)
     # combine weights as a masked MATMUL: scatter the top-k weights into a
     # [n, rows] mask at each token's sorted slots — token-granular gathers
     # lower to scalar reads on TPU while a matmul streams the expert outputs
@@ -626,11 +644,8 @@ def _gmm_moe(cfg, wq: tuple, x, topk_idx, topk_w):
     m_hi = mask.astype(jnp.bfloat16)
     m_lo = (mask - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     if n <= 512:
-        # decode: both routing hops ride INSIDE the GMM kernels — the row
-        # gather as a one-hot P @ x on the MXU (grouped_matmul dispatch_p) and
-        # the weighted combine as GMM2's epilogue (grouped_matmul_combine),
-        # so no [rows, hidden] gather or [rows, hidden] expert output ever
-        # touches HBM (VERDICT #4: the ~150 µs routing glue)
+        # BlockSpec fallback (shape-constrained): routing hops inside the
+        # grouped kernels via dispatch_p / combine epilogue
         p_mat = gmod.dispatch_onehot(tok_of_row, n)
         h1, hs = gmod.grouped_matmul(
             xq_tok, w1, gsizes, sx_tok[tok_of_row], s1,

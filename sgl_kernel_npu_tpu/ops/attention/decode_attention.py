@@ -332,12 +332,14 @@ def decode_mla(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, group * page_size, d_nope), kn.dtype),  # double-buffered super-pages
-            pltpu.VMEM((2, d_rope, group * page_size), kr.dtype),
+            # 4-deep DMA ring (r5: depth-2 streamed ~700 GB/s, depth 4 ~755 —
+            # the chip's flat-stream ceiling, see ops/gmm_ring.py)
+            pltpu.VMEM((4, group * page_size, d_nope), kn.dtype),
+            pltpu.VMEM((4, d_rope, group * page_size), kr.dtype),
             pltpu.VMEM((hq, d_nope), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, group)),
+            pltpu.SemaphoreType.DMA((4, 2, group)),
         ],
     )
     out = pl.pallas_call(
