@@ -6,15 +6,18 @@ The reference's headline numbers are EP dispatch/combine bandwidths measured on 
 384-chip pod (BASELINE.md) — not measurable on one chip.  The single-chip headline
 here is the decode-attention KV-read bandwidth (the decode hot loop,
 reference decode_attention.py:110-152), reported with ``vs_baseline`` = speedup of
-the Pallas kernel over the XLA-naive gather+softmax implementation of the same op on
-the same chip (>1.0 = our kernel beats compiler-generated code).
+the Pallas kernel over the XLA-naive gather+softmax implementation of the same op.
 
-``detail`` carries the secondary metrics that back the PERF.md table (grouped
-W8A8 GEMM, packed sinks decode, MLA prefill, one-sided window a2a, fused
-dispatch→GMM1) so every PERF.md headline has a driver-captured twin.  All
-timings are MEDIAN-of-N of the scan-marginal estimate — the reproducible
-number, not best-of-runs (±10-15 % between-process variance is documented in
-PERF.md).
+Timing methodology (round 5): **device-trace medians** (utils/trace_profile.py,
+the reference's ``bench_kineto`` analogue — tests/python/deepep/utils.py:156-225).
+The xplane trace carries the exact device duration of every op, with ±1 µs
+event-to-event dispersion; each metric carries an ``*_iqr`` field.  The previous
+scan-marginal wall-clock harness is retired for TPU metrics: its error bars
+exceeded the effects measured (BENCH_r04's ``bare_gmm1_us`` 242.0 would need
+970 GB/s of weight streaming — above HBM peak; the trace method measures the
+same kernel at 381 µs standalone / 339 µs in-scan).  ``detail`` carries the
+secondary metrics that back PERF.md so every PERF.md headline has a
+driver-captured twin.
 """
 
 from __future__ import annotations
@@ -29,25 +32,66 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 10):
-    """Per-iteration device time via the marginal cost between two scan lengths.
+# ---------------------------------------------------------------------------
+# timing harnesses
+# ---------------------------------------------------------------------------
 
-    Iterations run inside ONE jitted scan (each step consumes a different q slice
-    → no CSE), the scalar result is fetched to the host (forces completion through
-    the remote-execution tunnel), and the fixed per-dispatch cost — which the axon
-    tunnel makes tens of ms — cancels in the difference.  Large buffers must be
-    passed via `operands`: closure captures are embedded as constants (hundreds of
-    MB of MLIR) and break the remote compiler."""
+def _trace_events(fn, iters: int = 8, warm: int = 2):
+    """Run ``fn()`` under the profiler; return {'modules': [us...],
+    'ops': {short_name: [us...]}} of device-side events."""
+    from jax.profiler import ProfileData
+
+    from sgl_kernel_npu_tpu.utils import trace_profile as tp
+
+    for _ in range(warm):
+        fn()
+    path = tp.capture(fn, iters=iters)
+    pd = ProfileData.from_file(path)
+    modules, ops = [], {}
+    for plane in pd.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        for line in plane.lines:
+            if line.name == "XLA Modules":
+                for ev in line.events:
+                    modules.append(ev.duration_ns / 1e3)
+            elif line.name == "XLA Ops":
+                for ev in line.events:
+                    key = tp._short_name(ev.name)
+                    ops.setdefault(key, []).append(ev.duration_ns / 1e3)
+    return {"modules": modules, "ops": ops}
+
+
+def _med_iqr(xs):
+    xs = sorted(xs)
+    if not xs:
+        return 0.0, 0.0
+    med = statistics.median(xs)
+    iqr = xs[(3 * len(xs)) // 4] - xs[len(xs) // 4] if len(xs) >= 4 else 0.0
+    return med, iqr
+
+
+def _module_us(fn, iters: int = 8, warm: int = 2):
+    """(median, iqr) device time of the whole jitted function."""
+    ev = _trace_events(fn, iters, warm)
+    return _med_iqr(ev["modules"])
+
+
+def _op_us(fn, substr: str, iters: int = 8, warm: int = 2):
+    """(median, iqr) device time of ops whose short name contains ``substr``."""
+    ev = _trace_events(fn, iters, warm)
+    durs = [d for k, v in ev["ops"].items() if substr in k for d in v]
+    return _med_iqr(durs)
+
+
+def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 10):
+    """Scan-marginal wall-clock (CPU fallback only; see module docstring)."""
 
     def make(niter):
         @jax.jit
         def run(qs, operands):
             def step(carry, q):
-                out = per_iter_fn(q, *operands)
-                # nonlinear consumption: a plain sum lets XLA factor
-                # sum(p @ v) into (sum p)·(sum v) and DELETE the matmul from
-                # jnp baselines (Pallas calls are opaque and unaffected)
-                o = out.astype(jnp.float32)
+                o = per_iter_fn(q, *operands).astype(jnp.float32)
                 return carry + jnp.sum(o * o), None
 
             total, _ = jax.lax.scan(step, jnp.float32(0), qs)
@@ -56,14 +100,8 @@ def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 10):
 
     n1, n2 = qs_small.shape[0], qs_big.shape[0]
     run1, run2 = make(n1), make(n2)
-    float(run1(qs_small, operands))  # compile + warm
+    float(run1(qs_small, operands))
     float(run2(qs_big, operands))
-    # PAIRWISE marginals, median over pairs: timing the two scan lengths
-    # back-to-back and differencing per repeat means a tunnel hiccup corrupts
-    # only the pair it lands in, and the median rejects it (BENCH_r03's driver
-    # window caught one: a stall inflated lora_fused 9.5 → 516 µs and drove
-    # two other secondaries negative — with leg-median differencing a single
-    # bad window poisons the whole metric).
     marginals = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -73,8 +111,6 @@ def _bench_scanned(per_iter_fn, qs_small, qs_big, operands, repeats: int = 10):
         float(run2(qs_big, operands))
         tb = time.perf_counter() - t0
         marginals.append((tb - ta) / (n2 - n1))
-    # median, not min: the driver-recorded number must be the one a rerun
-    # reproduces (VERDICT r1: headline = the number the driver can capture)
     return max(statistics.median(marginals), 1e-9)
 
 
@@ -119,28 +155,32 @@ def main():
     seq_lens = jnp.full((b,), seq, jnp.int32)
     sm_scale = float(1.0 / np.sqrt(d_nope + d_rope))
 
-    # wide iteration spread: the marginal time between the two scan lengths must
-    # dwarf the axon tunnel's per-dispatch jitter (tens of ms)
-    n1, n2 = (8, 136) if on_tpu else (1, 3)
-    qs_small = jnp.asarray(rng.standard_normal((n1, b, hq, d_nope + d_rope)), jnp.bfloat16)
-    qs_big = jnp.asarray(rng.standard_normal((n2, b, hq, d_nope + d_rope)), jnp.bfloat16)
-    operands = (kn, kr, seq_lens, block_table)
-    def measure(fn):
-        # marginal-cost timing can degenerate (t2 < t1) under tunnel jitter;
-        # retry once before accepting
-        for _ in range(2):
-            t = _bench_scanned(fn, qs_small, qs_big, operands)
-            if t > 1e-8:
-                return t
-        return t
-
-    t_kernel = measure(
-        lambda qq, kn_, kr_, sl_, bt_: da.decode_mla(
-            qq, kn_, kr_, sl_, sm_scale, bt_, interpret=not on_tpu),
-    )
-    t_golden = measure(
-        lambda qq, kn_, kr_, sl_, bt_: da.decode_mla_ref(qq, kn_, kr_, sl_, sm_scale, bt_),
-    )
+    if on_tpu:
+        fk = jax.jit(lambda: da.decode_mla(
+            q, kn, kr, seq_lens, sm_scale, block_table))
+        fg = jax.jit(lambda: da.decode_mla_ref(
+            q, kn, kr, seq_lens, sm_scale, block_table))
+        t_kernel_us, k_iqr = _op_us(
+            lambda: jax.block_until_ready(fk()), "decode_mla", iters=10)
+        t_golden_us, _ = _module_us(
+            lambda: jax.block_until_ready(fg()), iters=6)
+        t_kernel, t_golden = t_kernel_us * 1e-6, t_golden_us * 1e-6
+    else:
+        n1, n2 = 1, 3
+        qs_small = jnp.asarray(
+            rng.standard_normal((n1, b, hq, d_nope + d_rope)), jnp.bfloat16)
+        qs_big = jnp.asarray(
+            rng.standard_normal((n2, b, hq, d_nope + d_rope)), jnp.bfloat16)
+        operands = (kn, kr, seq_lens, block_table)
+        t_kernel = _bench_scanned(
+            lambda qq, kn_, kr_, sl_, bt_: da.decode_mla(
+                qq, kn_, kr_, sl_, sm_scale, bt_, interpret=True),
+            qs_small, qs_big, operands)
+        t_golden = _bench_scanned(
+            lambda qq, kn_, kr_, sl_, bt_: da.decode_mla_ref(
+                qq, kn_, kr_, sl_, sm_scale, bt_),
+            qs_small, qs_big, operands)
+        k_iqr = 0.0
 
     kv_bytes = b * seq * (d_nope + d_rope) * 2  # bf16 KV read per call
     gbps = kv_bytes / t_kernel / 1e9
@@ -152,8 +192,10 @@ def main():
         "detail": {
             "batch": b, "heads": hq, "seq": seq, "page": page,
             "kernel_us": round(t_kernel * 1e6, 1),
+            "kernel_iqr_us": round(k_iqr, 1),
             "xla_naive_us": round(t_golden * 1e6, 1),
             "backend": jax.default_backend(),
+            "timing": "device-trace median" if on_tpu else "scan-marginal",
         },
     }
     if on_tpu:
@@ -167,6 +209,7 @@ def main():
             ("gqa", _gqa_secondary),
             ("int8kv", _int8kv_secondary),
             ("lora", _lora_secondary),
+            ("engine", _engine_secondary),
             ("layer", _layer_secondary),
         ):
             try:
@@ -177,26 +220,39 @@ def main():
 
 
 def _gmm_secondary(rng):
-    """Secondary metric: W8A8 grouped GEMM (fused-MoE GMM1 shape) vs its
-    weight-read floor and vs XLA ragged_dot (see PERF.md)."""
+    """W8A8 grouped GEMM (fused-MoE GMM1 shape): the production ring kernel
+    (ops/gmm_ring.py) and the BlockSpec kernel vs the weight-read floor.
+    ``gmm1_int8_us``/``bare_gmm1_us`` are the SAME op measured by the same
+    harness (r4's 21% disagreement was scan-marginal noise — VERDICT r4 #1c)."""
+    from sgl_kernel_npu_tpu.ops import gmm_ring
     from sgl_kernel_npu_tpu.ops import grouped_matmul as gmod
 
     e, s, k, n = 8, 1024, 7168, 4096
+    n_tok = s // e
     gs = jnp.full((e,), s // e, jnp.int32)
     wq = jnp.asarray(rng.integers(-100, 100, (e, k, n)), jnp.int8)
     sx = jnp.asarray(rng.random(s).astype(np.float32) / 100)
+    sxt = jnp.asarray(rng.random(n_tok).astype(np.float32) / 100)
     sw = jnp.asarray(rng.random((e, n)).astype(np.float32) / 100)
-    xs_small = jnp.asarray(rng.integers(-100, 100, (2, s, k)), jnp.int8)
-    xs_big = jnp.asarray(rng.integers(-100, 100, (18, s, k)), jnp.int8)
-    t = _bench_scanned(
-        lambda x, w, g, a, bb: gmod.grouped_matmul(
-            x, w, g, a, bb, epilogue="dequant", out_dtype=jnp.bfloat16),
-        xs_small, xs_big, (wq, gs, sx, sw),
-    )
+    x = jnp.asarray(rng.integers(-100, 100, (s, k)), jnp.int8)
+    xq = jnp.asarray(rng.integers(-100, 100, (n_tok, k)), jnp.int8)
+    tok = jnp.asarray(rng.integers(0, n_tok, s), jnp.int32)
+
+    f_block = jax.jit(lambda: gmod.grouped_matmul(
+        x, wq, gs, sx, sw, epilogue="dequant", out_dtype=jnp.bfloat16))
+    f_ring = jax.jit(lambda: gmm_ring.gmm1_ring(xq, tok, wq, gs, sxt, sw))
+    t_blk, iqr_blk = _op_us(
+        lambda: jax.block_until_ready(f_block()), "grouped_matmul")
+    t_ring, iqr_ring = _op_us(
+        lambda: jax.block_until_ready(f_ring()), "gmm1_ring")
+    floor = e * k * n / 819e9 * 1e6
     return {
-        "gmm1_int8_us": round(t * 1e6, 1),
-        "gmm1_int8_tops": round(2 * s * k * n / t / 1e12, 1),
-        "gmm1_weight_floor_us": round(e * k * n / 819e9 * 1e6, 1),
+        "gmm1_int8_us": round(t_blk, 1),
+        "gmm1_int8_iqr_us": round(iqr_blk, 1),
+        "gmm1_int8_tops": round(2 * s * k * n / (t_blk * 1e-6) / 1e12, 1),
+        "gmm1_ring_us": round(t_ring, 1),
+        "gmm1_ring_iqr_us": round(iqr_ring, 1),
+        "gmm1_weight_floor_us": round(floor, 1),
     }
 
 
@@ -220,20 +276,19 @@ def _sinks_packed_secondary(rng):
         jnp.int32)
     ctx = jnp.full((b,), seq, jnp.int32)
     scale = float(1 / np.sqrt(d))
-    qs_small = mk(jax.random.key(2), (8, b, hq * d))
-    qs_big = mk(jax.random.key(3), (72, b, hq * d))
-    t_pk = _bench_scanned(
-        lambda q, k_, v_, bt_, cl_: sa.attention_sinks_packed(
-            q, k_, v_, sinks, bt_, cl_, scale, 0, hq, hkv),
-        qs_small, qs_big, (kp, vp, bt, ctx), repeats=6)
-    t_un = _bench_scanned(
-        lambda q, k_, v_, bt_, cl_: sa.attention_sinks(
-            q, k_, v_, sinks, bt_, cl_, scale, 0, hq, hkv),
-        qs_small, qs_big, (k, v, bt, ctx), repeats=6)
+    qq = mk(jax.random.key(2), (b, hq * d))
+    f_pk = jax.jit(lambda: sa.attention_sinks_packed(
+        qq, kp, vp, sinks, bt, ctx, scale, 0, hq, hkv))
+    f_un = jax.jit(lambda: sa.attention_sinks(
+        qq, k, v, sinks, bt, ctx, scale, 0, hq, hkv))
+    t_pk, iqr = _op_us(lambda: jax.block_until_ready(f_pk()), "attention_sinks")
+    t_un, _ = _op_us(lambda: jax.block_until_ready(f_un()), "attention_sinks",
+                     iters=6)
     kv_bytes = b * hkv * seq * (d + dv) * 2
     return {
-        "sinks_packed_us": round(t_pk * 1e6, 1),
-        "sinks_packed_gbps": round(kv_bytes / t_pk / 1e9, 1),
+        "sinks_packed_us": round(t_pk, 1),
+        "sinks_packed_iqr_us": round(iqr, 1),
+        "sinks_packed_gbps": round(kv_bytes / (t_pk * 1e-6) / 1e9, 1),
         "sinks_packed_speedup": round(t_un / t_pk, 2),
     }
 
@@ -256,27 +311,25 @@ def _mla_prefill_secondary(rng):
     sl = jnp.full((bsz,), s_req, jnp.int32)
     cl = jnp.full((bsz,), s_req, jnp.int32)
     scale = float(1 / np.sqrt(dn + dr))
-    qs_small = mk(jax.random.key(2), (1, s, h, dn + dr))
-    qs_big = mk(jax.random.key(3), (5, s, h, dn + dr))
-    ops = (kn, kr, sl, bt, cl)
-    t_pl = _bench_scanned(
-        lambda q, kn_, kr_, sl_, bt_, cl_: mpre.mla_prefill_pallas(
-            q, kn_, kr_, sl_, bt_, cl_, scale, max_q=s_req),
-        qs_small, qs_big, ops, repeats=5)
-    t_ref = _bench_scanned(
-        lambda q, kn_, kr_, sl_, bt_, cl_: mpre.mla_prefill_ref(
-            q, kn_, kr_, sl_, bt_, cl_, scale),
-        qs_small, qs_big, ops, repeats=5)
+    qf = mk(jax.random.key(2), (s, h, dn + dr))
+    f_pl = jax.jit(lambda: mpre.mla_prefill_pallas(
+        qf, kn, kr, sl, bt, cl, scale, max_q=s_req))
+    f_ref = jax.jit(lambda: mpre.mla_prefill_ref(qf, kn, kr, sl, bt, cl, scale))
+    t_pl, iqr = _op_us(lambda: jax.block_until_ready(f_pl()), "mla_prefill")
+    t_ref, _ = _module_us(lambda: jax.block_until_ready(f_ref()), iters=4)
     return {
-        "mla_prefill_us": round(t_pl * 1e6, 1),
-        "mla_prefill_mtoks": round(s / t_pl / 1e6, 2),
+        "mla_prefill_us": round(t_pl, 1),
+        "mla_prefill_iqr_us": round(iqr, 1),
+        "mla_prefill_mtoks": round(s / (t_pl * 1e-6) / 1e6, 2),
         "mla_prefill_speedup": round(t_ref / t_pl, 1),
     }
 
 
 def _window_a2a_secondary(rng):
     """One-sided ragged window all-to-all, self-loop (the DeepEP protocol
-    engine without ICI in the path) — PERF.md §window a2a."""
+    engine without ICI in the path) — PERF.md §window a2a.  Traced per-event:
+    the pallas custom-call inside a chained fori_loop gives one event per
+    transfer."""
     from jax.sharding import Mesh, PartitionSpec as P
     from sgl_kernel_npu_tpu.parallel.pallas_a2a import pallas_ragged_all_to_all
 
@@ -285,46 +338,38 @@ def _window_a2a_secondary(rng):
     counts = jnp.asarray([c], jnp.int32)
     x0 = jnp.asarray(rng.standard_normal((r_, c, h)), jnp.bfloat16)
 
-    def chained(n):
-        def f(xs_, cs):
-            out, _ = pallas_ragged_all_to_all(
-                xs_, cs, axis_name="ep", num_ranks=r_, chunk_rows=2048)
-            return out
+    def f(xs_, cs):
+        out, _ = pallas_ragged_all_to_all(
+            xs_, cs, axis_name="ep", num_ranks=r_, chunk_rows=2048)
+        return out
 
-        sm = functools.partial(
-            jax.shard_map, mesh=mesh, in_specs=(P("ep"), P("ep")),
-            out_specs=P("ep"), check_vma=False)(f)
+    sm = functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P("ep"), P("ep")),
+        out_specs=P("ep"), check_vma=False)(f)
 
-        @jax.jit
-        def run(x, cs):
-            body = lambda i, x: sm(x, cs)
-            return jnp.sum(
-                jax.lax.fori_loop(0, n, body, x)[:, :1, :1].astype(jnp.float32))
-        return run
+    @jax.jit
+    def run(x, cs):
+        body = lambda i, x: sm(x, cs)
+        return jnp.sum(
+            jax.lax.fori_loop(0, 16, body, x)[:, :1, :1].astype(jnp.float32))
 
-    run_a = chained(16)
-    run_b = chained(272)
-    float(run_a(x0, counts))
-    float(run_b(x0, counts))
-    marginals = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        float(run_a(x0, counts))
-        ta = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(run_b(x0, counts))
-        tb = time.perf_counter() - t0
-        marginals.append((tb - ta) / 256)
-    dt = max(statistics.median(marginals), 1e-9)
+    ev = _trace_events(lambda: float(run(x0, counts)), iters=3, warm=1)
+    durs = [d for k, v in ev["ops"].items() if "all_to_all" in k for d in v]
+    if not durs:  # op naming fallback: the dominant repeated op IS the a2a
+        durs = max((v for v in ev["ops"].values() if len(v) >= 16),
+                   key=lambda v: sum(v), default=[0.0])
+    dt_us, iqr = _med_iqr(durs)
     return {
-        "window_a2a_us": round(dt * 1e6, 1),
-        "window_a2a_gbps": round(c * h * 2 / dt / 1e9, 1),
+        "window_a2a_us": round(dt_us, 1),
+        "window_a2a_iqr_us": round(iqr, 1),
+        "window_a2a_gbps": round(c * h * 2 / (dt_us * 1e-6) / 1e9, 1),
     }
 
 
 def _fused_gmm1_secondary(rng):
-    """Single-kernel fused dispatch→GMM1 (self-loop) vs the bare grouped GEMM
-    on resident rows — the fusion-overhead number in PERF.md §fused kernel."""
+    """Single-kernel fused dispatch→GMM1 (self-loop) vs the bare grouped GEMM —
+    the VERDICT r4 #1 adjudication metric.  Done-criterion:
+    fused ≤ bare + window_a2a (the dispatch rides free)."""
     from jax.sharding import Mesh, PartitionSpec as P
     from sgl_kernel_npu_tpu.ops import grouped_matmul as gmod
     from sgl_kernel_npu_tpu.parallel.fused_kernel import fused_dispatch_gmm1_rank
@@ -336,37 +381,38 @@ def _fused_gmm1_secondary(rng):
     sx = jnp.asarray(rng.random((e, seg)).astype(np.float32) / 100)
     gs = jnp.full((e,), seg, jnp.int32)
     sx_flat = sx.reshape(-1)
+    x1 = jnp.asarray(rng.integers(-100, 100, (1, er, k)), jnp.int8)
     mesh = Mesh(np.array(jax.devices()[:1]), ("ep",))
 
     fused_rank = functools.partial(
-        jax.shard_map,
-        mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P(),
+        jax.shard_map, mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P(),
         check_vma=False,
     )(lambda a, b_, c, d: fused_dispatch_gmm1_rank(
         a, b_, c, d, axis_name="ep", num_ranks=1, seg=seg))
 
-    xs_small = jnp.asarray(rng.integers(-100, 100, (2, 1, er, k)), jnp.int8)
-    xs_big = jnp.asarray(rng.integers(-100, 100, (10, 1, er, k)), jnp.int8)
-    t_fused = _bench_scanned(
-        lambda x, w, s_, sx_: fused_rank(x, w, s_, sx_),
-        xs_small, xs_big, (w1, sw, sx), repeats=5)
-    t_bare = _bench_scanned(
-        lambda x, w, g, a, bb: gmod.grouped_matmul(
-            x[0], w, g, a, bb, epilogue="dequant", out_dtype=jnp.float32),
-        xs_small, xs_big, (w1, gs, sx_flat, sw), repeats=5)
+    ffused = jax.jit(lambda: fused_rank(x1, w1, sw, sx))
+    fbare = jax.jit(lambda: gmod.grouped_matmul(
+        x1[0], w1, gs, sx_flat, sw, epilogue="dequant", out_dtype=jnp.bfloat16))
+    t_fused, iqr_f = _module_us(lambda: jax.block_until_ready(ffused()), iters=10)
+    t_bare, iqr_b = _op_us(
+        lambda: jax.block_until_ready(fbare()), "grouped_matmul", iters=10)
     return {
-        "fused_dispatch_gmm1_us": round(t_fused * 1e6, 1),
-        "bare_gmm1_us": round(t_bare * 1e6, 1),
-        "fusion_overhead_us": round((t_fused - t_bare) * 1e6, 1),
+        "fused_dispatch_gmm1_us": round(t_fused, 1),
+        "fused_dispatch_gmm1_iqr_us": round(iqr_f, 1),
+        "bare_gmm1_us": round(t_bare, 1),
+        "bare_gmm1_iqr_us": round(iqr_b, 1),
+        "fusion_overhead_us": round(t_fused - t_bare, 1),
     }
 
 
 def _fused_full_secondary(rng):
     """FULL single-kernel fused MoE (dispatch→GMM1→SwiGLU→GMM2→combine in ONE
-    pallas_call, fused_full.fused_deep_moe_full_rank) vs the unfused op chain
-    at DeepSeek decode shapes, self-loop mesh — the VERDICT r3 #1 number the
-    driver never captured."""
+    pallas_call) vs TWO baselines (VERDICT r4 #3): the slow protocol twin
+    (``unfused_chain_us``, fused_moe.fused_deep_moe_rank) and the HONEST best
+    unfused path — the production ring-kernel MoE half exactly as
+    models/deepseek_v3._gmm_moe runs it (``unfused_best_us``)."""
     from jax.sharding import Mesh, PartitionSpec as P
+    from sgl_kernel_npu_tpu.models.deepseek_v3 import _gmm_moe, DeepSeekV3Config
     from sgl_kernel_npu_tpu.parallel import fused_full
     from sgl_kernel_npu_tpu.parallel.fused_moe import fused_deep_moe_rank
 
@@ -399,25 +445,29 @@ def _fused_full_secondary(rng):
         axis_name="ep", num_experts=e, num_ranks=1,
         pair_capacity=b * k, seg_capacity=b, pack_tn=tiles["tn1"])[0])
 
-    mkx = jax.jit(lambda key, s: jax.random.normal(key, s, jnp.bfloat16) * 0.5,
-                  static_argnums=1)
-    xs_small = mkx(jax.random.key(20), (4, b, h))
-    xs_big = mkx(jax.random.key(21), (36, b, h))
-    ops = (idx, wts, w1, s1, w2, s2)
-    tf = _bench_scanned(
-        lambda x, *o: fused(x, *o), xs_small, xs_big, ops, repeats=5)
-    tu = _bench_scanned(
-        lambda x, *o: unfused(x, *o), xs_small, xs_big, ops, repeats=5)
+    cfg = DeepSeekV3Config(hidden=h, num_experts=e, topk=k, moe_intermediate=i)
+    x16 = jax.jit(lambda: jax.random.normal(
+        jax.random.key(20), (b, h), jnp.bfloat16) * 0.5)()
+    ffused = jax.jit(lambda: fused(x16, idx, wts, w1, s1, w2, s2))
+    funfused = jax.jit(lambda: unfused(x16, idx, wts, w1, s1, w2, s2))
+    fbest = jax.jit(lambda: _gmm_moe(
+        cfg, (w1, s1, w2, s2), x16.astype(jnp.float32), idx, wts))
+    tf, iqr_f = _module_us(lambda: jax.block_until_ready(ffused()), iters=6)
+    tu, _ = _module_us(lambda: jax.block_until_ready(funfused()), iters=4)
+    tb, iqr_b = _module_us(lambda: jax.block_until_ready(fbest()), iters=6)
     return {
-        "fused_full_us": round(tf * 1e6, 1),
-        "unfused_chain_us": round(tu * 1e6, 1),
+        "fused_full_us": round(tf, 1),
+        "fused_full_iqr_us": round(iqr_f, 1),
+        "unfused_chain_us": round(tu, 1),
+        "unfused_best_us": round(tb, 1),
+        "unfused_best_iqr_us": round(iqr_b, 1),
         "fused_full_vs_unfused": round(tu / tf, 2),
+        "fused_full_vs_best": round(tb / tf, 2),
     }
 
 
 def _gqa_secondary(rng):
-    """Paged GQA decode (Llama-class shapes) vs HBM roofline (scripts/bench_gqa.py
-    measures both variants; the driver captures the production one)."""
+    """Paged GQA decode (Llama-class shapes) vs HBM roofline."""
     from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
 
     b, hq, hkv, d, page, seq = 64, 32, 8, 128, 128, 1024
@@ -432,23 +482,19 @@ def _gqa_secondary(rng):
         jnp.int32)
     sl = jnp.full((b,), seq, jnp.int32)
     scale = float(1 / np.sqrt(d))
-    qs_small = mk(jax.random.key(2), (8, b, hq, d))
-    qs_big = mk(jax.random.key(3), (72, b, hq, d))
-    t = _bench_scanned(
-        lambda q, k_, v_, sl_, bt_: da.decode_gqa_high_performance(
-            q, k_, v_, sl_, scale, bt_),
-        qs_small, qs_big, (k, v, sl, bt), repeats=5)
+    qq = mk(jax.random.key(2), (b, hq, d))
+    f = jax.jit(lambda: da.decode_gqa_high_performance(qq, k, v, sl, scale, bt))
+    t, iqr = _op_us(lambda: jax.block_until_ready(f()), "gqa")
     kv_bytes = b * hkv * seq * 2 * d * 2
     return {
-        "gqa_decode_us": round(t * 1e6, 1),
-        "gqa_decode_gbps": round(kv_bytes / t / 1e9, 1),
+        "gqa_decode_us": round(t, 1),
+        "gqa_decode_iqr_us": round(iqr, 1),
+        "gqa_decode_gbps": round(kv_bytes / (t * 1e-6) / 1e9, 1),
     }
 
 
 def _int8kv_secondary(rng):
-    """Int8 latent KV cache decode (the int8_nzcache consumer): decode_mla
-    reading int8 pages vs the bf16 headline shapes — expect ~1.5-1.9x from
-    halved KV HBM traffic (scripts/bench_int8_kv.py measures the sweep)."""
+    """Int8 latent KV cache decode (the int8_nzcache consumer)."""
     from sgl_kernel_npu_tpu.ops.attention import decode_attention as da
 
     b, hq, d_nope, d_rope, page, seq = 128, 16, 512, 64, 128, 1024
@@ -464,23 +510,21 @@ def _int8kv_secondary(rng):
         jnp.int32)
     sl = jnp.full((b,), seq, jnp.int32)
     sm_scale = float(1 / np.sqrt(d_nope + d_rope))
-    qs_small = mk(jax.random.key(2), (8, b, hq, d_nope + d_rope))
-    qs_big = mk(jax.random.key(3), (136, b, hq, d_nope + d_rope))
-    t = _bench_scanned(
-        lambda q, kn_, kr_, sl_, bt_: da.decode_mla(
-            q, kn_, kr_, sl_, sm_scale, bt_, k_scale=1 / 64),
-        qs_small, qs_big, (kn8, kr, sl, bt), repeats=5)
+    qq = mk(jax.random.key(2), (b, hq, d_nope + d_rope))
+    f = jax.jit(lambda: da.decode_mla(
+        qq, kn8, kr, sl, sm_scale, bt, k_scale=1 / 64))
+    t, iqr = _op_us(lambda: jax.block_until_ready(f()), "decode_mla")
     kv_bytes = b * seq * (d_nope * 1 + d_rope * 2)  # int8 nope + bf16 rope
     return {
-        "mla_decode_int8kv_us": round(t * 1e6, 1),
-        "mla_decode_int8kv_gbps": round(kv_bytes / t / 1e9, 1),
+        "mla_decode_int8kv_us": round(t, 1),
+        "mla_decode_int8kv_iqr_us": round(iqr, 1),
+        "mla_decode_int8kv_gbps": round(kv_bytes / (t * 1e-6) / 1e9, 1),
     }
 
 
 def _lora_secondary(rng):
     """Fused Pallas multi-LoRA delta (decode shapes) vs the jnp op chain and
-    the ideal weight-read floor (each live adapter read once) — the evidence
-    behind serving LoRA through ops/lora_pallas (PERF.md §lora)."""
+    the ideal weight-read floor (PERF.md §lora)."""
     from sgl_kernel_npu_tpu.ops import lora as lmod
     from sgl_kernel_npu_tpu.ops import lora_pallas
 
@@ -491,30 +535,75 @@ def _lora_secondary(rng):
     b = mk(jax.random.key(31), (l, h, r))
     bt = b.transpose(0, 2, 1)  # adapter-load-time transpose (serving pattern)
     idx = jnp.asarray(rng.integers(0, l, t), jnp.int32)
-    xs_small = mk(jax.random.key(32), (8, t, h))
-    xs_big = mk(jax.random.key(33), (136, t, h))
-    tf = _bench_scanned(
-        lambda x, a_, bt_, i_: lora_pallas.bgmv_fused(
-            x, a_, bt=bt_, idx=i_, scaling=0.5),
-        xs_small, xs_big, (a, bt, idx))
-    tj = _bench_scanned(
-        lambda x, a_, b_, i_: lmod.bgmv_expand(
-            lmod.bgmv_shrink(x, a_, i_, 0.5), b_, i_),
-        xs_small, xs_big, (a, b, idx))
+    xx = mk(jax.random.key(32), (t, h))
+    ff = jax.jit(lambda: lora_pallas.bgmv_fused(xx, a, bt=bt, idx=idx, scaling=0.5))
+    fj = jax.jit(lambda: lmod.bgmv_expand(lmod.bgmv_shrink(xx, a, idx, 0.5), b, idx))
+    tf, iqr = _op_us(lambda: jax.block_until_ready(ff()), "bgmv_fused", iters=12)
+    tj, _ = _module_us(lambda: jax.block_until_ready(fj()), iters=8)
     # honest floor: adapters read once + x read + f32 out write
-    floor = (l * r * (h + h) * 2 + t * h * 2 + t * h * 4) / 819e9
+    floor = (l * r * (h + h) * 2 + t * h * 2 + t * h * 4) / 819e9 * 1e6
     return {
-        "lora_fused_us": round(tf * 1e6, 1),
-        "lora_jnp_us": round(tj * 1e6, 1),
+        "lora_fused_us": round(tf, 1),
+        "lora_fused_iqr_us": round(iqr, 1),
+        "lora_jnp_us": round(tj, 1),
         "lora_fused_vs_floor": round(tf / floor, 2),
     }
 
 
+def _engine_secondary(rng):
+    """End-to-end serving throughput (VERDICT r4 #5): the continuous-batching
+    engine's decode step on a Llama-class model, device-time tokens/s.
+
+    The axon tunnel adds ~25 ms of host dispatch per step, so the honest
+    measurable number is DEVICE-limited throughput: batch / median device time
+    of one engine decode step (the full jitted model step the engine issues —
+    weights + paged KV + sampling glue).  Floor model = per-step HBM traffic
+    (all weights once + live KV) at 819 GB/s."""
+    from sgl_kernel_npu_tpu.models import llama as lm
+    from sgl_kernel_npu_tpu.runtime.engine import Engine, llama_adapter
+
+    cfg = lm.LlamaConfig(
+        vocab_size=8192, hidden=2048, num_layers=4, num_heads=16,
+        num_kv_heads=8, head_dim=128, intermediate=5632, page_size=64)
+    params = lm.init_weights(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    bsz, prompt_len, ctx = 16, 63, 64
+    eng = Engine(llama_adapter(cfg, params, dtype=jnp.bfloat16),
+                 num_pages=bsz * 4 + 8, max_batch=bsz,
+                 max_pages_per_req=4, prefill_chunk=prompt_len, mixed=False)
+    prompts = [list(np.asarray(rng.integers(1, 8000, prompt_len)))
+               for _ in range(bsz)]
+    for p in prompts:
+        eng.add_request(p, max_new_tokens=10_000)
+    # drive until every request is in decode phase
+    for _ in range(bsz + 2):
+        eng.step()
+    assert all(r.pos >= r.prompt_len for r in eng.running), "not in decode"
+
+    # one engine step may issue several jitted modules (decode + head/sample
+    # glue): per-step device time = total module time / steps
+    n_steps = 12
+    ev = _trace_events(lambda: eng.step(), iters=n_steps, warm=3)
+    t_us = sum(ev["modules"]) / n_steps
+    _, iqr = _med_iqr(ev["modules"])
+    head_dim = cfg.head_dim
+    wbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    kv_bytes = bsz * ctx * cfg.num_kv_heads * head_dim * 2 * 2 * cfg.num_layers
+    floor_us = (wbytes + kv_bytes) / 819e9 * 1e6
+    toks_s = bsz / (t_us * 1e-6)
+    return {
+        "engine_decode_step_us": round(t_us, 1),
+        "engine_decode_step_iqr_us": round(iqr, 1),
+        "engine_decode_toks_s": round(toks_s, 0),
+        "engine_decode_floor_us": round(floor_us, 1),
+        "engine_decode_pct_of_floor": round(100 * floor_us / t_us, 1),
+    }
+
+
 def _layer_secondary(rng):
-    """Flagship composite: one full DeepSeek-V3 decode layer (scripts/bench_layer.py)
-    run as a subprocess so the driver-captured JSON carries the VERDICT #4 number —
-    plus the fusedmoe variant (MoE half through the FULL single-kernel fused MoE,
-    VERDICT r3 #1/#2)."""
+    """Flagship composite: one full DeepSeek-V3 decode layer
+    (scripts/bench_layer.py, trace-based) run as a subprocess — the VERDICT #4
+    number — plus the fusedmoe variant (MoE half through the FULL single-kernel
+    fused MoE)."""
     import re
     import subprocess
     import sys as _sys
@@ -528,19 +617,22 @@ def _layer_secondary(rng):
         m = re.search(r"decode layer, B=\d+:\s*([0-9.]+) us", proc.stdout)
         f = re.search(r"floor:\s*([0-9.]+) us\s+->\s+([0-9.]+)% of floor",
                       proc.stdout)
+        q = re.search(r"IQR ([0-9.]+) us", proc.stdout)
         if not m or not f:
             raise RuntimeError(
                 f"bench_layer parse failed: {proc.stdout[-300:]}{proc.stderr[-300:]}")
-        return float(m.group(1)), float(f.group(1)), float(f.group(2))
+        return (float(m.group(1)), float(f.group(1)), float(f.group(2)),
+                float(q.group(1)) if q else 0.0)
 
-    t_us, floor_us, pct = run_mode([])
+    t_us, floor_us, pct, iqr = run_mode([])
     out = {
         "layer_us": t_us,
+        "layer_iqr_us": iqr,
         "layer_floor_us": floor_us,
         "layer_pct_of_floor": pct,
     }
     try:
-        tf_us, _, pf = run_mode(["fusedmoe"])
+        tf_us, _, pf, _ = run_mode(["fusedmoe"])
         out["layer_fusedmoe_us"] = tf_us
         out["layer_fusedmoe_pct_of_floor"] = pf
     except Exception as exc:  # keep the primary layer number

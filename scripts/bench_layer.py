@@ -278,7 +278,7 @@ def main():
     floor = (wbytes + kv_bytes) / 819e9
     print(f"DeepSeek-V3 decode layer, B={b}: {t*1e6:8.1f} us "
           f"({b/t/1e3:.0f} ktok/s/chip/layer)")
-    print(f"weight+KV read floor: {floor*1e6:8.1f} us  -> {floor/t*100:.0f}% of floor-speed")
+    print(f"weight+KV read floor: {floor*1e6:8.1f} us  -> {floor/t*100:.1f}% of floor-speed")
 
 
 if __name__ == "__main__":

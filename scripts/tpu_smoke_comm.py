@@ -74,7 +74,7 @@ def main():
     ok &= good
 
     # full LL dispatch→combine over the ragged backend with combine monitoring
-    # (payload-phase bounded waits + combine_send_cost_stats, VERDICT item 2)
+    # (payload-phase bounded waits + receiver-side wait matrices, VERDICT item 2)
     from sgl_kernel_npu_tpu.parallel import ep_core
 
     E, T, K, Hd = 8, 16, 2, 256

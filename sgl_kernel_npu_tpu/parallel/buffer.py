@@ -244,9 +244,14 @@ class Buffer:
 
         ``backend="pallas_ragged"`` moves live rows only on the return hop
         (reference ReduceScatterTrans); ``monitor=True`` (ragged only) ALSO
-        returns a stats dict with ``combine_send_cost_stats`` [R, R] and
-        payload/count timeout flags — the reference's combine-side failure
-        detection surface (buffer.py:490)."""
+        returns a stats dict with ``combine_wait_cost_stats`` [R, R],
+        ``payload_wait_cost_stats`` and ``timeout_flags`` — the reference's
+        combine-side failure-detection surface (buffer.py:490).  The
+        reference's ``combine_send_cost_stats`` (send-side cycle counts) has
+        NO TPU equivalent: counting send-wait iterations would need a
+        semaphore read, which wedges this TPU stack (PERF.md r4 root-cause);
+        send-completion is a blocking ``wait_send`` and liveness problems
+        surface on the RECEIVER's wait matrices instead."""
         seg = y.shape[1] // self.group_size
         backend = backend or self.config.comm_backend
         monitor = self.config.monitor_comm if monitor is None else monitor
@@ -283,7 +288,6 @@ class Buffer:
         )(y, topk_weights, handle.gather_idx, handle.ok, scnt, rcnt)
         if monitor:
             return out, {
-                "combine_send_cost_stats": stats[:, :, 5],
                 "combine_wait_cost_stats": stats[:, :, 0],
                 "payload_wait_cost_stats": stats[:, :, 3],
                 "timeout_flags": stats[:, :, 1] | stats[:, :, 4],
@@ -314,9 +318,10 @@ class Buffer:
         ``monitor`` (pallas_ragged backend only; ``config.monitor_comm``
         default) adds the same wait-cost/timeout surface as
         ``low_latency_dispatch``: ``wait_recv_cost_stats`` [R, R],
-        ``timeout_flags``, ``payload_wait_cost_stats``, ``send_cost_stats``
-        (reference dispatch_wait_recv_cost_stats, buffer.py:249,285-286 —
-        consumed by ``utils.diagnostics.diagnose_matrix``).
+        ``timeout_flags``, ``payload_wait_cost_stats`` (reference
+        dispatch_wait_recv_cost_stats, buffer.py:249,285-286 — consumed by
+        ``utils.diagnostics.diagnose_matrix``; send-side cost has no TPU
+        equivalent, see :meth:`low_latency_combine`).
 
         Returns ``(recv_x_sorted [R, cap, H], recv_scales | None, group_sizes
         [R, E_local], handle, stats)`` with dim 0 = rank.
@@ -364,22 +369,20 @@ class Buffer:
                 res.get("wait_recv_cost_stats", zero_r)[None],
                 res.get("timeout_flags", zero_r)[None],
                 res.get("payload_wait_cost_stats", zero_r)[None],
-                res.get("send_cost_stats", zero_r)[None],
                 h.sent_counts[None],
                 h.recv_counts[None],
             )
 
         p = P(self.axis_name)
-        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * 14)(x, topk_idx)
+        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * 13)(x, topk_idx)
         xs, scales, gs, gidx, ok, order, cmat, dropped = outs[:8]
         handle = ep_core.DispatchHandle(gidx, ok, order, None,
-                                        outs[12], outs[13])
+                                        outs[11], outs[12])
         stats = {"recv_count_matrix": cmat, "num_dropped": dropped}
         if monitor:
             stats["wait_recv_cost_stats"] = outs[8]
             stats["timeout_flags"] = outs[9]
             stats["payload_wait_cost_stats"] = outs[10]
-            stats["send_cost_stats"] = outs[11]
         return xs, (scales if use_int8 else None), gs, handle, stats
 
     def _dispatch_multi_round(self, x, topk_idx, use_int8, rounds):

@@ -394,7 +394,9 @@ def dispatch_core(
         out["abort_observed"] = stats[:, 2]
         out["payload_wait_cost_stats"] = stats[:, 3]
         out["payload_timeout_flags"] = stats[:, 4]
-        out["send_cost_stats"] = stats[:, 5]
+        # stats col 5 is reserved-zero: send-side cost counting would need a
+        # semaphore read, which wedges this TPU stack (PERF.md r4); the
+        # receiver-side wait matrices carry the liveness diagnostics
     if validation_flags is not None:
         out["validation_flags"] = validation_flags
     return out
@@ -428,8 +430,10 @@ def combine_core(
     the dispatch counts (``handle.recv_counts``), ride the ragged window
     kernel, and are re-expanded at the source from ``handle.sent_counts``.
     With ``monitor=True`` it also returns the ``stats [R, 6]`` matrix
-    (payload/count wait costs, timeout flags, send cost — the reference's
-    ``combine_send_cost_stats``, buffer.py:490).
+    (payload/count wait costs + timeout flags — the receiver-side half of the
+    reference's combine diagnostics, buffer.py:490; its send-side
+    ``combine_send_cost_stats`` has no TPU equivalent, see
+    ``Buffer.low_latency_combine``).
     """
     e_local, slots, hidden = y.shape
     assert slots == num_ranks * seg_capacity
@@ -621,8 +625,7 @@ def dispatch_ragged_core(
             .set(res["recv_scales"].reshape(-1), mode="drop")
         )
     for key in ("wait_recv_cost_stats", "timeout_flags", "abort_observed",
-                "payload_wait_cost_stats", "payload_timeout_flags",
-                "send_cost_stats"):
+                "payload_wait_cost_stats", "payload_timeout_flags"):
         if key in res:
             out[key] = res[key]
     return out

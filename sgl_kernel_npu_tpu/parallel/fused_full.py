@@ -810,6 +810,7 @@ def fused_deep_moe_full_rank(
     collective_id: int | None = None,
     debug_outputs: bool = False,
     phases: frozenset = frozenset({"send", "fill", "combine", "reduce"}),
+    allow_partial_phases: bool = False,
 ):
     """Per-rank FULL fused MoE (run inside shard_map over ``axis_name``).
 
@@ -817,8 +818,9 @@ def fused_deep_moe_full_rank(
     machinery ("send" = dispatch window writes+drains, "fill" = arrival waits
     + slab assembly, "combine" = return DMAs + their waits, "reduce" = the
     final masked-matmul reduction) so ablation benches can attribute kernel
-    time.  Anything less than the full set produces garbage output — bench
-    only.
+    time.  Anything less than the full set produces garbage output and can
+    leave recv semaphores unconsumed (kernel-exit failure) — callers must
+    opt in explicitly with ``allow_partial_phases=True`` (bench only).
 
     Args:
         x: ``[T, H]`` this rank's tokens (float).
@@ -834,6 +836,12 @@ def fused_deep_moe_full_rank(
         ``(combined [T, H] bf16, recv_count [E_local] — RECEIVER-side counts,
         num_dropped [])``.
     """
+    if set(phases) != {"send", "fill", "combine", "reduce"} \
+            and not allow_partial_phases:
+        raise ValueError(
+            "phases is a bench-only ablation knob: partial sets produce "
+            "garbage output and may strand recv semaphores; pass "
+            "allow_partial_phases=True to opt in")
     if interpret is None:
         interpret = interpret_default()
     if static_shapes is None:

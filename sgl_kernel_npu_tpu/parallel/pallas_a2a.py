@@ -219,8 +219,11 @@ def _ragged_a2a_monitored_kernel(
                      # timeout, col2 abort-seen, col3 = col0 (merged payload
                      # phase), col4 payload-missing flag, col5 reserved (0)
     cnt_ssem, cnt_rsem, pay_ssem, pay_rsem, flg_ssem, flg_rsem, loc_sem,
-    fscr,            # VMEM scratch [2R, 128] int32: poll snapshot of flags_ref
-    fbuf,            # VMEM scratch [1, 128] int32: flag/zero staging row
+    fscr,            # VMEM scratch [2R·8, 128] int32: poll snapshot of the
+                     # whole flags_ref window (same shape; slot s = rows
+                     # 8s..8s+8, checked at rows_i == 8·s)
+    fbuf,            # VMEM scratch [8, 128] int32: one flag-slot tile staged
+                     # locally — starts as the zero tile, later the magic tile
     *,
     axis_name,
     num_ranks,
@@ -486,11 +489,18 @@ def pallas_ragged_all_to_all(
 
     ``monitor=True`` adds timeout detection + wait-cost stats (see
     :func:`_ragged_a2a_monitored_kernel`) and returns ``(recv, recv_counts,
-    stats [R, 6])`` — cols: poll iterations until count arrival, count-timeout
-    flag, abort-observed flag, payload poll iterations, payload-timeout flag,
-    send-cost poll iterations (reference ``dispatch_wait_recv_cost_stats`` +
-    ``combine_send_cost_stats``,
-    abort-observed flag.  ``inject_send_fault`` makes this rank mute (test hook).
+    stats [R, 6])`` — cols: 0 poll iterations until flag arrival, 1 timeout
+    flag, 2 abort-observed flag, 3 = col 0 (payload waits merge into the flag
+    poll), 4 payload-missing flag, 5 reserved-zero (send-side cost needs a
+    semaphore read, which wedges this stack — receiver matrices carry the
+    reference's ``dispatch_wait_recv_cost_stats`` role, buffer.py:285-286).
+    ``max_poll_rounds`` must be sized so a merely-SLOW source cannot falsely
+    time out: each poll round costs a full local DMA snapshot of the flag
+    window (≫ 1 µs), so the default bounds the wait at seconds — far beyond
+    any live sender's flag latency; a false timeout on a live source leaves
+    that source's in-flight DMAs undrained (semaphore-nonzero teardown), the
+    same post-abort exposure the reference accepts on a REAL timeout.
+    ``inject_send_fault`` makes this rank mute (test hook).
     """
     if interpret is None:
         interpret = interpret_default()
@@ -508,7 +518,11 @@ def pallas_ragged_all_to_all(
     lane = 1
     for dim in trail:
         lane *= dim
-    if (not trail) or lane % 128:
+    # Flatten/pad unless the trailing shape is already exactly [lane%128==0]:
+    # a multi-dim trailing shape with an aligned PRODUCT but misaligned last
+    # dim (e.g. [R, C, 64, 2]) still DMA-slices along a misaligned minor dim
+    # and hits the Mosaic "Slice shape ... must be aligned" compile error.
+    if len(trail) != 1 or trail[-1] % 128:
         lane_p = -(-max(lane, 1) // 128) * 128
         xp = jnp.pad(
             x.reshape(r, c_cap, lane), ((0, 0), (0, 0), (0, lane_p - lane))
@@ -650,7 +664,10 @@ def pallas_all_to_all(
     lane = 1
     for dim in trail:
         lane *= dim
-    if len(trail) < 2 or lane % 128:
+    # canonical compiled shape is [R, rows, 128]: flatten/pad any input whose
+    # last dim is not lane-aligned, even if the trailing PRODUCT is (see
+    # pallas_ragged_all_to_all)
+    if len(trail) != 2 or trail[-1] % 128:
         rows = -(-max(lane, 1) // 128)
         xp = jnp.pad(x.reshape(num_ranks, lane), ((0, 0), (0, rows * 128 - lane)))
         out = pallas_all_to_all(
