@@ -28,9 +28,12 @@ compact output feeds ``ragged_dot``/``grouped_matmul`` directly.
 Monitoring: ``monitor=True`` returns per-tier traffic stats (DCN rows per
 destination node, ICI fan-out rows per destination rank, per-phase drop
 counts) — the EPLB/diagnosis signals of the reference's layered stats.
-Wait-cost matrices do not exist on this path BY CONSTRUCTION: both hops are
-XLA collectives whose synchronization the compiler owns; the one-sided
-``pallas_ragged`` backend (ep_core) is the tier that measures real waits.
+With the default XLA-collective hops, wait-cost matrices do not exist (the
+compiler owns the synchronization and a dead node hangs the collective);
+``dcn_transport="monitored"`` (r5) moves the SLOW phase-1 hop onto the
+one-sided bounded-poll window transport — timeout → abort → truncate plus
+per-node wait/timeout stats, the reference A2 tree's TimeOutDetection on
+exactly the fabric where it lives (``moe_distribute_dispatch_v2_layered.h``).
 """
 
 from __future__ import annotations
@@ -42,6 +45,8 @@ import jax.numpy as jnp
 
 
 def _a2a(v, axis_name):
+    if axis_name is None:  # degenerate axis (ranks_per_node == 1): identity
+        return v
     return jax.lax.all_to_all(v, axis_name, split_axis=0, concat_axis=0, tiled=True)
 
 
@@ -178,6 +183,10 @@ def dispatch_layered(
     seg_capacity: int,
     use_int8: bool = False,
     monitor: bool = False,
+    dcn_transport: str = "xla",
+    dcn_max_poll_rounds: int = 5_000_000,
+    _dcn_inject_fault: bool = False,
+    _dcn_force_sem_read: bool | None = None,
 ):
     """Two-tier dispatch (run inside shard_map over (node_axis, ici_axis)).
 
@@ -190,6 +199,20 @@ def dispatch_layered(
     ``use_int8``: per-token dynamic INT8 quant at the source; int8 rows + f32
     scales ride BOTH hops (the reference's layered INT8 dispatch;
     QuantProcess, moe_distribute_dispatch_v2.h:994).
+
+    ``dcn_transport="monitored"`` (VERDICT r4 #7) replaces the phase-1 XLA
+    collective with the one-sided bounded-poll window transport
+    (pallas_a2a, over the node axis via MESH device ids): the slow inter-node
+    hop — exactly where the reference's A2 tree puts its timeout machinery
+    (``moe_distribute_dispatch_v2_layered.h`` TimeOutDetection) — gains
+    timeout → abort → truncate semantics and per-node wait matrices
+    (``stats["dcn_wait_cost"] [N]``, ``stats["dcn_timeout_flags"] [N]``).  A
+    dead node then zeroes its recv rows instead of hanging the collective.
+    All phase-1 payloads (rows, topk ids, scales) pack into ONE byte payload
+    so a single ragged exchange carries the hop — which also moves only the
+    deduped live rows over DCN instead of the full capacity.
+    ``_dcn_inject_fault`` / ``_dcn_force_sem_read`` are the CI fault hooks
+    (tests/test_layered.py dead-node test).
     """
     from sgl_kernel_npu_tpu.ops.quant import INT8_MAX, saturate_int8
 
@@ -204,8 +227,11 @@ def dispatch_layered(
     n_nodes, p = num_nodes, ranks_per_node
     num_ranks = n_nodes * p
     e_local = num_experts // num_ranks
+    assert ici_axis is not None or p == 1, \
+        "ici_axis=None requires ranks_per_node == 1"
     my_node = jax.lax.axis_index(node_axis)
-    my_ici = jax.lax.axis_index(ici_axis)
+    my_ici = (jax.lax.axis_index(ici_axis) if ici_axis is not None
+              else jnp.int32(0))
     c1, c2 = phase1_capacity, phase2_capacity
 
     (pair_node, pair_row, pair_ok1, pair_first, send_token, counts1,
@@ -221,12 +247,66 @@ def dispatch_layered(
         topk_idx.astype(jnp.int32)[tok],
         -1,
     )                                               # [N, C1, K]
-    recv_x1 = _a2a(send_x, node_axis)               # [N, C1, H] at the proxy
-    recv_tk = _a2a(send_tk, node_axis)              # [N, C1, K]
-    live_row = (recv_tk >= 0).any(axis=-1)          # [N, C1]
     if use_int8:
         send_sc = jnp.where(send_token >= 0, tok_scale[tok], 0.0)[..., None]
-        recv_sc1 = _a2a(send_sc.astype(jnp.float32), node_axis)  # [N, C1, 1]
+    dcn_stats = None
+    if dcn_transport == "monitored":
+        from sgl_kernel_npu_tpu.parallel.pallas_a2a import (
+            pallas_ragged_all_to_all,
+        )
+
+        def to_bytes(a):
+            if a.dtype == jnp.int8:
+                return a
+            by = jax.lax.bitcast_convert_type(a, jnp.int8)
+            return by.reshape(*a.shape[:-1], a.shape[-1] * by.shape[-1])
+
+        def from_bytes(by, dtype, width):
+            if dtype == jnp.int8:
+                return by
+            es = jnp.dtype(dtype).itemsize
+            return jax.lax.bitcast_convert_type(
+                by.reshape(*by.shape[:-1], width, es), dtype)
+
+        h_bytes = hidden * jnp.dtype(x.dtype).itemsize
+        parts = [to_bytes(send_x), to_bytes(send_tk)]
+        if use_int8:
+            parts.append(to_bytes(send_sc.astype(jnp.float32)))
+        payload = jnp.concatenate(parts, axis=-1)   # [N, C1, B] int8
+        # sub-axis one-sided DMA needs MESH device coords; with a single
+        # rank per node the node index IS the logical id (and interpret mode
+        # only supports that degenerate case — multi-axis meshes are
+        # hardware-only for dma_start)
+        recv_pay, rcnt1, stats6 = pallas_ragged_all_to_all(
+            payload, counts1, axis_name=node_axis, num_ranks=n_nodes,
+            mesh_axes=(node_axis, ici_axis) if ici_axis is not None else None,
+            monitor=True,
+            max_poll_rounds=dcn_max_poll_rounds,
+            inject_send_fault=_dcn_inject_fault,
+            force_sem_read=_dcn_force_sem_read)
+        # rows past a source's recv count (incl. all rows of a timed-out
+        # node) are garbage: truncate them to dead rows
+        live1 = (jnp.arange(c1, dtype=jnp.int32)[None, :]
+                 < rcnt1[:, None])                  # [N, C1]
+        recv_x1 = jnp.where(
+            live1[..., None],
+            from_bytes(recv_pay[..., :h_bytes], x.dtype, hidden), 0)
+        recv_tk = jnp.where(
+            live1[..., None],
+            from_bytes(recv_pay[..., h_bytes:h_bytes + 4 * k], jnp.int32, k),
+            -1)
+        if use_int8:
+            recv_sc1 = jnp.where(
+                live1[..., None],
+                from_bytes(recv_pay[..., h_bytes + 4 * k:], jnp.float32, 1),
+                0.0)
+        dcn_stats = stats6
+    else:
+        recv_x1 = _a2a(send_x, node_axis)           # [N, C1, H] at the proxy
+        recv_tk = _a2a(send_tk, node_axis)          # [N, C1, K]
+        if use_int8:
+            recv_sc1 = _a2a(send_sc.astype(jnp.float32), node_axis)
+    live_row = (recv_tk >= 0).any(axis=-1)          # [N, C1]
 
     # ---- phase 2: proxy fan-out over the fast axis ----
     plan2 = _phase2_plan(
@@ -329,6 +409,14 @@ def dispatch_layered(
             "dropped_phase1": drop1,
             "dropped_phase2": plan2["n_dropped"],
         }
+        if dcn_stats is not None:
+            # one-sided DCN hop (dcn_transport="monitored"): per-source-node
+            # wait matrices + timeout flags — the A2 layered tree's
+            # TimeOutDetection surface
+            out["stats"]["dcn_wait_cost"] = dcn_stats[:, 0]
+            out["stats"]["dcn_timeout_flags"] = (
+                dcn_stats[:, 1] | dcn_stats[:, 4])
+            out["stats"]["dcn_abort_observed"] = dcn_stats[:, 2]
     return out
 
 
@@ -346,6 +434,10 @@ def dispatch_layered_normal(
     seg_capacity: int,
     use_int8: bool = False,
     monitor: bool = False,
+    dcn_transport: str = "xla",
+    dcn_max_poll_rounds: int = 5_000_000,
+    _dcn_inject_fault: bool = False,
+    _dcn_force_sem_read: bool | None = None,
 ):
     """Layered NORMAL-mode (prefill) dispatch: two-tier route, ragged output.
 
@@ -366,7 +458,10 @@ def dispatch_layered_normal(
         num_nodes=num_nodes, ranks_per_node=ranks_per_node,
         num_experts=num_experts, phase1_capacity=phase1_capacity,
         phase2_capacity=phase2_capacity, seg_capacity=seg_capacity,
-        use_int8=use_int8, monitor=monitor)
+        use_int8=use_int8, monitor=monitor, dcn_transport=dcn_transport,
+        dcn_max_poll_rounds=dcn_max_poll_rounds,
+        _dcn_inject_fault=_dcn_inject_fault,
+        _dcn_force_sem_read=_dcn_force_sem_read)
     num_ranks = num_nodes * ranks_per_node
     e_local = num_experts // num_ranks
     hidden = x.shape[1]

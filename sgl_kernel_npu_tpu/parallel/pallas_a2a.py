@@ -31,7 +31,24 @@ from sgl_kernel_npu_tpu.parallel.collective_ids import next_collective_id
 from sgl_kernel_npu_tpu.utils.common import interpret_default
 
 
-def _entry_barrier(axis_name, num_ranks):
+def _peer(d, axis_name, mesh_axes):
+    """Device-id + type for peer ``d`` along ``axis_name``.
+
+    ``mesh_axes=None``: the a2a spans the whole (1-D) mesh — LOGICAL ids.
+    ``mesh_axes=(a0, a1, …)``: the a2a runs along ONE axis of a multi-axis
+    mesh (e.g. the DCN ``node`` axis of a (node, ici) mesh, parallel/
+    layered.py): ids become MESH coordinates with every other axis pinned at
+    this rank's own index, so each cross-section forms an independent group.
+    """
+    if mesh_axes is None:
+        return d, pltpu.DeviceIdType.LOGICAL
+    coords = tuple(
+        d if a == axis_name else jax.lax.axis_index(a) for a in mesh_axes
+    )
+    return coords, pltpu.DeviceIdType.MESH
+
+
+def _entry_barrier(axis_name, num_ranks, mesh_axes=None):
     """All-peers kernel-entry barrier on the collective barrier semaphore.
 
     One-sided writes may land in a peer's window before that peer has entered
@@ -48,17 +65,17 @@ def _entry_barrier(axis_name, num_ranks):
     my = jax.lax.axis_index(axis_name)
     for off in range(num_ranks):
         d = jax.lax.rem(my + jnp.int32(off), num_ranks)
+        did, dtype = _peer(d, axis_name, mesh_axes)
         pltpu.semaphore_signal(
-            barrier, inc=1, device_id=d,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            barrier, inc=1, device_id=did, device_id_type=dtype,
         )
     pltpu.semaphore_wait(barrier, num_ranks)
 
 
 def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, *, axis_name, num_ranks,
-                use_barrier=False):
+                use_barrier=False, mesh_axes=None):
     if use_barrier:
-        _entry_barrier(axis_name, num_ranks)
+        _entry_barrier(axis_name, num_ranks, mesh_axes)
     my = jax.lax.axis_index(axis_name)
 
     def send_copy(off):
@@ -73,8 +90,8 @@ def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, *, axis_name, num_ranks,
             dst_ref=o_ref.at[my],
             send_sem=send_sems.at[d],
             recv_sem=recv_sems.at[my],
-            device_id=d,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=_peer(d, axis_name, mesh_axes)[0],
+            device_id_type=_peer(d, axis_name, mesh_axes)[1],
         )
 
     for off in range(num_ranks):
@@ -90,8 +107,8 @@ def _a2a_kernel(x_ref, o_ref, send_sems, recv_sems, *, axis_name, num_ranks,
             dst_ref=o_ref.at[s],
             send_sem=send_sems.at[s],
             recv_sem=recv_sems.at[s],
-            device_id=s,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=_peer(s, axis_name, mesh_axes)[0],
+            device_id_type=_peer(s, axis_name, mesh_axes)[1],
         ).wait_recv()
 
 
@@ -107,9 +124,10 @@ def _ragged_a2a_kernel(
     chunk_rows,
     static_chunks,
     use_barrier=False,
+    mesh_axes=None,
 ):
     if use_barrier:
-        _entry_barrier(axis_name, num_ranks)
+        _entry_barrier(axis_name, num_ranks, mesh_axes)
     my = jax.lax.axis_index(axis_name)
     c_cap = x_ref.shape[1]
     max_chunks = (c_cap + chunk_rows - 1) // chunk_rows
@@ -130,8 +148,8 @@ def _ragged_a2a_kernel(
             dst_ref=oc_ref.at[pl.ds(my, 1)],
             send_sem=cnt_ssem.at[d],
             recv_sem=cnt_rsem.at[my],
-            device_id=d,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=_peer(d, axis_name, mesh_axes)[0],
+            device_id_type=_peer(d, axis_name, mesh_axes)[1],
         )
 
     def payload_chunk(dst, src_row_block, c):
@@ -141,8 +159,8 @@ def _ragged_a2a_kernel(
             dst_ref=o_ref.at[src_row_block, pl.ds(c * chunk_rows, chunk_rows)],
             send_sem=pay_ssem.at[dst],
             recv_sem=pay_rsem.at[src_row_block],
-            device_id=dst,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=_peer(dst, axis_name, mesh_axes)[0],
+            device_id_type=_peer(dst, axis_name, mesh_axes)[1],
         )
 
     # phase A: counts (the reference's NotifyDispatch count exchange,
@@ -171,8 +189,8 @@ def _ragged_a2a_kernel(
             dst_ref=oc_ref.at[pl.ds(s, 1)],
             send_sem=cnt_ssem.at[s],
             recv_sem=cnt_rsem.at[s],
-            device_id=s,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=_peer(s, axis_name, mesh_axes)[0],
+            device_id_type=_peer(s, axis_name, mesh_axes)[1],
         ).wait_recv()
 
     # drain payload: counts are now known on both sides
@@ -195,8 +213,8 @@ def _ragged_a2a_kernel(
                 dst_ref=o_ref.at[s, pl.ds(c * chunk_rows, chunk_rows)],
                 send_sem=pay_ssem.at[s],
                 recv_sem=pay_rsem.at[s],
-                device_id=s,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
+                device_id=_peer(s, axis_name, mesh_axes)[0],
+                device_id_type=_peer(s, axis_name, mesh_axes)[1],
             ).wait_recv()
             return 0
 
@@ -234,6 +252,7 @@ def _ragged_a2a_monitored_kernel(
     use_sem_read,
     local_abort,
     use_barrier=False,
+    mesh_axes=None,
 ):
     """Ragged a2a with failure detection — the reference's ``TimeOutDetection``
     (moe_distribute_dispatch_v2.h:23-26,1110-1126) + per-source wait-cost stats
@@ -268,7 +287,7 @@ def _ragged_a2a_monitored_kernel(
     delivery would falsely time out on live sources) degrades to blocking
     waits with zeroed stats — functionally identical on the no-fault path."""
     if use_barrier:
-        _entry_barrier(axis_name, num_ranks)
+        _entry_barrier(axis_name, num_ranks, mesh_axes)
     my = jax.lax.axis_index(axis_name)
     c_cap = x_ref.shape[1]
     max_chunks = (c_cap + chunk_rows - 1) // chunk_rows
@@ -288,8 +307,8 @@ def _ragged_a2a_monitored_kernel(
             dst_ref=oc_ref.at[pl.ds(my, 1)],
             send_sem=cnt_ssem.at[d],
             recv_sem=cnt_rsem.at[my],
-            device_id=d,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=_peer(d, axis_name, mesh_axes)[0],
+            device_id_type=_peer(d, axis_name, mesh_axes)[1],
         )
 
     def payload_chunk(dst, src_row_block, c):
@@ -298,8 +317,8 @@ def _ragged_a2a_monitored_kernel(
             dst_ref=o_ref.at[src_row_block, pl.ds(c * chunk_rows, chunk_rows)],
             send_sem=pay_ssem.at[dst],
             recv_sem=pay_rsem.at[src_row_block],
-            device_id=dst,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=_peer(dst, axis_name, mesh_axes)[0],
+            device_id_type=_peer(dst, axis_name, mesh_axes)[1],
         )
 
     def flag_copy(dst, src_slot, slot):
@@ -309,8 +328,8 @@ def _ragged_a2a_monitored_kernel(
             dst_ref=flags_ref.at[pl.ds(8 * slot, 8)],
             send_sem=flg_ssem.at[dst],
             recv_sem=flg_rsem.at[src_slot],
-            device_id=dst,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=_peer(dst, axis_name, mesh_axes)[0],
+            device_id_type=_peer(dst, axis_name, mesh_axes)[1],
         )
 
     # zero MY flag window (outputs are uninitialized memory), then barrier so
@@ -324,7 +343,7 @@ def _ragged_a2a_monitored_kernel(
         z.start()
         z.wait()
     if use_barrier:
-        _entry_barrier(axis_name, num_ranks)
+        _entry_barrier(axis_name, num_ranks, mesh_axes)
 
     if not inject_send_fault:
         for off in range(num_ranks):
@@ -366,8 +385,8 @@ def _ragged_a2a_monitored_kernel(
             dst_ref=oc_ref.at[pl.ds(s, 1)],
             send_sem=cnt_ssem.at[s],
             recv_sem=cnt_rsem.at[s],
-            device_id=s,
-            device_id_type=pltpu.DeviceIdType.LOGICAL,
+            device_id=_peer(s, axis_name, mesh_axes)[0],
+            device_id_type=_peer(s, axis_name, mesh_axes)[1],
         )
 
         def wait_r(c, _, s=s):
@@ -376,8 +395,8 @@ def _ragged_a2a_monitored_kernel(
                 dst_ref=o_ref.at[s, pl.ds(c * chunk_rows, chunk_rows)],
                 send_sem=pay_ssem.at[s],
                 recv_sem=pay_rsem.at[s],
-                device_id=s,
-                device_id_type=pltpu.DeviceIdType.LOGICAL,
+                device_id=_peer(s, axis_name, mesh_axes)[0],
+                device_id_type=_peer(s, axis_name, mesh_axes)[1],
             ).wait_recv()
             return 0
 
@@ -474,6 +493,7 @@ def pallas_ragged_all_to_all(
     max_poll_rounds: int = 5_000_000,
     inject_send_fault: bool = False,
     force_sem_read: bool | None = None,
+    mesh_axes: tuple | None = None,
 ):
     """Ragged window all-to-all: transfer only ``counts[d]`` live rows per pair.
 
@@ -534,6 +554,7 @@ def pallas_ragged_all_to_all(
             max_poll_rounds=max_poll_rounds,
             inject_send_fault=inject_send_fault,
             force_sem_read=force_sem_read,
+            mesh_axes=mesh_axes,
         )
         out = res[0][..., :lane].reshape(x.shape)
         return (out, *res[1:])
@@ -582,6 +603,7 @@ def pallas_ragged_all_to_all(
                 use_sem_read=use_sem_read,
                 local_abort=interpret or num_ranks == 1,
                 use_barrier=use_barrier,
+                mesh_axes=mesh_axes,
             ),
             out_shape=(
                 jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -620,6 +642,7 @@ def pallas_ragged_all_to_all(
             chunk_rows=min(chunk_rows, c_cap),
             static_chunks=static_chunks,
             use_barrier=use_barrier,
+            mesh_axes=mesh_axes,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),

@@ -195,3 +195,89 @@ def test_layered_topk_minus_one_drops(rng):
     np.testing.assert_allclose(np.asarray(out).reshape(R * T, H), want,
                                rtol=1e-5, atol=1e-5)
     assert int(jnp.asarray(counts).sum()) == R * T * (K - 1)
+
+
+def test_layered_dcn_monitored_roundtrip(rng):
+    """dcn_transport='monitored': the one-sided window transport on the node
+    axis produces identical results to the XLA-collective hop (no faults).
+
+    Runs at ranks_per_node=1 over a pure node mesh (ici_axis=None): the
+    interpret simulator only supports one-sided DMA on single-axis meshes, so
+    the multi-rank-per-node MESH-id path is hardware-only (layered.py note)."""
+    import functools
+
+    ln, lp = 8, 1
+    le, lt, lk, lh = 16, 4, 3, 64
+    x = jnp.asarray(rng.standard_normal((ln * lp * lt, lh)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(le, lk, replace=False)
+                  for _ in range(ln * lp * lt)]), jnp.int32)
+
+    def run(transport):
+        def body(xv, iv):
+            d = layered.dispatch_layered(
+                xv, iv, node_axis="node", ici_axis=None, num_nodes=ln,
+                ranks_per_node=lp, num_experts=le, phase1_capacity=lt * lk,
+                phase2_capacity=ln * lt * lk, seg_capacity=lt * lk,
+                use_int8=True, monitor=True, dcn_transport=transport)
+            tf = (d["stats"].get("dcn_timeout_flags", jnp.zeros((ln,), jnp.int32)))
+            return d["recv_x"], d["recv_scales"], d["recv_count"], tf[None]
+        m = Mesh(np.array(jax.devices()[:ln]), ("node",))
+        return jax.jit(functools.partial(
+            jax.shard_map, mesh=m,
+            in_specs=(P("node"),) * 2,
+            out_specs=(P("node"),) * 4, check_vma=False,
+        )(body))(x, idx)
+
+    rx_x, rs_x, rc_x, _ = run("xla")
+    rx_m, rs_m, rc_m, tf = run("monitored")
+    np.testing.assert_array_equal(np.asarray(rc_x), np.asarray(rc_m))
+    np.testing.assert_array_equal(np.asarray(tf), 0)
+    # identical packed payloads on the live slots
+    live = np.asarray(rs_x) != 0
+    np.testing.assert_array_equal(
+        np.asarray(rx_x)[live], np.asarray(rx_m)[live])
+    np.testing.assert_allclose(
+        np.asarray(rs_x)[live], np.asarray(rs_m)[live], rtol=1e-6)
+
+
+def test_layered_dcn_timeout_dead_node(rng):
+    """Dead-node drill on the DCN hop (VERDICT r4 #7): every node muted
+    (inject_send_fault) + bounded polls forced on → the timeout fires, abort
+    propagates, and recv rows truncate to zero instead of hanging the job —
+    the A2 layered tree's TimeOutDetection → abort semantics."""
+    import functools
+
+    ln, lp = 8, 1
+    le, lt, lk, lh = 16, 4, 2, 64
+    x = jnp.asarray(rng.standard_normal((ln * lp * lt, lh)), jnp.float32)
+    idx = jnp.asarray(
+        np.stack([rng.choice(le, lk, replace=False)
+                  for _ in range(ln * lp * lt)]), jnp.int32)
+
+    def body(xv, iv):
+        d = layered.dispatch_layered(
+            xv, iv, node_axis="node", ici_axis=None, num_nodes=ln,
+            ranks_per_node=lp, num_experts=le, phase1_capacity=lt * lk,
+            phase2_capacity=ln * lt * lk, seg_capacity=lt * lk,
+            use_int8=True, monitor=True, dcn_transport="monitored",
+            dcn_max_poll_rounds=64, _dcn_inject_fault=True,
+            _dcn_force_sem_read=True)
+        st = d["stats"]
+        return (d["recv_count"],
+                st["dcn_timeout_flags"][None],
+                st["dcn_wait_cost"][None])
+
+    m = Mesh(np.array(jax.devices()[:ln]), ("node",))
+    rc, tf, wc = jax.jit(functools.partial(
+        jax.shard_map, mesh=m,
+        in_specs=(P("node"),) * 2,
+        out_specs=(P("node"),) * 3, check_vma=False,
+    )(body))(x, idx)
+    # every (rank, src-node) wait flagged, counts truncated to zero; the
+    # FIRST timeout burns the full poll budget, then its abort broadcast
+    # short-circuits the remaining waits after ~1 poll (abort semantics)
+    wcm = np.asarray(wc).reshape(ln * lp, ln)
+    assert np.asarray(tf).reshape(ln * lp, ln).all()
+    assert (wcm.max(axis=1) >= 64).all() and (wcm >= 1).all()
+    np.testing.assert_array_equal(np.asarray(rc), 0)
