@@ -258,7 +258,7 @@ def _mla_kernel(
     jax.lax.fori_loop(0, total, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret", "ring"))
 def decode_mla(
     q,
     k_nope_buffer,
@@ -269,6 +269,7 @@ def decode_mla(
     *,
     k_scale=None,
     interpret=None,
+    ring: int = 4,
 ):
     """Paged MLA decode attention (reference decode_attention.py:166).
 
@@ -332,14 +333,14 @@ def decode_mla(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            # 4-deep DMA ring (r5: depth-2 streamed ~700 GB/s, depth 4 ~755 —
-            # the chip's flat-stream ceiling, see ops/gmm_ring.py)
-            pltpu.VMEM((4, group * page_size, d_nope), kn.dtype),
-            pltpu.VMEM((4, d_rope, group * page_size), kr.dtype),
+            # ring-deep DMA pipeline (r5: depth-2 streamed ~700 GB/s, depth 4
+            # ~755 — the chip's flat-stream ceiling, see ops/gmm_ring.py)
+            pltpu.VMEM((ring, group * page_size, d_nope), kn.dtype),
+            pltpu.VMEM((ring, d_rope, group * page_size), kr.dtype),
             pltpu.VMEM((hq, d_nope), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((4, 2, group)),
+            pltpu.SemaphoreType.DMA((ring, 2, group)),
         ],
     )
     out = pl.pallas_call(
@@ -525,12 +526,14 @@ def decode_gqa_high_performance(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, gp * page_size, dk), k_buffer.dtype),
-            pltpu.VMEM((2, gp * page_size, dv), v_buffer.dtype),
+            # 4-deep DMA ring (r5: matches decode_mla — double buffering
+            # leaves ~13% of the stream ceiling on the table, PERF.md)
+            pltpu.VMEM((4, gp * page_size, dk), k_buffer.dtype),
+            pltpu.VMEM((4, gp * page_size, dv), v_buffer.dtype),
             pltpu.VMEM((group_p, dv), jnp.float32),
             pltpu.VMEM((group_p, 128), jnp.float32),
             pltpu.VMEM((group_p, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2, gp)),
+            pltpu.SemaphoreType.DMA((4, 2, gp)),
         ],
     )
     out = pl.pallas_call(

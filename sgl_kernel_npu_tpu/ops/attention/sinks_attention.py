@@ -326,19 +326,25 @@ def _sinks_packed_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "sliding_window_size", "q_head_num", "k_head_num", "interpret"),
+    static_argnames=("scale", "sliding_window_size", "q_head_num", "k_head_num",
+                     "interpret", "impl"),
 )
 def attention_sinks_packed(
     query, k_packed, v_packed, sinks, block_tables, context_lens, scale,
     sliding_window_size: int, q_head_num: int, k_head_num: int, *,
-    k_scale=None, v_scale=None, interpret=None,
+    k_scale=None, v_scale=None, interpret=None, impl: str = "flat",
 ):
     """Paged sinks decode over the PACKED cache (``pack_kv_sinks`` layout).
 
     Same semantics as :func:`attention_sinks`, but KV rides 128-lane-full
     blocks — half the HBM traffic at d=64 (GPT-OSS shapes).  Int8 packed
     caches compose (quarter traffic at d=64): per-ORIGINAL-kv-head scales fold
-    into q before the zero-interleave pack / into the unpacked output."""
+    into q before the zero-interleave pack / into the unpacked output.
+
+    ``impl``: ``"flat"`` (default) = the flat-pipeline manual-DMA kernel
+    (`ops/attention/sinks_flat.py` — one wide score dot per packed head over a
+    G-page super-block, 755 GB/s-class streaming); ``"blockspec"`` = the
+    (token, page)-grid kernel kept for comparison benches."""
     if interpret is None:
         interpret = interpret_default()
     s = query.shape[0]
@@ -362,6 +368,24 @@ def attention_sinks_packed(
                           k_head_num * group_p, k_head_num, d)
     sk2 = jnp.concatenate([sk[0::2], sk[1::2]], axis=-1)[:, None, :]  # [hkv2,1,2gp]
     max_pages = block_tables.shape[1]
+
+    if impl == "flat" and (interpret or (page_size % 8 == 0 and d2 % 128 == 0
+                                         and 2 * dv % 128 == 0)):
+        from sgl_kernel_npu_tpu.ops.attention.sinks_flat import (
+            sinks_packed_flat_call,
+        )
+
+        out = sinks_packed_flat_call(
+            q2, sk2, k_packed, v_packed, block_tables, context_lens,
+            scale=scale, sliding_window_size=sliding_window_size,
+            interpret=interpret)
+        o = _unpack_outputs(out, s, k_head_num, group_p, dv).reshape(
+            s, k_head_num, group_p, dv)[:, :, :group]
+        if v_packed.dtype == jnp.int8:
+            o = (o.astype(jnp.float32)
+                 * _kv_head_scale(v_scale, k_head_num)[None]).astype(query.dtype)
+        return o.reshape(s, q_head_num * dv)
+
     if sliding_window_size > 0:
         n_pg = min(max_pages, -(-sliding_window_size // page_size) + 1)
     else:

@@ -212,6 +212,14 @@ def gmm1_ring(
     if tk is None:
         tk = next((t for t in (1024, 512, 256, 128) if k % t == 0), k)
     assert k % tk == 0 and xq.shape == (n_tok, k)
+    # the kernel reads/writes whole [tm]-row tiles: pad the sorted-row axis up
+    # (pad rows carry token id n_tok → all-zero one-hot → zero rows, and the
+    # epilogue's in_group mask keeps them at the zero fill)
+    s_orig = s
+    s = -(-s // tm) * tm
+    if s != s_orig:
+        tok_of_row = jnp.pad(tok_of_row, (0, s - s_orig),
+                             constant_values=n_tok)
     g_of, mt_of, offsets, n_live, _ = _compact_live(group_sizes, s, tm)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -251,7 +259,7 @@ def gmm1_ring(
     )(g_of, mt_of, offsets, n_live,
       xq, tok_of_row.reshape(s, 1), w1,
       scale_x_tok.reshape(n_tok, 1), scale_w)
-    return h1, hs[:, 0]
+    return h1[:s_orig], hs[:s_orig, 0]
 
 
 def _gmm2_combine_ring_kernel(
@@ -391,6 +399,13 @@ def gmm2_combine_ring(
     if tn is None:
         tn = next((t for t in (1792, 1536, 1024, 512, 256, 128)
                    if n % t == 0), n)
+    # whole [tm]-row tiles: pad the sorted-row axis (zero rows dequant to zero
+    # and sit outside every group's [start, end) — masked either way)
+    if s % tm:
+        pad = -(-s // tm) * tm - s
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        scale_x = jnp.pad(scale_x, (0, pad))
+        s += pad
     g_of, mt_of, offsets, n_live, _ = _compact_live(group_sizes, s, tm)
 
     has_init = init is not None

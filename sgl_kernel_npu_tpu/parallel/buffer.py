@@ -61,18 +61,39 @@ class Buffer:
             f"num_experts={self.num_experts} not divisible by EP size {self.group_size}"
         )
         self.num_local_experts = self.num_experts // self.group_size
+        self._jit_cache = {}
 
     # -- helpers ---------------------------------------------------------------
 
     def _shard(self, *specs):
         return tuple(NamedSharding(self.mesh, s) for s in specs)
 
-    def _smap(self, fn, in_specs, out_specs):
+    def _smap(self, fn, in_specs, out_specs, key=None):
+        """shard_map the per-rank body — jitted and cached when ``key`` is given.
+
+        Eager shard_map dispatches the body op-by-op through the Python trace
+        machinery on EVERY call (~4-8× the cost of the same computation under
+        ``jit``, measured on the interpret EP paths).  ``key`` must carry every
+        static the body closes over that is NOT a pure function of the input
+        shapes (capacities, flags, dtypes): the jitted callable is cached per
+        ``(key, in_specs, out_specs)`` and jax's own shape keying covers the
+        rest — so eager Buffer API calls get the graph-capture-by-default
+        behavior the reference reserves for its CPU-sync-free mode
+        (buffer.py:279-280).
+        """
         # check_vma=False: Pallas calls inside the body can't declare varying-mesh
         # annotations on their out_shapes yet.
-        return jax.shard_map(
+        sm = jax.shard_map(
             fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
         )
+        if key is None:
+            return sm
+        ck = (key, in_specs, out_specs)
+        cached = self._jit_cache.get(ck)
+        if cached is None:
+            cached = jax.jit(sm)
+            self._jit_cache[ck] = cached
+        return cached
 
     def _capacities(self, num_tokens_per_rank: int, topk: int):
         seg = max(self.config.num_max_dispatch_tokens_per_rank, num_tokens_per_rank)
@@ -98,7 +119,8 @@ class Buffer:
             return a[None], b[None], c[None]
 
         p = P(self.axis_name)
-        return self._smap(body, in_specs=(p,), out_specs=(p, p, p))(topk_idx)
+        return self._smap(body, in_specs=(p,), out_specs=(p, p, p),
+                          key=("layout",))(topk_idx)
 
     def get_routing_plan(self, topk_idx: jax.Array):
         """Debug accessor: the full source-side routing metadata per rank
@@ -121,7 +143,8 @@ class Buffer:
 
         p = P(self.axis_name)
         n_fields = len(ep_core.RoutingPlan._fields)
-        outs = self._smap(body, in_specs=(p,), out_specs=(p,) * n_fields)(topk_idx)
+        outs = self._smap(body, in_specs=(p,), out_specs=(p,) * n_fields,
+                          key=("routing_plan", pair, seg))(topk_idx)
         return ep_core.RoutingPlan(*outs)
 
     # -- low latency (decode) ------------------------------------------------------
@@ -208,7 +231,8 @@ class Buffer:
 
         p = P(self.axis_name)
         outs = self._smap(
-            body, in_specs=(p, p), out_specs=(p,) * 11
+            body, in_specs=(p, p), out_specs=(p,) * 11,
+            key=("lld", pair, seg, use_int8, backend, monitor, validate),
         )(x, topk_idx)
         (recv_x, recv_scales, recv_count, gidx, ok, cmat, dropped, wait,
          tflags, scnt, vflags) = outs
@@ -284,7 +308,8 @@ class Buffer:
                  self.num_experts // self.group_size), jnp.int32)
             scnt = rcnt = z
         out, stats = self._smap(
-            body, in_specs=(p,) * 6, out_specs=(p, p)
+            body, in_specs=(p,) * 6, out_specs=(p, p),
+            key=("llc", seg, jnp.dtype(out_dtype).name, backend, monitor),
         )(y, topk_weights, handle.gather_idx, handle.ok, scnt, rcnt)
         if monitor:
             return out, {
@@ -374,7 +399,9 @@ class Buffer:
             )
 
         p = P(self.axis_name)
-        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * 13)(x, topk_idx)
+        outs = self._smap(
+            body, in_specs=(p, p), out_specs=(p,) * 13,
+            key=("disp", pair, seg, use_int8, backend, monitor))(x, topk_idx)
         xs, scales, gs, gidx, ok, order, cmat, dropped = outs[:8]
         handle = ep_core.DispatchHandle(gidx, ok, order, None,
                                         outs[11], outs[12])
@@ -417,7 +444,8 @@ class Buffer:
 
         p = P(self.axis_name)
         n_out = 5 + 4 * rounds
-        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * n_out)(x, topk_idx)
+        outs = self._smap(body, in_specs=(p, p), out_specs=(p,) * n_out,
+                          key=("dispmr", rounds, pair, seg, use_int8))(x, topk_idx)
         xs, scales, gs, cmat, dropped = outs[:5]
         gidx = outs[5 : 5 + rounds]
         oks = outs[5 + rounds : 5 + 2 * rounds]
@@ -468,7 +496,9 @@ class Buffer:
             (self.group_size, self.group_size, self.num_local_experts), jnp.int32)
         scnt = handle.sent_counts if handle.sent_counts is not None else zero_c
         rcnt = handle.recv_counts if handle.recv_counts is not None else zero_c
-        return self._smap(body, in_specs=(p,) * 7, out_specs=p)(
+        return self._smap(
+            body, in_specs=(p,) * 7, out_specs=p,
+            key=("comb", seg, jnp.dtype(out_dtype).name, backend))(
             y_sorted, topk_weights, handle.gather_idx, handle.ok,
             handle.recv_sort_order, scnt, rcnt
         )
@@ -495,7 +525,9 @@ class Buffer:
         p = P(self.axis_name)
         args = (y_sorted, topk_weights, *handle["gather_idx"], *handle["ok"],
                 *handle["orders"], *handle["positions"])
-        return self._smap(body, in_specs=(p,) * len(args), out_specs=p)(*args)
+        return self._smap(
+            body, in_specs=(p,) * len(args), out_specs=p,
+            key=("combmr", rounds, seg, jnp.dtype(out_dtype).name))(*args)
 
     # -- fused MoE -------------------------------------------------------------------
 
@@ -574,7 +606,9 @@ class Buffer:
                 return out, cnt[None], drop[None]
 
             p = P(self.axis_name)
-            return self._smap(body_full, in_specs=(p,) * 7, out_specs=(p, p, p))(
+            return self._smap(
+                body_full, in_specs=(p,) * 7, out_specs=(p, p, p),
+                key=("fdm_full", seg, tiles))(
                 x, topk_idx, topk_weights, w1, w1_scale, w2, w2_scale
             )
 
@@ -600,7 +634,10 @@ class Buffer:
             return combined, gs[None], dropped[None]
 
         p = P(self.axis_name)
-        return self._smap(body, in_specs=(p,) * 7, out_specs=(p, p, p))(
+        return self._smap(
+            body, in_specs=(p,) * 7, out_specs=(p, p, p),
+            key=("fdm", pair, seg, gmm_tiles, pack_tn, chunks,
+                 use_int8_dispatch))(
             x, topk_idx, topk_weights, w1, w1_scale, w2, w2_scale
         )
 
@@ -637,6 +674,8 @@ class Buffer:
             return out, gs[None], dropped[None]
 
         p = P(self.axis_name)
-        return self._smap(body, in_specs=(p,) * 7, out_specs=(p, p, p))(
+        return self._smap(
+            body, in_specs=(p,) * 7, out_specs=(p, p, p),
+            key=("oai", pair, seg, alpha, limit))(
             x, topk_idx, topk_weights, w_gate_up, b_gate_up, w_down, b_down
         )

@@ -61,9 +61,9 @@ def test_eplb_through_model_decode(mesh2, rng):
     cfg = m.DeepSeekV3Config(
         vocab_size=64, hidden=128, num_layers=1, num_heads=8, kv_lora_rank=128,
         qk_rope_dim=64, qk_nope_dim=64, q_lora_rank=128, v_head_dim=64,
-        num_experts=16, topk=4, moe_intermediate=128, page_size=16)
+        num_experts=8, topk=2, moe_intermediate=128, page_size=16)
     params = m.init_weights(jax.random.key(1), cfg)
-    n, max_pages = 16, 2
+    n, max_pages = 8, 2
     caches = m.init_kv_cache(cfg, n * max_pages + 1, jnp.float32)
     hidden = jnp.asarray(rng.standard_normal((n, cfg.hidden)) * 0.3, jnp.float32)
     pos = jnp.arange(n, dtype=jnp.int32)
@@ -72,16 +72,16 @@ def test_eplb_through_model_decode(mesh2, rng):
     slots = jnp.arange(n, dtype=jnp.int32) * cfg.page_size + 4
 
     moe_q = m.quantize_moe_weights(cfg, params, tn=256)
-    buf = Buffer(mesh8, "ep", num_experts=16,
+    buf = Buffer(mesh8, "ep", num_experts=8,
                  config=EPConfig(num_max_dispatch_tokens_per_rank=n // 2))
     base, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots,
                             moe_weights_q=moe_q, ep_buffer=buf)
 
-    placement = eplb.make_placement(np.ones(16), 2, 12)  # 24 physical slots
-    tables = eplb.make_remap_tables(placement, 16)
+    placement = eplb.make_placement(np.ones(8), 2, 6)  # 12 physical slots
+    tables = eplb.make_remap_tables(placement, 8)
     moe_qp = [tuple(eplb.physical_expert_weights(a, placement) for a in layer)
               for layer in moe_q]
-    buf_p = Buffer(mesh8, "ep", num_experts=24,
+    buf_p = Buffer(mesh8, "ep", num_experts=12,
                    config=EPConfig(num_max_dispatch_tokens_per_rank=n // 2))
     out, _ = m.decode_step(cfg, params, hidden, pos, caches, bt, sl, slots,
                            moe_weights_q=moe_qp, ep_buffer=buf_p,

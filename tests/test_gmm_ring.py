@@ -104,3 +104,52 @@ def test_gmm2_combine_ring_vs_golden(rng, sizes, use_init):
         ref = ref + init
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2 * float(jnp.abs(ref).max()))
+
+def test_ring_kernels_row_count_below_tile(rng):
+    """S smaller than (or not a multiple of) the m-tile: the wrappers must pad
+    the sorted-row axis — regression for an OOB tile read when a small decode
+    batch (S = 64 rows) met the default tm=128."""
+    n_tok, k, n, g, ktop = 8, 256, 512, 4, 2
+    s = n_tok * ktop  # 16 rows, far below tm=128
+    gs = jnp.asarray([5, 0, 7, 4], jnp.int32)
+    xq = jnp.asarray(rng.integers(-30, 30, (n_tok, k)), jnp.int8)
+    tok = jnp.asarray(rng.integers(0, n_tok, s), jnp.int32)
+    wg = jnp.asarray(rng.integers(-20, 20, (g, k, n // 2)), jnp.int8)
+    wu = jnp.asarray(rng.integers(-20, 20, (g, k, n // 2)), jnp.int8)
+    sg = jnp.asarray(rng.random((g, n // 2)).astype(np.float32) / 50)
+    su = jnp.asarray(rng.random((g, n // 2)).astype(np.float32) / 50)
+    w1 = pack_gmm1_weights(wg, wu, n)
+    sw = pack_gmm1_scales(sg, su, n)
+    sx_tok = jnp.asarray(rng.random(n_tok).astype(np.float32) / 10)
+
+    h1, hs = gmm_ring.gmm1_ring(xq, tok, w1, gs, sx_tok, sw, tm=128, ring=3)
+    assert h1.shape == (s, n // 2) and hs.shape == (s,)
+    gh, gsc = _golden_gmm1(xq, tok, w1, gs, sx_tok, sw)
+    total = int(jnp.sum(gs))
+    np.testing.assert_allclose(np.asarray(h1, np.int32)[:total],
+                               np.asarray(gh, np.int32)[:total], atol=1)
+    np.testing.assert_allclose(np.asarray(hs)[:total], np.asarray(gsc)[:total],
+                               rtol=1e-5)
+
+    w2 = jnp.asarray(rng.integers(-20, 20, (g, k, n)), jnp.int8)
+    sw2 = jnp.asarray(rng.random((g, n)).astype(np.float32) / 50)
+    x2 = jnp.asarray(rng.integers(-30, 30, (s, k)), jnp.int8)
+    sx2 = jnp.asarray(rng.random(s).astype(np.float32) / 10)
+    dest = jnp.asarray(rng.permutation(s).reshape(n_tok, ktop), jnp.int32)
+    topw = jnp.asarray(rng.random((n_tok, ktop)).astype(np.float32))
+    out = gmm_ring.gmm2_combine_ring(
+        x2, w2, gs, sx2, sw2, dest, topw, tm=128, tn=256, ring=3)
+    assert out.shape == (n_tok, n)
+
+    ends = jnp.cumsum(gs)
+    g_of = jnp.searchsorted(ends, jnp.arange(s), side="right").clip(0, g - 1)
+    acc = jnp.einsum("sk,skn->sn", x2.astype(jnp.float32),
+                     w2[g_of].astype(jnp.float32))
+    live = (jnp.arange(s) < ends[-1])[:, None]
+    deq = jnp.where(live, acc * sx2[:, None] * sw2[g_of], 0.0).astype(jnp.bfloat16)
+    wrow = jnp.zeros((s,), jnp.float32).at[dest.reshape(-1)].set(topw.reshape(-1))
+    mask = jnp.zeros((n_tok, s), jnp.float32).at[
+        jnp.arange(n_tok)[:, None], dest].add(1.0)
+    ref = mask @ (deq.astype(jnp.float32) * wrow[:, None])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2 * float(jnp.abs(ref).max()))
