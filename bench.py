@@ -641,7 +641,7 @@ def _layer_secondary(rng):
     def run_mode(args):
         proc = subprocess.run(
             [_sys.executable, "scripts/bench_layer.py", *args],
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=1800,
             cwd=str(__import__("pathlib").Path(__file__).resolve().parent),
         )
         m = re.search(r"decode layer, B=\d+:\s*([0-9.]+) us", proc.stdout)

@@ -162,9 +162,9 @@ def main():
                 check_vma=False,
             )(x, topi, topw)
             return (x + out.astype(jnp.float32)).astype(h_in.dtype), kvn, kvr
-        # 4. quantize per TOKEN (b rows), then route int8 rows — quantizing
-        # after the topk-repeat would run the quant passes and the sort
-        # gather on 8x the rows in f32 (4x the bytes of int8)
+        # 4. quantize per TOKEN (b rows) in XLA: it fuses into the wo-proj +
+        # residual pass for FREE (r5 trace: moving it in-kernel re-read x at
+        # full width and lost ~5 us on the composite)
         sx_tok = jnp.maximum(jnp.abs(x).max(-1) / 127.0, 1e-12)
         xq_tok = jnp.clip(jnp.round(x / sx_tok[:, None]), -128, 127).astype(jnp.int8)
         logits = x @ router
@@ -184,7 +184,6 @@ def main():
         src = jnp.zeros((rows,), jnp.int32).at[dest].set(
             jnp.arange(rows, dtype=jnp.int32))       # sorted slot → pair row
         tok_of_row = src // topk
-        sx = sx_tok[tok_of_row]
         # combine weights as a masked MATMUL: top-k weights scattered into
         # [b, rows] at the sorted slots, hi+lo bf16 split for f32-accurate
         # weighting at bf16 MXU rate
@@ -195,6 +194,7 @@ def main():
         m_lo = (mask - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         if mode == "nogmm":                           # glue-only ablation
             xq = xq_tok[tok_of_row]
+            sx = sx_tok[tok_of_row]
             y = (xq.astype(jnp.float32) * sx[:, None]).astype(jnp.bfloat16)
             out = jax.lax.dot(m_hi, y, preferred_element_type=jnp.float32)
             out += jax.lax.dot(m_lo, y, preferred_element_type=jnp.float32)
@@ -202,6 +202,7 @@ def main():
             # r1 path: XLA row gather into GMM1, separate GMM2, y streamed
             # twice through the combine matmuls
             xq = xq_tok[tok_of_row]                   # int8 gather [rows, H]
+            sx = sx_tok[tok_of_row]
             h1, hs = gm.grouped_matmul(
                 xq, w1, gsizes, sx, s1, epilogue="dequant_swiglu_quant")
             y = gm.grouped_matmul(

@@ -601,6 +601,11 @@ def _gmm_moe(cfg, wq: tuple, x, topk_idx, topk_w):
     n, hidden = x.shape
     k = topk_idx.shape[1]
     rows = n * k
+    # per-token quant stays in XLA: it fuses into the upstream projection /
+    # residual pass for free (measured r5 — in-kernel quant via
+    # gmm_ring.gmm1_ring(x, ..., None, ...) re-reads x at full width and lost
+    # ~5 us on the layer composite; the kernel still supports it for callers
+    # with no upstream op to fuse into)
     xf = x.astype(jnp.float32)
     sx_tok = jnp.maximum(jnp.abs(xf).max(-1) / 127.0, 1e-12)
     xq_tok = jnp.clip(jnp.round(xf / sx_tok[:, None]), -128, 127).astype(jnp.int8)

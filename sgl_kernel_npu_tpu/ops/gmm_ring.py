@@ -74,31 +74,39 @@ def _gmm1_ring_kernel(
     # scalar prefetch
     g_of, mt_of, offsets, nlive_ref,
     # inputs
-    xq_hbm,    # ANY [n_tok, K] int8
+    xq_hbm,    # ANY [n_tok, K] int8 — or bf16/f32 when quantize_input
     tok_ref,   # VMEM [S, 1] i32 sorted-row → token
     w_hbm,     # ANY [G, K, N] int8
-    sxt_ref,   # VMEM [n_tok, 1] f32 per-TOKEN input scales
+    sxt_in,    # VMEM [n_tok, 1] f32 per-TOKEN input scales (None when
+               # quantize_input: computed in-kernel)
     sw_ref,    # VMEM [G, N] f32 per-channel weight scales
     # outputs
     h1_ref,    # VMEM [S, N/2] int8
     hs_ref,    # VMEM [S, 1] f32 per-row requant scales
     # scratch
-    xv,        # VMEM [n_tok, K] int8
+    xin,       # VMEM [n_tok, K] input-dtype stage (aliases xv when int8 in)
     wring,     # VMEM [ring, tk, N] int8
     acc,       # VMEM [tm, N] f32
     pt_buf,    # VMEM [tm, n_tok] int8 one-hot tile (cached per step)
-    sems,      # DMA sems [ring + 1]
-    *,
+    *rest,     # (+ xv, sxt_scr when quantize_input), sems last
     tm: int,
     tk: int,
     ring: int,
+    quantize_input: bool,
 ):
+    if quantize_input:
+        xv, sxt_scr, sems = rest
+        sxt_ref = sxt_scr
+    else:
+        (sems,) = rest
+        xv = xin
+        sxt_ref = sxt_in
     n_tok, k = xv.shape
     nk = k // tk
     n_live = nlive_ref[0]
     n_chunks = n_live * nk
 
-    cp = pltpu.make_async_copy(xq_hbm, xv, sems.at[ring])
+    cp = pltpu.make_async_copy(xq_hbm, xin, sems.at[ring])
     cp.start()
 
     def chunk_dma(c, slot):
@@ -116,6 +124,17 @@ def _gmm1_ring_kernel(
             chunk_dma(jnp.int32(i), jnp.int32(i)).start()
 
     cp.wait()
+    if quantize_input:
+        # per-token dynamic int8 quant IN-KERNEL (the reference FusedDeepMoe
+        # absorbs this exact glue, QuantProcess
+        # moe_distribute_dispatch_v2.h:994): one VPU pass while the weight
+        # ring warms — replaces ~40 µs of XLA abs-reduce/clamp/convert ops
+        # and their HBM round trip on the decode layer
+        xf = xin[...].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        scale = jnp.maximum(amax / 127.0, 1e-12)
+        xv[...] = jnp.clip(jnp.round(xf / scale), -128, 127).astype(jnp.int8)
+        sxt_scr[...] = scale
 
     def body(c, _):
         slot = jax.lax.rem(c, ring)
@@ -203,14 +222,22 @@ def gmm1_ring(
 
     Returns ``(h1 [S, N/2] int8, hs [S] f32)`` — the dequant_swiglu_quant
     grouped matmul with the one-hot dispatch, row-scale gather, and requant
-    all inside one kernel."""
+    all inside one kernel.
+
+    ``xq`` may be **bf16/f32 tokens** instead of int8: the per-token dynamic
+    quant (amax/127 scale, saturating round — reference QuantProcess,
+    moe_distribute_dispatch_v2.h:994) then runs IN-KERNEL during the weight
+    ring warm-up and ``scale_x_tok`` is ignored (pass ``None``)."""
     if interpret is None:
         interpret = interpret_default()
     s = tok_of_row.shape[0]
     n_tok = xq.shape[0]
     g, k, n = w1.shape
+    quantize_input = xq.dtype != jnp.int8
     if tk is None:
-        tk = next((t for t in (1024, 512, 256, 128) if k % t == 0), k)
+        # 512 beats 1024 by ~1.5 us at decode shapes (r5 chip sweep): halves
+        # the first-chunk fill latency at the same stream rate
+        tk = next((t for t in (512, 1024, 256, 128) if k % t == 0), k)
     assert k % tk == 0 and xq.shape == (n_tok, k)
     # the kernel reads/writes whole [tm]-row tiles: pad the sorted-row axis up
     # (pad rows carry token id n_tok → all-zero one-hot → zero rows, and the
@@ -237,15 +264,24 @@ def gmm1_ring(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_tok, k), jnp.int8),
+            pltpu.VMEM((n_tok, k), xq.dtype),
             pltpu.VMEM((ring, tk, n), jnp.int8),
             pltpu.VMEM((tm, n), jnp.float32),
             pltpu.VMEM((tm, n_tok), jnp.int8),
+        ] + ([
+            pltpu.VMEM((n_tok, k), jnp.int8),      # xv: quantized stage
+            pltpu.VMEM((n_tok, 1), jnp.float32),   # sxt_scr: in-kernel scales
+        ] if quantize_input else []) + [
             pltpu.SemaphoreType.DMA((ring + 1,)),
         ],
     )
+    if quantize_input:
+        sxt = jnp.zeros((1, 1), jnp.float32)       # unused placeholder input
+    else:
+        sxt = scale_x_tok.reshape(n_tok, 1)
     h1, hs = pl.pallas_call(
-        functools.partial(_gmm1_ring_kernel, tm=tm, tk=tk, ring=ring),
+        functools.partial(_gmm1_ring_kernel, tm=tm, tk=tk, ring=ring,
+                          quantize_input=quantize_input),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s, n // 2), jnp.int8),
@@ -257,8 +293,7 @@ def gmm1_ring(
             pltpu.InterpretParams(dma_execution_mode="eager")
             if interpret else False),
     )(g_of, mt_of, offsets, n_live,
-      xq, tok_of_row.reshape(s, 1), w1,
-      scale_x_tok.reshape(n_tok, 1), scale_w)
+      xq, tok_of_row.reshape(s, 1), w1, sxt, scale_w)
     return h1[:s_orig], hs[:s_orig, 0]
 
 
@@ -397,7 +432,8 @@ def gmm2_combine_ring(
     g, _, n = w2.shape
     n_tok = dest.shape[0]
     if tn is None:
-        tn = next((t for t in (1792, 1536, 1024, 512, 256, 128)
+        # 896 beats 1792 by ~1.4 us at decode shapes (r5 chip sweep)
+        tn = next((t for t in (896, 1792, 1536, 1024, 512, 256, 128)
                    if n % t == 0), n)
     # whole [tm]-row tiles: pad the sorted-row axis (zero rows dequant to zero
     # and sit outside every group's [start, end) — masked either way)

@@ -153,3 +153,33 @@ def test_ring_kernels_row_count_below_tile(rng):
     ref = mask @ (deq.astype(jnp.float32) * wrow[:, None])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2 * float(jnp.abs(ref).max()))
+
+@pytest.mark.parametrize("dt", [jnp.bfloat16, jnp.float32])
+def test_gmm1_ring_in_kernel_quant(rng, dt):
+    """bf16 tokens straight into the kernel: the per-token dynamic quant
+    (amax/127, saturating round) runs in-kernel and must match the XLA
+    pre-quant path bit-for-bit on the quantized levels."""
+    n_tok, k, n, g = 16, 256, 512, 4
+    s = 64
+    gs = jnp.asarray([20, 0, 30, 14], jnp.int32)
+    x16 = jnp.asarray(rng.standard_normal((n_tok, k)) * 0.5, dt)
+    tok = jnp.asarray(rng.integers(0, n_tok, s), jnp.int32)
+    wg = jnp.asarray(rng.integers(-20, 20, (g, k, n // 2)), jnp.int8)
+    wu = jnp.asarray(rng.integers(-20, 20, (g, k, n // 2)), jnp.int8)
+    sg = jnp.asarray(rng.random((g, n // 2)).astype(np.float32) / 50)
+    su = jnp.asarray(rng.random((g, n // 2)).astype(np.float32) / 50)
+    w1 = pack_gmm1_weights(wg, wu, n)
+    sw = pack_gmm1_scales(sg, su, n)
+
+    h1, hs = gmm_ring.gmm1_ring(x16, tok, w1, gs, None, sw, tm=32, ring=3)
+
+    # golden: the exact host-side quant the kernel replaces
+    xf = x16.astype(jnp.float32)
+    sx_tok = jnp.maximum(jnp.abs(xf).max(-1) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xf / sx_tok[:, None]), -128, 127).astype(jnp.int8)
+    gh, gsc = _golden_gmm1(xq, tok, w1, gs, sx_tok, sw)
+    total = int(jnp.sum(gs))
+    np.testing.assert_allclose(np.asarray(h1, np.int32)[:total],
+                               np.asarray(gh, np.int32)[:total], atol=1)
+    np.testing.assert_allclose(np.asarray(hs)[:total], np.asarray(gsc)[:total],
+                               rtol=1e-5)
