@@ -567,6 +567,12 @@ def _lora_secondary(rng):
         "bgmv_fused", iters=12)
     tj, _ = _module_us(
         lambda: jax.block_until_ready(fj(xx, a, b, idx)), iters=8)
+    # the production decode path (fused_lora_delta routes small pools through
+    # the floor-speed all-adapters chain — PERF.md §LoRA r5 adjudication)
+    fs = jax.jit(lambda x_, a_, b_, i_: lmod.fused_lora_delta(
+        x_, a_, b_, i_, scaling=0.5))
+    ts, iqr_s = _module_us(
+        lambda: jax.block_until_ready(fs(xx, a, b, idx)), iters=10)
     # honest floor: adapters read once + x read + f32 out write
     floor = (l * r * (h + h) * 2 + t * h * 2 + t * h * 4) / 819e9 * 1e6
     return {
@@ -574,6 +580,9 @@ def _lora_secondary(rng):
         "lora_fused_iqr_us": round(iqr, 1),
         "lora_jnp_us": round(tj, 1),
         "lora_fused_vs_floor": round(tf / floor, 2),
+        "lora_serve_us": round(ts, 1),
+        "lora_serve_iqr_us": round(iqr_s, 1),
+        "lora_serve_vs_floor": round(ts / floor, 2),
     }
 
 
